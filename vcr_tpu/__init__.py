@@ -1,0 +1,21 @@
+"""vcr_tpu — a TPU-native (JAX/XLA/Pallas/pjit) video-captioning-with-rationale framework.
+
+Re-implements, TPU-first, the full capability surface of the reference
+``p-kar/pytorch-video-caption-rationale`` research codebase:
+
+* S2VT, S2VT+attention and Transformer video captioners
+  (reference: model/S2VTModel.py, model/S2VTAttModel.py, model/TransformerNet.py)
+* RationaleNet (Gumbel-Softmax temporal rationales, reference: model/RationaleNet.py)
+* SpatialNet (spatial attention over YOLO grid features, reference: model/SpatialNet.py)
+* Darknet/YOLOv3 + ResNet featurizers (reference: model/darknet.py,
+  data/extract_video_feats.py, data/extract_bbox_feats.py)
+* Training loops with masked losses, scheduled sampling, METEOR/BLEU-4/CIDEr eval,
+  Orbax checkpointing, tensorboard logging and a grid-sweep launcher.
+
+Design stance (see SURVEY.md §7): pure functions over fixed-shape arrays,
+``lax.scan`` for every recurrence, end-to-end ``jit``/``pjit`` over a
+``jax.sharding.Mesh``, host work (tokenization, METEOR, tensorboard) kept outside
+the step functions.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,146 @@
+"""Typed configuration for vcr_tpu.
+
+Replaces the reference's flat argparse namespace (reference: args.py:9-64), the
+second ad-hoc parser in eval_attention.py:119-126, and the sed-templated sweep
+configs (reference: scripts/schedule_jobs.py) with one serializable dataclass.
+The full config is persisted into every checkpoint (mirroring the reference's
+``opts`` inside torch.save dicts, reference: train.py:188) so models can be
+rebuilt from a checkpoint alone (reference: eval_attention.py:80-86).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+CORPORA = ("msvd", "msrvtt", "msvd_vgg")
+ARCHS = ("s2vt", "s2vt-att", "transformer")
+
+
+@dataclass
+class Config:
+    """All knobs. Field names follow the reference flags (args.py) where they exist."""
+
+    # General (reference args.py:14)
+    mode: str = "train"
+
+    # Data (reference args.py:17-22)
+    data_dir: str = "./data"
+    corpus: str = "msvd_vgg"
+    nworkers: int = 4
+    bsize: int = 32
+    shuffle: bool = True
+    glove_emb_file: str = "glove.6B.300d.txt"
+
+    # Image model (reference args.py:25-28)
+    img_size: int = 224
+    vision_arch: str = "resnet34"
+    num_frames: int = 30
+    vid_feat_size: int = 4096
+
+    # Model (reference args.py:31-37)
+    arch: str = "s2vt"
+    max_len: int = 20
+    dropout_p: float = 0.2
+    hidden_size: int = 512
+    schedule_sample: bool = False
+    tau: float = 1.0
+    pretrained_base: Optional[str] = None
+
+    # Transformer shape (hard-coded N=6, heads=8 in reference train.py:100)
+    tf_layers: int = 6
+    tf_heads: int = 8
+
+    # Optimization (reference args.py:40-48)
+    optim: str = "adam"
+    lr: float = 2e-3
+    wd: float = 4e-5
+    momentum: float = 0.9
+    epochs: int = 1000
+    max_norm: float = 1.0
+    start_epoch: int = 0
+    lambda_brev: float = 1.0
+    lambda_cont: float = 1.0
+
+    # Other (reference args.py:51-56)
+    save_path: str = "./trained_models"
+    log_dir: str = "./logs"
+    log_iter: int = 5
+    n_sample_sent: int = 5
+    resume: bool = False
+    seed: int = 123
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    # Mesh axes: data-parallel x model-parallel. 1x1 = single chip.
+    mesh_dp: int = 1
+    mesh_mp: int = 1
+    # Compute dtype for matmuls ("bfloat16" rides the MXU at full rate;
+    # "float32" for parity tests). Params are always stored float32.
+    compute_dtype: str = "bfloat16"
+    # Use the Pallas fused GRU sequence kernel where profitable.
+    use_pallas: bool = False
+    # Remat (jax.checkpoint) the decoder scan to trade FLOPs for HBM.
+    remat: bool = False
+    # Beam width for decode (1 = greedy, matching the reference's only mode).
+    beam_size: int = 1
+    # eval_attention export inputs (reference eval_attention.py:119-126)
+    spatial_net_file: str = ""
+    vid_file: str = ""
+    out_dir: str = "./attention_maps"
+    export_all: bool = False
+
+    def validate(self) -> "Config":
+        if self.corpus not in CORPORA:
+            raise NotImplementedError(f"Unknown corpus {self.corpus!r}")  # args.py:61-62
+        return self
+
+    # ---- serialization (checkpoints embed the config) ----
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _str2bool(t: str) -> bool:
+    # reference args.py:3-7 semantics: anything not in the truthy set is False
+    return t.lower() in ("true", "t", "1")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """CLI mirroring every reference flag plus the TPU-native extras."""
+    p = argparse.ArgumentParser(description="vcr_tpu: TPU-native video caption + rationale")
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        default = f.default
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            p.add_argument(name, default=default, type=_str2bool)
+        elif isinstance(default, int):
+            p.add_argument(name, default=default, type=int)
+        elif isinstance(default, float):
+            p.add_argument(name, default=default, type=float)
+        else:
+            p.add_argument(name, default=default, type=str)
+    return p
+
+
+def get_config(argv: Optional[list] = None) -> Config:
+    ns = build_parser().parse_args(argv)
+    cfg = Config(**vars(ns)).validate()
+    print(f"Running on {cfg.corpus.upper()} corpus")  # parity with args.py:60
+    return cfg

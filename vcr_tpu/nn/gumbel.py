@@ -1,0 +1,35 @@
+"""Gumbel-Softmax with straight-through hard sampling.
+
+Matches torch.nn.functional.gumbel_softmax semantics used by the reference
+RationaleNet generator (model/RationaleNet.py:49-50): soft samples during
+training, hard (one-hot, straight-through) samples at eval.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gumbel_softmax(
+    key: jax.Array,
+    logits: jax.Array,
+    tau: float = 1.0,
+    hard: bool = False,
+    axis: int = -1,
+) -> jax.Array:
+    """Sample from the Gumbel-Softmax distribution.
+
+    soft: y = softmax((logits + g) / tau), g ~ Gumbel(0, 1)
+    hard: one_hot(argmax(y)) with straight-through gradients
+          (y_hard - stop_grad(y) + y), as in torch.
+    """
+    gumbels = -jnp.log(-jnp.log(
+        jax.random.uniform(key, logits.shape, minval=1e-20, maxval=1.0)
+    ) + 1e-20)
+    y_soft = jax.nn.softmax((logits + gumbels) / tau, axis=axis)
+    if not hard:
+        return y_soft
+    idx = jnp.argmax(y_soft, axis=axis)
+    y_hard = jax.nn.one_hot(idx, logits.shape[axis], axis=axis, dtype=y_soft.dtype)
+    return y_hard - jax.lax.stop_gradient(y_soft) + y_soft
