@@ -1,0 +1,287 @@
+"""Transformer captioner — exact-parity rebuild of reference model/TransformerNet.py.
+
+The reference is a tutorial-style pre-norm encoder-decoder with several quirks
+that define its actual behavior and MUST be replicated for checkpoint/decode
+parity (SURVEY.md §7 "hard parts"):
+
+* The encoder operates at the RAW feature width (4096) and the decoder at the
+  GloVe width (300); MultiHeadAttention projects raw->hidden(512)->raw and
+  FeedForward is raw<->2048 (TransformerNet.py:21-34, 79-85).
+* ``Norm`` is a hand-rolled LayerNorm with *unbiased* std (TransformerNet.py:104-106).
+* PositionalEncoder scales by sqrt(seq_len) — x.shape[1] — NOT sqrt(d_model)
+  (TransformerNet.py:129), and its cos channel uses exponent 2(i+1)/d
+  (TransformerNet.py:118-121).
+* Training feeds the UNSHIFTED target sentence to the decoder (no <sos> prepend
+  in the training branch, TransformerNet.py:233-243) — replicated, not fixed.
+* Greedy decode re-runs the full decoder stack on the growing prefix each step
+  (TransformerNet.py:246-263). Because the sqrt(i) PE scale changes ALL prefix
+  embeddings every step, a KV cache would NOT be math-equivalent — so the
+  parity decode is a lax.scan over steps running the full (padded, causally
+  masked) stack, entirely on device.
+* Internal dropouts are the hard-coded 0.1 (not opts.dropout_p); only
+  pred_linear uses dropout_p (TransformerNet.py:15, 76, 137, 155, 222).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vcr_tpu.models import base
+from vcr_tpu.nn.attention import mha_apply, mha_init
+from vcr_tpu.nn.layers import (dense, dense_init, dropout, embed, embedding_init,
+                               norm_init, torch_norm)
+
+INTERNAL_DROPOUT = 0.1  # TransformerNet.py hard-codes 0.1 everywhere
+D_FF = 2048
+
+
+def _width(flag: str) -> int:
+    return 4096 if flag == "e" else 300
+
+
+def make_positional_encoding(d_model: int, max_seq_len: int = 80) -> np.ndarray:
+    """Reference PE table (TransformerNet.py:115-123), including the 2(i+1)/d
+    exponent on the cos channel."""
+    pe = np.zeros((max_seq_len, d_model), dtype=np.float32)
+    for pos in range(max_seq_len):
+        for i in range(0, d_model, 2):
+            pe[pos, i] = math.sin(pos / (10000 ** ((2 * i) / d_model)))
+            pe[pos, i + 1] = math.cos(pos / (10000 ** ((2 * (i + 1)) / d_model)))
+    return pe
+
+
+def _ff_init(key, flag: str):
+    k1, k2 = jax.random.split(key)
+    size = _width(flag)
+    return {"linear_1": dense_init(k1, size, D_FF), "linear_2": dense_init(k2, D_FF, size)}
+
+
+def _ff_apply(params, x, key, train, cdtype):
+    h = jax.nn.relu(dense(params["linear_1"], x, cdtype))
+    h = dropout(key, h, INTERNAL_DROPOUT, train)
+    return dense(params["linear_2"], h, cdtype)
+
+
+def _encoder_layer_init(key, heads, hidden, flag):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "norm_1": norm_init(_width(flag)),
+        "norm_2": norm_init(_width(flag)),
+        "attn": mha_init(k1, heads, hidden, flag),
+        "ff": _ff_init(k2, flag),
+    }
+
+
+def _encoder_layer(params, x, mask, key, heads, train, cdtype):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x2 = torch_norm(params["norm_1"], x)
+    x = x + dropout(k1, mha_apply(params["attn"], heads, x2, x2, x2, mask,
+                                  dropout_key=k2, dropout_rate=INTERNAL_DROPOUT,
+                                  train=train, compute_dtype=cdtype),
+                    INTERNAL_DROPOUT, train)
+    x2 = torch_norm(params["norm_2"], x)
+    x = x + dropout(k3, _ff_apply(params["ff"], x2, k4, train, cdtype),
+                    INTERNAL_DROPOUT, train)
+    return x
+
+
+def _decoder_layer_init(key, heads, hidden, flag):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "norm_1": norm_init(_width(flag)),
+        "norm_2": norm_init(_width(flag)),
+        "norm_3": norm_init(_width(flag)),
+        "attn_1": mha_init(k1, heads, hidden, flag),    # self-attn at 300
+        "attn_2": mha_init(k2, heads, hidden, "ed"),    # cross: q 300, kv 4096
+        "ff": _ff_init(k3, flag),
+    }
+
+
+def _decoder_layer(params, x, e_outputs, src_mask, trg_mask, key, heads, train, cdtype):
+    ks = jax.random.split(key, 6)
+    x2 = torch_norm(params["norm_1"], x)
+    x = x + dropout(ks[0], mha_apply(params["attn_1"], heads, x2, x2, x2, trg_mask,
+                                     dropout_key=ks[1], dropout_rate=INTERNAL_DROPOUT,
+                                     train=train, compute_dtype=cdtype),
+                    INTERNAL_DROPOUT, train)
+    x2 = torch_norm(params["norm_2"], x)
+    x = x + dropout(ks[2], mha_apply(params["attn_2"], heads, x2, e_outputs, e_outputs,
+                                     src_mask,
+                                     dropout_key=ks[3], dropout_rate=INTERNAL_DROPOUT,
+                                     train=train, compute_dtype=cdtype),
+                    INTERNAL_DROPOUT, train)
+    x2 = torch_norm(params["norm_3"], x)
+    x = x + dropout(ks[4], _ff_apply(params["ff"], x2, ks[5], train, cdtype),
+                    INTERNAL_DROPOUT, train)
+    return x
+
+
+def init_params(key: jax.Array, spec: base.ModelSpec, glove_vectors) -> dict:
+    n, heads, hidden = spec.tf_layers, spec.tf_heads, spec.hidden_size
+    keys = jax.random.split(key, 2 * n + 2)
+    enc_layers = [_encoder_layer_init(keys[i], heads, hidden, "e") for i in range(n)]
+    dec_layers = [_decoder_layer_init(keys[n + i], heads, hidden, "d") for i in range(n)]
+    return {
+        "encoder": {
+            "pe": jnp.asarray(make_positional_encoding(spec.vid_feat_size)),
+            # stacked layers -> scanned-over pytree (one compile for all 6)
+            "layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *enc_layers),
+            "norm": norm_init(_width("e")),
+        },
+        "decoder": {
+            "embedding": embedding_init(glove_vectors),
+            "pe": jnp.asarray(make_positional_encoding(spec.embed_size)),
+            "layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *dec_layers),
+            # reference creates norm AND norm_out; only norm_out is used in
+            # forward (TransformerNet.py:220-221,243) — both kept for
+            # checkpoint-conversion completeness.
+            "norm": norm_init(_width("d")),
+            "norm_out": norm_init(_width("d")),
+            # reference hard-codes Linear(300, vocab) (TransformerNet.py:222)
+            "pred_linear": dense_init(keys[-1], _width("d"), spec.vocab_size),
+        },
+    }
+
+
+def _apply_pe(pe: jax.Array, x: jax.Array, scale_len) -> jax.Array:
+    """x * sqrt(scale_len) + pe[:L] — the reference's sqrt(x.shape[1]) scaling
+    (TransformerNet.py:127-134). scale_len may be a traced scalar (decode)."""
+    seq_len = x.shape[1]
+    return x * jnp.sqrt(jnp.asarray(scale_len, jnp.float32)) + pe[None, :seq_len, :]
+
+
+def _run_stack(layer_fn, stacked_params, x, key, n_layers, *args):
+    """Run N structurally-identical layers via lax.scan over stacked params."""
+    keys = jax.random.split(key, n_layers)
+
+    def body(h, inp):
+        p, k = inp
+        return layer_fn(p, h, k, *args), None
+
+    x, _ = jax.lax.scan(body, x, (stacked_params, keys))
+    return x
+
+
+def encode(params, spec: base.ModelSpec, vid_features: jax.Array,
+           src_mask, rng, train: bool) -> jax.Array:
+    """(B, N, 4096) -> encoder outputs (B, N, 4096) (TransformerNet.py:190-200)."""
+    enc = params["encoder"]
+    x = _apply_pe(enc["pe"], vid_features, vid_features.shape[1])
+
+    def layer(p, h, k, mask):
+        return _encoder_layer(p, h, mask, k, spec.tf_heads, train, spec.cdtype)
+
+    x = _run_stack(layer, enc["layers"], x, rng, spec.tf_layers, src_mask)
+    return torch_norm(enc["norm"], x)
+
+
+def decode_train(params, spec: base.ModelSpec, e_outputs, s, src_mask, trg_mask,
+                 rng, train: bool) -> jax.Array:
+    """Parallel training pass. NOTE: input is the unshifted target sentence,
+    replicating the reference bug (TransformerNet.py:237-243)."""
+    dec = params["decoder"]
+    k_layers, k_pred = jax.random.split(rng)
+    x = embed(dec["embedding"], s.astype(jnp.int32))
+    x = _apply_pe(dec["pe"], x, x.shape[1])
+
+    def layer(p, h, k, eo, sm, tm):
+        return _decoder_layer(p, h, eo, sm, tm, k, spec.tf_heads, train, spec.cdtype)
+
+    x = _run_stack(layer, dec["layers"], x, k_layers, spec.tf_layers,
+                   e_outputs, src_mask, trg_mask)
+    x = torch_norm(dec["norm_out"], x)
+    x = dropout(k_pred, x, spec.dropout_p, train)
+    return dense(dec["pred_linear"], x, spec.cdtype)
+
+
+def decode_greedy(params, spec: base.ModelSpec, e_outputs, src_mask) -> jax.Array:
+    """Greedy decode re-running the full stack per step (parity with
+    TransformerNet.py:246-263), as one on-device lax.scan.
+
+    Equivalence to the reference's growing-prefix loop: with a causal mask,
+    row i-1 of the (padded to max_len) sequence attends only to columns
+    <= i-1, and all other ops are positionwise, so its output equals the
+    prefix-only run. The traced sqrt(i) PE scale is applied per step.
+    """
+    dec = params["decoder"]
+    b = e_outputs.shape[0]
+    l = spec.max_len
+    causal = (np.triu(np.ones((l, l)), k=1) == 0)
+    causal = jnp.asarray(causal)[None, None, :, :]  # (1,1,L,L)
+
+    outputs0 = jnp.zeros((b, l), dtype=jnp.int32).at[:, 0].set(spec.sos_id)
+    dummy_key = jax.random.PRNGKey(0)
+
+    def step(carry, i):
+        outputs = carry
+        x = embed(dec["embedding"], outputs)
+        x = _apply_pe(dec["pe"], x, i + 1)  # prefix length = i+1 -> sqrt(i+1)
+
+        def layer(p, h, k, eo, sm, tm):
+            return _decoder_layer(p, h, eo, sm, tm, k, spec.tf_heads,
+                                  train=False, cdtype=spec.cdtype)
+
+        h = _run_stack(layer, dec["layers"], x, dummy_key, spec.tf_layers,
+                       e_outputs, src_mask, causal)
+        h = torch_norm(dec["norm_out"], h)
+        h_i = jax.lax.dynamic_slice_in_dim(h, i, 1, axis=1)[:, 0]  # (B, 300)
+        logits_i = dense(dec["pred_linear"], h_i, spec.cdtype)     # (B, V)
+        next_word = jnp.argmax(logits_i, axis=-1).astype(jnp.int32)
+        # write next word at prefix position i+1; the final step's write (index
+        # clamped to l-1) lands after the last read, so it never affects logits
+        idx = jnp.minimum(i + 1, l - 1)
+        old = jax.lax.dynamic_index_in_dim(outputs, idx, axis=1, keepdims=False)
+        outputs = jax.lax.dynamic_update_index_in_dim(
+            outputs, jnp.where(i + 1 < l, next_word, old), idx, axis=1)
+        return outputs, logits_i
+
+    outputs, logits = jax.lax.scan(step, outputs0, jnp.arange(l))
+    return jnp.transpose(logits, (1, 0, 2))  # (B, L, V)
+
+
+def create_masks_inp(vid_features: jax.Array) -> jax.Array:
+    """All-ones src mask (B,1,1,N) (TransformerNet.py:267-269)."""
+    b, n = vid_features.shape[:2]
+    return jnp.ones((b, 1, 1, n), dtype=jnp.float32)
+
+
+def create_masks_trg(s: jax.Array, s_len: jax.Array) -> jax.Array:
+    """Length mask ∧ causal no-peek -> (B,1,L,L) (TransformerNet.py:271-286)."""
+    b, l = s.shape
+    length = (jnp.arange(l)[None, :] < s_len[:, None])          # (B, L) over columns
+    nopeak = jnp.asarray(np.triu(np.ones((l, l)), k=1) == 0)    # (L, L)
+    mask = length[:, None, :] & nopeak[None, :, :]              # (B, L, L)
+    return mask[:, None, :, :]
+
+
+def apply(
+    params,
+    spec: base.ModelSpec,
+    vid_feats: jax.Array,
+    s: Optional[jax.Array] = None,
+    s_len: Optional[jax.Array] = None,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    teacher_force_prob: jax.Array | float = 1.0,
+) -> jax.Array:
+    """Full forward (TransformerNet.py:288-299). Train: parallel pass with
+    length∧causal target mask. Eval: greedy scan."""
+    del teacher_force_prob
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    k_enc, k_dec = jax.random.split(rng)
+    src_mask = create_masks_inp(vid_feats)
+    e_outputs = encode(params, spec, vid_feats, src_mask, k_enc, train)
+    if train:
+        assert s is not None and s_len is not None
+        trg_mask = create_masks_trg(s, s_len)
+        return decode_train(params, spec, e_outputs, s, src_mask, trg_mask, k_dec, train)
+    return decode_greedy(params, spec, e_outputs, src_mask)
+
+
+base.register("transformer", init_params, apply)

@@ -73,19 +73,20 @@ def mha_init(key: jax.Array, heads: int, hidden_size: int, flag: str):
         q_in, v_in, k_in = 300, 4096, 4096
     else:
         raise NotImplementedError(flag)
+    del heads  # head count is a static apply-time arg (params hold arrays only,
+    #            so layer stacks can be lax.scan-ned)
     kq, kk, kv, ko = jax.random.split(key, 4)
     return {
         "q": dense_init(kq, q_in, hidden_size),
         "k": dense_init(kk, k_in, hidden_size),
         "v": dense_init(kv, v_in, hidden_size),
         "out": dense_init(ko, hidden_size, q_in),
-        "heads": heads,
-        "hidden": hidden_size,
     }
 
 
 def mha_apply(
     params,
+    heads: int,
     q: jax.Array, k: jax.Array, v: jax.Array,
     mask: Optional[jax.Array] = None,          # broadcastable to (B, 1, Lq, Lk); 0 = masked
     dropout_key: Optional[jax.Array] = None,
@@ -93,8 +94,7 @@ def mha_apply(
     train: bool = False,
     compute_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    heads = params["heads"]
-    hidden = params["hidden"]
+    hidden = params["q"]["w"].shape[1]
     d_k = hidden // heads
     b = q.shape[0]
 
