@@ -1,0 +1,107 @@
+"""Tiny-corpus integration tests: full train loop end-to-end for all three
+workloads, plus checkpoint/resume semantics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vcr_tpu.config import Config
+
+
+def tiny_config(tmp, corpus="msvd_vgg", **kw):
+    d = dict(mode="train", data_dir=os.path.join(tmp, "data"), corpus=corpus,
+             nworkers=2, bsize=4, glove_emb_file="glove_tiny.txt",
+             num_frames=4, vid_feat_size=12, arch="s2vt", max_len=6,
+             dropout_p=0.1, hidden_size=8, epochs=2, lr=1e-2, wd=0.0,
+             log_iter=2, save_path=os.path.join(tmp, "models"),
+             log_dir="", seed=123, compute_dtype="float32")
+    d.update(kw)
+    return Config(**d)
+
+
+def _build(tmp, feat_type="cnn", corpus="msvd_vgg"):
+    from tests.util_corpus import build_corpus
+
+    build_corpus(os.path.join(tmp, "data"), corpus=corpus, feat_type=feat_type)
+
+
+@pytest.mark.parametrize("arch", ["s2vt", "s2vt-att"])
+def test_train_caption_end_to_end(tmp_path, arch):
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    _build(tmp)
+    cfg = tiny_config(tmp, arch=arch)
+    metrics = train(cfg)
+    assert np.isfinite(metrics["loss"])
+    assert 0.0 <= metrics["acc"] <= 1.0
+    assert 0.0 <= metrics["METEOR"] <= 1.0
+    assert os.path.exists(os.path.join(cfg.save_path, "model_latest", "meta.json"))
+    assert os.path.exists(os.path.join(cfg.save_path, "model_best", "meta.json"))
+
+
+def test_train_learns(tmp_path):
+    """Loss on the tiny corpus must drop substantially across epochs."""
+    from vcr_tpu.config import Config
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    _build(tmp)
+    cfg = tiny_config(tmp, epochs=1, dropout_p=0.0)
+    first = train(cfg)
+    cfg20 = tiny_config(tmp, epochs=20, dropout_p=0.0,
+                        save_path=os.path.join(tmp, "models20"))
+    last = train(cfg20)
+    assert last["loss"] < first["loss"]
+    assert last["acc"] > first["acc"]
+
+
+def test_resume_restores_iteration(tmp_path, capsys):
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    _build(tmp)
+    cfg = tiny_config(tmp, epochs=1)
+    train(cfg)
+    cfg2 = tiny_config(tmp, epochs=2, resume=True)
+    train(cfg2)
+    out = capsys.readouterr().out
+    assert "Resuming training" in out
+
+
+def test_train_rationale_end_to_end(tmp_path):
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    _build(tmp)
+    cfg = tiny_config(tmp, mode="train_rationale", arch="s2vt", epochs=1)
+    metrics = train(cfg)
+    for k in ("loss", "loss_ce", "loss_brev", "loss_cont", "len"):
+        assert np.isfinite(metrics[k]), k
+    assert 0.0 <= metrics["len"] <= 4.0  # num_frames
+
+
+def test_train_spatial_end_to_end(tmp_path):
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    _build(tmp, feat_type="yolo")
+    cfg = tiny_config(tmp, mode="train_spatial", arch="s2vt", epochs=1)
+    metrics = train(cfg)
+    assert np.isfinite(metrics["loss"])
+
+
+def test_rationale_pretrained_base(tmp_path):
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    _build(tmp)
+    cfg = tiny_config(tmp, epochs=1)
+    train(cfg)
+    base_ckpt = os.path.join(cfg.save_path, "model_best")
+    cfg2 = tiny_config(tmp, mode="train_rationale", epochs=1,
+                       pretrained_base=base_ckpt,
+                       save_path=os.path.join(tmp, "models_rat"))
+    metrics = train(cfg2)
+    assert np.isfinite(metrics["loss"])

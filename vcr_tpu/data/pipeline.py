@@ -1,0 +1,137 @@
+"""Host-side input pipeline producing fixed-shape numpy batches.
+
+Replaces the reference's torch Dataset/DataLoader (dataset.py:42-138, custom
+collate_fn at dataset.py:28-40) with a TPU-friendly design:
+
+* every batch has STATIC shapes — the final partial batch is zero-padded to
+  the full batch size and carries a ``valid`` (B,) mask, so jitted step
+  functions compile exactly once;
+* per-item semantics are preserved: per-video .npy features zero-padded /
+  truncated to ``num_frames`` (dataset.py:77-78), one *random* caption per
+  epoch (dataset.py:81), lowercase + <unk>-map + <eos> + <pad> to ``max_len``
+  (dataset.py:65-71), reference strings carried for METEOR;
+* per-host sharding for multi-host data parallelism (shard_index /
+  num_shards), something the single-GPU reference never needed.
+
+Feature loading is batched through a thread pool: .npy reads are GIL-releasing
+I/O, so this replaces torch's worker processes (num_workers=4) without IPC.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from vcr_tpu.data.captions import read_caption_file
+from vcr_tpu.vocab import Vocab
+
+
+class CaptionDataset:
+    """One corpus split. Covers both MSVideoDescriptionDataset (msvd, msvd_vgg —
+    keyed 'video_key') and MSRVideoToTextDataset (msrvtt — keyed 'video_id')
+    (dataset.py:42-138; the two classes are line-for-line identical except for
+    the key field)."""
+
+    def __init__(self, root: str, corpus: str, split: str, vocab: Vocab,
+                 num_frames: int, max_len: int, feat_type: str = "cnn"):
+        assert corpus in ("msvd", "msvd_vgg", "msrvtt")
+        self.key_field = "video_id" if corpus == "msrvtt" else "video_key"
+        self.corpus_dir = os.path.join(root, corpus)
+        self.captions = read_caption_file(
+            os.path.join(self.corpus_dir, f"{split}_captions.json"))
+        self.vocab = vocab
+        self.num_frames = num_frames
+        self.max_len = max_len
+        if feat_type == "cnn":
+            self.vid_feat_dir = os.path.join(self.corpus_dir, "feats/")
+        elif feat_type == "yolo":
+            self.vid_feat_dir = os.path.join(self.corpus_dir, "bbox_feats/")
+        else:
+            raise NotImplementedError("unknown feat_type")  # dataset.py:59-60
+
+    def __len__(self) -> int:
+        return len(self.captions)
+
+    def load_features(self, idx: int) -> np.ndarray:
+        """Load one video's features, zero-pad/truncate to num_frames
+        (dataset.py:76-78). Works for (N, V) CNN feats and (N, F, K, K) YOLO."""
+        key = self.captions[idx][self.key_field]
+        feats = np.load(os.path.join(self.vid_feat_dir, key + ".npy"))
+        pad = np.zeros((max(0, self.num_frames - feats.shape[0]), *feats.shape[1:]),
+                       dtype=feats.dtype)
+        return np.concatenate([feats, pad], axis=0)[: self.num_frames].astype(np.float32)
+
+    def item(self, idx: int, cap_choice: int) -> Dict:
+        """One sample dict (dataset.py:73-89). cap_choice picks the caption
+        (drawn by the caller — np.random.Generator is not thread-safe)."""
+        caps = self.captions[idx]["captions"]
+        sent_toks = caps[cap_choice % len(caps)]["desc"]
+        return {
+            "sent": self.vocab.encode(sent_toks, self.max_len),
+            "sent_raw": " ".join(sent_toks).lower(),
+            "sent_len": min(self.max_len, len(sent_toks) + 1),
+            "vid_feats": self.load_features(idx),
+            "refs": [" ".join(c["desc"]).lower() for c in caps],
+            "vid_key": self.captions[idx][self.key_field],
+        }
+
+
+class BatchIterator:
+    """Epoch iterator over fixed-shape batches.
+
+    Yields dicts with numpy arrays: vid_feats (B, ...), sent (B, L) int32,
+    sent_len (B,) int32, valid (B,) float32 — plus host-side lists refs /
+    vid_key / sent_raw. B is constant; short final batches are padded with
+    zeros and valid=0 rows.
+    """
+
+    def __init__(self, dataset: CaptionDataset, batch_size: int, shuffle: bool,
+                 seed: int = 0, num_shards: int = 1, shard_index: int = 0,
+                 num_threads: int = 8, drop_remainder: bool = False):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.epoch = 0
+        self.drop_remainder = drop_remainder
+        self._pool = ThreadPoolExecutor(max_workers=num_threads)
+
+    def __iter__(self) -> Iterator[Dict]:
+        rng = np.random.default_rng((self.seed, self.epoch))
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            rng.shuffle(order)
+        order = order[self.shard_index::self.num_shards]
+        b = self.batch_size
+
+        for start in range(0, len(order), b):
+            idxs = order[start:start + b]
+            if len(idxs) < b and self.drop_remainder:
+                break
+            cap_choices = rng.integers(0, 2 ** 31, size=len(idxs))
+            items = list(self._pool.map(
+                lambda pair: self.ds.item(int(pair[0]), int(pair[1])),
+                zip(idxs, cap_choices)))
+            n = len(items)
+            batch = {
+                "vid_feats": np.zeros((b, *items[0]["vid_feats"].shape), np.float32),
+                "sent": np.zeros((b, self.ds.max_len), np.int32),
+                "sent_len": np.zeros((b,), np.int32),
+                "valid": np.zeros((b,), np.float32),
+                "refs": [it["refs"] for it in items],
+                "vid_key": [it["vid_key"] for it in items],
+                "sent_raw": [it["sent_raw"] for it in items],
+            }
+            for j, it in enumerate(items):
+                batch["vid_feats"][j] = it["vid_feats"]
+                batch["sent"][j] = it["sent"]
+                batch["sent_len"][j] = it["sent_len"]
+                batch["valid"][j] = 1.0
+            del n
+            yield batch
+        self.epoch += 1

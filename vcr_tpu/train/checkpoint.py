@@ -1,0 +1,98 @@
+"""Orbax checkpointing with the reference's latest/best policy.
+
+Reference behavior (train.py:180-205): every epoch save a dict {epoch,
+state_dict, optimizer, n_iter, opts, val_meteor_score, best_val_meteor_score}
+to model_latest.net, and to model_best.net when val METEOR >= best.
+
+TPU-native version: Orbax PyTree checkpoints of {params, opt_state} plus a JSON
+sidecar of {epoch, n_iter, config, val_meteor_score, best_val_meteor_score}.
+Two deliberate fixes over the reference (pure infra defects, SURVEY.md §5):
+* optimizer state IS restored on resume (the reference saved it but never
+  loaded it, train.py:126-134);
+* resume still adopts the checkpointed config, matching train.py:133.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _tree_path(path: str) -> str:
+    return os.path.join(os.path.abspath(path), "tree")
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(os.path.abspath(path), "meta.json")
+
+
+def save_checkpoint(path: str, params, opt_state, meta: Dict[str, Any]) -> None:
+    """Write {params, opt_state} + metadata to ``path`` (a directory)."""
+    os.makedirs(path, exist_ok=True)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(_tree_path(path), {"params": params, "opt_state": opt_state},
+               force=True)
+    with open(_meta_path(path), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+
+
+def load_checkpoint(path: str, template_params=None, template_opt_state=None
+                    ) -> Tuple[Any, Any, Dict[str, Any]]:
+    """Restore (params, opt_state, meta). Templates (matching pytrees of arrays)
+    give orbax the structure/sharding to restore into; without them the raw
+    stored tree is returned."""
+    ckptr = ocp.PyTreeCheckpointer()
+    if template_params is not None:
+        restore_args = jax.tree_util.tree_map(
+            lambda x: ocp.ArrayRestoreArgs(sharding=getattr(x, "sharding", None)),
+            {"params": template_params, "opt_state": template_opt_state})
+        tree = ckptr.restore(_tree_path(path), restore_args=restore_args)
+    else:
+        tree = ckptr.restore(_tree_path(path))
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    return tree["params"], tree["opt_state"], meta
+
+
+def latest_path(save_path: str) -> str:
+    return os.path.join(save_path, "model_latest")
+
+
+def best_path(save_path: str) -> str:
+    return os.path.join(save_path, "model_best")
+
+
+def checkpoint_exists(path: str) -> bool:
+    return os.path.exists(_meta_path(path))
+
+
+class CheckpointManager:
+    """Latest/best policy driver (train.py:180-205 semantics)."""
+
+    def __init__(self, save_path: str):
+        self.save_path = save_path
+        os.makedirs(save_path, exist_ok=True)
+
+    def save_epoch(self, params, opt_state, epoch: int, n_iter: int,
+                   config_dict: Dict, val_meteor: float, best_meteor: float,
+                   is_best: bool) -> None:
+        meta = {
+            "epoch": epoch,
+            "n_iter": n_iter,
+            "config": config_dict,
+            "val_meteor_score": val_meteor,
+            "best_val_meteor_score": best_meteor,
+        }
+        if is_best:
+            save_checkpoint(best_path(self.save_path), params, opt_state, meta)
+        save_checkpoint(latest_path(self.save_path), params, opt_state, meta)
+
+    def try_resume(self, params, opt_state) -> Optional[Tuple[Any, Any, Dict]]:
+        p = latest_path(self.save_path)
+        if not checkpoint_exists(p):
+            return None
+        return load_checkpoint(p, params, opt_state)

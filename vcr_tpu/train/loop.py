@@ -1,0 +1,174 @@
+"""The training loop — one generic implementation of the reference's three
+near-identical loops (train.py:79-205, train_rationale.py:93-205,
+train_spatial.py:74-192), parameterized by workload.
+
+Loop semantics preserved: per-epoch teacher-force schedule, windowed train
+logging, per-epoch validation with METEOR (plus BLEU-4 / CIDEr, new —
+BASELINE.md requires them), sample-sentence printing, latest/best
+checkpointing keyed on val METEOR with >= improvement, resume.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Tuple
+
+import jax
+import numpy as np
+
+from vcr_tpu.config import Config
+from vcr_tpu.data.pipeline import BatchIterator, CaptionDataset
+from vcr_tpu.evals import metrics as qmetrics
+from vcr_tpu.models import base as model_base
+from vcr_tpu.train import checkpoint as ckpt
+from vcr_tpu.train import optim, schedule
+from vcr_tpu.train.step import build_step_fns, device_batch
+from vcr_tpu.utils.logging import TrainLogger
+from vcr_tpu.utils.sampler import StreamSampler, print_sample_sents
+from vcr_tpu.vocab import Vocab
+
+WORKLOADS = {
+    # mode -> (model_name fn, log keys, feat_type, uses tf schedule)
+    "train": (lambda cfg: cfg.arch, ["acc", "loss"], "cnn", True),
+    "train_rationale": (lambda cfg: "rationale",
+                        ["acc", "loss", "loss_ce", "loss_brev", "loss_cont", "len"],
+                        "cnn", False),
+    "train_spatial": (lambda cfg: "spatial", ["acc", "loss"], "yolo", True),
+}
+
+
+def make_datasets(cfg: Config, vocab: Vocab, feat_type: str
+                  ) -> Tuple[BatchIterator, BatchIterator]:
+    train_ds = CaptionDataset(cfg.data_dir, cfg.corpus, "train", vocab,
+                              cfg.num_frames, cfg.max_len, feat_type)
+    val_ds = CaptionDataset(cfg.data_dir, cfg.corpus, "val", vocab,
+                            cfg.num_frames, cfg.max_len, feat_type)
+    train_it = BatchIterator(train_ds, cfg.bsize, shuffle=True, seed=cfg.seed,
+                             num_threads=cfg.nworkers)
+    val_it = BatchIterator(val_ds, cfg.bsize, shuffle=False, seed=cfg.seed,
+                           num_threads=cfg.nworkers)
+    return train_it, val_it
+
+
+def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0):
+    """Validation pass (reference train.py:46-76): per-batch metrics averaged
+    over batches, per-sample METEOR, sampled (hyp, ref, vid) triples. Adds
+    corpus BLEU-4 and CIDEr-D over the whole split."""
+    t0 = time.time()
+    sums: Dict[str, float] = {k: 0.0 for k in log_keys}
+    meteor_sum, num_batches = 0.0, 0
+    sampler = StreamSampler(n_sample_sent, seed=seed)
+    all_hyps, all_refs = [], []
+    rnd = np.random.default_rng(seed)
+
+    for batch in val_it:
+        m, pred = eval_step(params, device_batch(batch))
+        n_valid = int(batch["valid"].sum())
+        hyps = vocab.get_sents_from_indexes(np.asarray(pred)[:n_valid])
+        for hyp, refs, vk in zip(hyps, batch["refs"], batch["vid_key"]):
+            sampler.add((hyp, refs[rnd.integers(len(refs))], vk))
+        meteor_sum += qmetrics.batch_meteor(hyps, batch["refs"])
+        all_hyps.extend(hyps)
+        all_refs.extend(batch["refs"])
+        for k in log_keys:
+            sums[k] += float(np.asarray(m[k]))
+        num_batches += 1
+
+    avg = {k: v / max(num_batches, 1) for k, v in sums.items()}
+    avg["METEOR"] = meteor_sum / max(num_batches, 1)
+    avg["BLEU4"] = qmetrics.corpus_bleu(all_hyps, all_refs)
+    avg["CIDEr"] = qmetrics.cider_d(all_hyps, all_refs)
+    return avg, sampler.get(), time.time() - t0
+
+
+def train(cfg: Config) -> Dict[str, float]:
+    """Entry point for modes train / train_rationale / train_spatial."""
+    mode = cfg.mode if cfg.mode in WORKLOADS else "train"
+    model_name_fn, log_keys, feat_type, use_tf_schedule = WORKLOADS[mode]
+    model_name = model_name_fn(cfg)
+
+    vocab = Vocab(os.path.join(cfg.data_dir, cfg.corpus, "glove", cfg.glove_emb_file),
+                  seed=cfg.seed)
+    spec = model_base.spec_from_config(cfg, vocab)
+    train_it, val_it = make_datasets(cfg, vocab, feat_type)
+
+    init_fn, _ = model_base.build_model(model_name)
+    root_key = jax.random.PRNGKey(cfg.seed)
+    params = init_fn(jax.random.fold_in(root_key, 0), spec, vocab.vectors)
+
+    # RationaleNet warm-start from a pretrained captioner (RationaleNet.py:80-82)
+    if model_name == "rationale" and cfg.pretrained_base:
+        base_params, _, _ = ckpt.load_checkpoint(cfg.pretrained_base)
+        params = dict(params)
+        params["caption_net"] = jax.tree_util.tree_map(
+            lambda t, s: np.asarray(s, dtype=t.dtype),
+            params["caption_net"], base_params)
+        print(f"====> Loaded pretrained base from {cfg.pretrained_base}")
+
+    optimizer = optim.build_optimizer(cfg.optim, cfg.lr, cfg.wd, cfg.max_norm,
+                                      cfg.momentum)
+    opt_state = optimizer.init(params)
+    train_step, eval_step = build_step_fns(model_name, spec, optimizer,
+                                           cfg.lambda_brev, cfg.lambda_cont)
+
+    tf_probs = schedule.teacher_force_schedule(
+        cfg.epochs, cfg.schedule_sample if use_tf_schedule else False)
+
+    manager = ckpt.CheckpointManager(cfg.save_path)
+    start_n_iter, best_val_meteor = 0, 0.0
+    start_epoch = cfg.start_epoch
+    if cfg.resume:
+        resumed = manager.try_resume(params, opt_state)
+        if resumed is not None:
+            print("====> Resuming training from previous checkpoint")
+            params, opt_state, meta = resumed
+            start_n_iter = meta["n_iter"]
+            best_val_meteor = meta["best_val_meteor_score"]
+            cfg = Config.from_dict(meta["config"])  # train.py:133 adopts saved opts
+            start_epoch = meta["epoch"] + 1
+
+    logger = TrainLogger(start_epoch, cfg.log_iter, cfg.log_dir)
+    logger.set(log_keys)
+    logger.n_iter = start_n_iter
+
+    final_metrics: Dict[str, float] = {}
+    for epoch in range(start_epoch, cfg.epochs):
+        logger.step()
+        tf_prob = float(tf_probs[epoch])
+        sampler = StreamSampler(cfg.n_sample_sent, seed=cfg.seed + epoch)
+        rnd = np.random.default_rng(cfg.seed + epoch)
+
+        for batch in train_it:
+            step_key = jax.random.fold_in(root_key, logger.n_iter + 1)
+            params, opt_state, m, pred = train_step(
+                params, opt_state, device_batch(batch), step_key, tf_prob)
+            n_valid = int(batch["valid"].sum())
+            hyps = vocab.get_sents_from_indexes(np.asarray(pred)[:n_valid])
+            for hyp, refs, vk in zip(hyps, batch["refs"], batch["vid_key"]):
+                sampler.add((hyp, refs[rnd.integers(len(refs))], vk))
+            logger.update(m)
+
+        val_metrics, val_samples, time_taken = evaluate(
+            eval_step, params, val_it, vocab, log_keys, cfg.n_sample_sent, cfg.seed)
+
+        print("\n" + "*" * 34 + " TRAIN " + "*" * 34)
+        print_sample_sents(sampler.get())
+        print("*" * 75 + "\n")
+        print("*" * 35 + " VAL " + "*" * 35)
+        logger.log_valid(time_taken, val_metrics)
+        for k in ("METEOR", "BLEU4", "CIDEr"):
+            logger.log_scalar(f"val/{k}", val_metrics[k])
+        print(f"Validation METEOR score: {val_metrics['METEOR']:.5f} "
+              f"(BLEU-4 {val_metrics['BLEU4']:.5f}, CIDEr {val_metrics['CIDEr']:.5f})")
+        print_sample_sents(val_samples)
+        print("")
+
+        is_best = val_metrics["METEOR"] >= best_val_meteor  # >= as in train.py:181
+        if is_best:
+            best_val_meteor = val_metrics["METEOR"]
+        manager.save_epoch(params, opt_state, epoch, logger.n_iter, cfg.to_dict(),
+                           val_metrics["METEOR"], best_val_meteor, is_best)
+        final_metrics = val_metrics
+
+    return final_metrics

@@ -1,0 +1,110 @@
+"""Jitted train/eval step builders — one generic factory replacing the three
+copy-pasted loops of the reference (train.py:32-44, train_rationale.py:30-44,
+train_spatial.py:30-39).
+
+Each step is a pure function: params/opt_state in, params/opt_state/metrics/
+predictions out. Buffers are donated; metrics stay on device until the logger
+window flushes (eliminating the reference's per-batch host syncs,
+train.py:151,162 / SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vcr_tpu.models import base
+from vcr_tpu.train import losses
+
+
+def _forward(model_name: str, apply_fn, params, spec, batch, rng, train, tf_prob,
+             lambda_brev: float, lambda_cont: float):
+    """Run the model and compute (loss, metrics, pred, aux) per workload."""
+    valid = batch["valid"]
+    out = apply_fn(params, spec, batch["vid_feats"], batch["sent"], batch["sent_len"],
+                   rng=rng, train=train, teacher_force_prob=tf_prob)
+    aux: Dict = {}
+    if model_name == "rationale":
+        logits, probs = out
+        ce = losses.masked_cross_entropy(logits, batch["sent"], batch["sent_len"], valid)
+        brev = losses.brevity_loss(probs, valid) * lambda_brev
+        cont = losses.continuity_loss(probs, valid) * lambda_cont
+        loss = ce + brev + cont  # train_rationale.py:40
+        metrics = {
+            "loss": loss, "loss_ce": ce, "loss_brev": brev, "loss_cont": cont,
+            "len": losses.rationale_length(probs, valid),
+        }
+    elif model_name == "spatial":
+        logits, _seq_alphas, bn_state = out
+        loss = losses.masked_cross_entropy(logits, batch["sent"], batch["sent_len"], valid)
+        metrics = {"loss": loss}
+        aux["bn_state"] = bn_state
+    else:  # plain captioners
+        logits = out
+        loss = losses.masked_cross_entropy(logits, batch["sent"], batch["sent_len"], valid)
+        metrics = {"loss": loss}
+    metrics["acc"] = losses.masked_accuracy(logits, batch["sent"], batch["sent_len"], valid)
+    pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return loss, metrics, pred, aux
+
+
+def _merge_bn(params, bn_state):
+    """Overwrite BatchNorm running stats with the fresh ones from the forward
+    (they are state, not gradient-trained parameters)."""
+    new = dict(params)
+    for bn_name, stats in bn_state.items():
+        sub = dict(new[bn_name])
+        sub["mean"], sub["var"] = stats["mean"], stats["var"]
+        new[bn_name] = sub
+    return new
+
+
+def build_step_fns(
+    model_name: str,
+    spec: base.ModelSpec,
+    optimizer: optax.GradientTransformation,
+    lambda_brev: float = 1.0,
+    lambda_cont: float = 1.0,
+) -> Tuple[Callable, Callable]:
+    """-> (train_step, eval_step).
+
+    train_step(params, opt_state, batch, rng, tf_prob)
+        -> (params, opt_state, metrics, pred)
+    eval_step(params, batch) -> (metrics, pred)   # deterministic greedy
+    """
+    _, apply_fn = base.build_model(model_name)
+
+    def loss_fn(params, batch, rng, tf_prob):
+        loss, metrics, pred, aux = _forward(
+            model_name, apply_fn, params, spec, batch, rng, True, tf_prob,
+            lambda_brev, lambda_cont)
+        return loss, (metrics, pred, aux)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng, tf_prob):
+        grads, (metrics, pred, aux) = jax.grad(loss_fn, has_aux=True)(
+            params, batch, rng, tf_prob)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if "bn_state" in aux:
+            params = _merge_bn(params, aux["bn_state"])
+        return params, opt_state, metrics, pred
+
+    @jax.jit
+    def eval_step(params, batch):
+        _, metrics, pred, _ = _forward(
+            model_name, apply_fn, params, spec, batch, None, False, 0.0,
+            lambda_brev, lambda_cont)
+        return metrics, pred
+
+    return train_step, eval_step
+
+
+def device_batch(batch: Dict) -> Dict:
+    """Keep only the array fields of a pipeline batch (refs/vid_key/sent_raw
+    stay on host for METEOR/logging)."""
+    return {k: batch[k] for k in ("vid_feats", "sent", "sent_len", "valid")}

@@ -1,0 +1,82 @@
+"""Tensorboard logging with windowed scalar means.
+
+API/semantic parity with the reference TensorboardXLogger (logger.py:9-69):
+``set(keys)`` declares scalar names, ``update(**vals)`` accumulates and flushes
+windowed means to ``train/<k>`` every ``log_iter`` updates, ``log_valid``
+writes ``val/<k>``. Values may be device arrays — they are converted once at
+flush time, not per batch (the reference synced per update, logger.py:34)."""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+try:
+    from tensorboardX import SummaryWriter
+except ImportError:  # pragma: no cover
+    SummaryWriter = None
+
+
+def _to_float(v) -> float:
+    return float(np.asarray(v))
+
+
+class TrainLogger:
+    def __init__(self, start_epoch: int, log_iter: int, log_dir: Optional[str]):
+        self.log_iter = log_iter
+        self.writer = SummaryWriter(log_dir=log_dir) if (
+            SummaryWriter is not None and log_dir) else None
+        self.n_iter = 0
+        self.epoch = start_epoch - 1
+        self.time_start = time.time()
+        self.num_batches = 0
+        self.log_keys: List[str] = []
+        self._window: List[Dict] = []
+
+    def set(self, log_keys: Sequence[str]) -> None:
+        self.log_keys = list(log_keys)
+        self.reset()
+
+    def reset(self) -> None:
+        self.num_batches = 0
+        self.time_start = time.time()
+        self._window = []
+
+    def step(self) -> None:
+        self.epoch += 1
+
+    def update(self, metrics: Dict) -> None:
+        """Accumulate one batch's metrics (device arrays fine — kept lazy)."""
+        self._window.append(metrics)
+        self.n_iter += 1
+        self.num_batches += 1
+        if self.num_batches and self.n_iter % self.log_iter == 0:
+            self.log_train()
+
+    def log_train(self) -> None:
+        assert self.num_batches
+        time_taken = time.time() - self.time_start
+        means = {k: float(np.mean([_to_float(m[k]) for m in self._window]))
+                 for k in self.log_keys}
+        if self.writer:
+            for k, v in means.items():
+                self.writer.add_scalar("train/" + k, v, self.n_iter)
+        vals = ", ".join(f"train_{k}: {means[k]:.5f}" for k in self.log_keys)
+        print(f"epoch: {self.epoch}, updates: {self.n_iter}, "
+              f"time: {time_taken:.2f}, {vals}")
+        self.reset()
+
+    def log_valid(self, time_taken: float, metrics: Dict) -> None:
+        vals = {k: _to_float(metrics[k]) for k in self.log_keys}
+        if self.writer:
+            for k, v in vals.items():
+                self.writer.add_scalar("val/" + k, v, self.n_iter)
+        s = ", ".join(f"val_{k}: {vals[k]:.5f}" for k in self.log_keys)
+        print(f"epoch: {self.epoch}, updates: {self.n_iter}, "
+              f"time: {time_taken:.2f}, {s}")
+
+    def log_scalar(self, tag: str, value: float) -> None:
+        if self.writer:
+            self.writer.add_scalar(tag, value, self.n_iter)
