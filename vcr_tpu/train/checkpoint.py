@@ -18,7 +18,6 @@ import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 
@@ -33,26 +32,25 @@ def _meta_path(path: str) -> str:
 def save_checkpoint(path: str, params, opt_state, meta: Dict[str, Any]) -> None:
     """Write {params, opt_state} + metadata to ``path`` (a directory)."""
     os.makedirs(path, exist_ok=True)
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(_tree_path(path), {"params": params, "opt_state": opt_state},
-               force=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(_tree_path(path), {"params": params, "opt_state": opt_state},
+                   force=True)
     with open(_meta_path(path), "w") as f:
         json.dump(meta, f, indent=2, default=str)
 
 
 def load_checkpoint(path: str, template_params=None, template_opt_state=None
                     ) -> Tuple[Any, Any, Dict[str, Any]]:
-    """Restore (params, opt_state, meta). Templates (matching pytrees of arrays)
-    give orbax the structure/sharding to restore into; without them the raw
-    stored tree is returned."""
-    ckptr = ocp.PyTreeCheckpointer()
-    if template_params is not None:
-        restore_args = jax.tree_util.tree_map(
-            lambda x: ocp.ArrayRestoreArgs(sharding=getattr(x, "sharding", None)),
-            {"params": template_params, "opt_state": template_opt_state})
-        tree = ckptr.restore(_tree_path(path), restore_args=restore_args)
-    else:
-        tree = ckptr.restore(_tree_path(path))
+    """Restore (params, opt_state, meta). Templates (matching pytrees of
+    arrays) let orbax rebuild exotic containers (optax NamedTuple states) and
+    place arrays on the right shardings; without them the raw stored tree
+    (nested dicts/lists) is returned — fine for params-only consumers."""
+    with ocp.StandardCheckpointer() as ckptr:
+        if template_params is not None:
+            template = {"params": template_params, "opt_state": template_opt_state}
+            tree = ckptr.restore(_tree_path(path), template)
+        else:
+            tree = ckptr.restore(_tree_path(path))
     with open(_meta_path(path)) as f:
         meta = json.load(f)
     return tree["params"], tree["opt_state"], meta
