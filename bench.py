@@ -1,0 +1,73 @@
+"""Benchmark: MSVD captions/sec/chip for the flagship S2VT greedy decode.
+
+Measures the end-to-end jitted inference step (features -> caption tokens) on
+one real TPU chip at the reference's model dimensions (BASELINE.json config #1:
+S2VT greedy on MSVD-VGG 4096-d features, H=512, N=30 frames, L=20 tokens,
+vocab ~9k) in bfloat16 compute with a serving-sized batch.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the baseline
+is an engineering estimate of the PyTorch reference on a V100: its decode runs
+50 sequential Python-loop steps (30 encode + 20 decode, S2VTModel.py:121-177)
+with ~6 small kernel launches each; at a measured-typical ~60µs/launch plus
+cuDNN GRU cell time this bounds a bsize-32 batch near ~10ms  => ~3,000
+captions/s. The ≥5x target (BASELINE.json) therefore means ≥15,000 captions/s.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+EST_V100_REFERENCE_CAPS_PER_SEC = 3000.0
+
+
+def main() -> None:
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vcr_tpu.models import s2vt
+    from __graft_entry__ import _make_spec_and_params
+
+    batch = int(os.environ.get("VCR_BENCH_BATCH", "512"))
+    spec, params = _make_spec_and_params(
+        vocab_size=9000, embed_size=300, hidden=512, vid_feat=4096,
+        max_len=20, num_frames=30, compute_dtype="bfloat16", vocab_pad_to=128)
+
+    rng = np.random.default_rng(0)
+    vid_feats = jax.device_put(
+        rng.standard_normal((batch, 30, 4096)).astype(np.float32))
+    params = jax.device_put(params)
+
+    @jax.jit
+    def infer(params, vid_feats):
+        logits = s2vt.apply(params, spec, vid_feats, train=False)
+        return jax.numpy.argmax(logits, axis=-1)
+
+    # warmup / compile (np.asarray forces a real device->host readback — the
+    # axon tunnel's block_until_ready does not actually synchronize)
+    np.asarray(infer(params, vid_feats))
+    np.asarray(infer(params, vid_feats))
+
+    iters = int(os.environ.get("VCR_BENCH_ITERS", "20"))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = infer(params, vid_feats)
+    np.asarray(out)  # sustained throughput: queued execs + final readback
+    dt = time.perf_counter() - t0
+
+    caps_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "MSVD S2VT greedy captions/sec/chip (feats->tokens, B=%d)" % batch,
+        "value": round(caps_per_sec, 2),
+        "unit": "captions/s",
+        "vs_baseline": round(caps_per_sec / EST_V100_REFERENCE_CAPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

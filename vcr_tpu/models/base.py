@@ -36,6 +36,17 @@ class ModelSpec:
     tf_heads: int = 8
     # SpatialNet grid
     grid_size: int = 13
+    # Pad the vocab axis of the embedding table / output projection up to a
+    # multiple of this (128 = MXU lane width; also makes the vocab axis
+    # divisible for mp sharding). Padded logit columns are masked to -1e9 so
+    # they can never win argmax and contribute ~0 softmax mass — results match
+    # the unpadded model to float tolerance. 1 = no padding (exact parity).
+    vocab_pad_to: int = 1
+
+    @property
+    def padded_vocab_size(self) -> int:
+        m = self.vocab_pad_to
+        return ((self.vocab_size + m - 1) // m) * m
 
     @property
     def cdtype(self):

@@ -25,17 +25,18 @@ import jax
 import jax.numpy as jnp
 
 from vcr_tpu.models import base
-from vcr_tpu.nn.layers import dense, dense_init, dropout, embed, embedding_init, vdot
+from vcr_tpu.nn.layers import (dense, dense_init, dropout, embed, embedding_init,
+                               mask_vocab_pad, vdot)
 from vcr_tpu.nn.rnn import gru_gates, gru_init, gru_sequence
 
 
 def init_params(key: jax.Array, spec: base.ModelSpec, glove_vectors) -> dict:
     k1, k2, k3 = jax.random.split(key, 3)
     return {
-        "embedding": embedding_init(glove_vectors),
+        "embedding": embedding_init(glove_vectors, spec.padded_vocab_size),
         "rnn1": gru_init(k1, spec.vid_feat_size, spec.hidden_size),
         "rnn2": gru_init(k2, spec.hidden_size + spec.embed_size, spec.hidden_size),
-        "linear": dense_init(k3, spec.hidden_size, spec.vocab_size),
+        "linear": dense_init(k3, spec.hidden_size, spec.padded_vocab_size),
     }
 
 
@@ -105,8 +106,10 @@ def decode(
         x2 = jnp.concatenate([out1, emb], axis=-1)
         xg2 = vdot(x2, params["rnn2"]["w_ih"], spec.cdtype) + params["rnn2"]["b_ih"]
         out2 = gru_gates(xg2, st2, params["rnn2"], spec.cdtype)             # (B, H)
-        logits_t = dense(params["linear"], dropout(k_dlin, out2, spec.dropout_p, train),
-                         spec.cdtype)                                       # (B, V)
+        logits_t = mask_vocab_pad(
+            dense(params["linear"], dropout(k_dlin, out2, spec.dropout_p, train),
+                  spec.cdtype),
+            spec.vocab_size)                                                # (B, V)
 
         next_words = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
         if train:

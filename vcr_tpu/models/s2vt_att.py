@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from vcr_tpu.models import base
 from vcr_tpu.nn.attention import bahdanau_attend, bahdanau_init, bahdanau_project_keys
-from vcr_tpu.nn.layers import dense, dense_init, dropout, embed, embedding_init, vdot
+from vcr_tpu.nn.layers import (dense, dense_init, dropout, embed, embedding_init,
+                               mask_vocab_pad, vdot)
 from vcr_tpu.nn.rnn import gru_gates, gru_init, gru_sequence
 
 
@@ -32,10 +33,10 @@ def init_params(key: jax.Array, spec: base.ModelSpec, glove_vectors) -> dict:
     return {
         "encoder": {"rnn": gru_init(k_enc, spec.vid_feat_size, spec.hidden_size)},
         "decoder": {
-            "embedding": embedding_init(glove_vectors),
+            "embedding": embedding_init(glove_vectors, spec.padded_vocab_size),
             "rnn": gru_init(k_dec, spec.hidden_size + spec.embed_size, spec.hidden_size),
             "attention": bahdanau_init(k_att, spec.hidden_size),
-            "pred_linear": dense_init(k_lin, spec.hidden_size, spec.vocab_size),
+            "pred_linear": dense_init(k_lin, spec.hidden_size, spec.padded_vocab_size),
         },
     }
 
@@ -91,8 +92,10 @@ def decode(
         x = jnp.concatenate([context, emb], axis=-1)
         xg = vdot(x, dec["rnn"]["w_ih"], spec.cdtype) + dec["rnn"]["b_ih"]
         state = gru_gates(xg, state, dec["rnn"], spec.cdtype)
-        logits_t = dense(dec["pred_linear"],
-                         dropout(key, state, spec.dropout_p, train), spec.cdtype)
+        logits_t = mask_vocab_pad(
+            dense(dec["pred_linear"], dropout(key, state, spec.dropout_p, train),
+                  spec.cdtype),
+            spec.vocab_size)
         if train:
             next_words = s_in[:, i + 1]
         else:

@@ -34,7 +34,7 @@ import numpy as np
 from vcr_tpu.models import base
 from vcr_tpu.nn.attention import mha_apply, mha_init
 from vcr_tpu.nn.layers import (dense, dense_init, dropout, embed, embedding_init,
-                               norm_init, torch_norm)
+                               mask_vocab_pad, norm_init, torch_norm)
 
 INTERNAL_DROPOUT = 0.1  # TransformerNet.py hard-codes 0.1 everywhere
 D_FF = 2048
@@ -134,7 +134,7 @@ def init_params(key: jax.Array, spec: base.ModelSpec, glove_vectors) -> dict:
             "norm": norm_init(_width("e")),
         },
         "decoder": {
-            "embedding": embedding_init(glove_vectors),
+            "embedding": embedding_init(glove_vectors, spec.padded_vocab_size),
             "pe": jnp.asarray(make_positional_encoding(spec.embed_size)),
             "layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *dec_layers),
             # reference creates norm AND norm_out; only norm_out is used in
@@ -143,7 +143,7 @@ def init_params(key: jax.Array, spec: base.ModelSpec, glove_vectors) -> dict:
             "norm": norm_init(_width("d")),
             "norm_out": norm_init(_width("d")),
             # reference hard-codes Linear(300, vocab) (TransformerNet.py:222)
-            "pred_linear": dense_init(keys[-1], _width("d"), spec.vocab_size),
+            "pred_linear": dense_init(keys[-1], _width("d"), spec.padded_vocab_size),
         },
     }
 
@@ -196,7 +196,7 @@ def decode_train(params, spec: base.ModelSpec, e_outputs, s, src_mask, trg_mask,
                    e_outputs, src_mask, trg_mask)
     x = torch_norm(dec["norm_out"], x)
     x = dropout(k_pred, x, spec.dropout_p, train)
-    return dense(dec["pred_linear"], x, spec.cdtype)
+    return mask_vocab_pad(dense(dec["pred_linear"], x, spec.cdtype), spec.vocab_size)
 
 
 def decode_greedy(params, spec: base.ModelSpec, e_outputs, src_mask) -> jax.Array:
@@ -230,7 +230,8 @@ def decode_greedy(params, spec: base.ModelSpec, e_outputs, src_mask) -> jax.Arra
                        e_outputs, src_mask, causal)
         h = torch_norm(dec["norm_out"], h)
         h_i = jax.lax.dynamic_slice_in_dim(h, i, 1, axis=1)[:, 0]  # (B, 300)
-        logits_i = dense(dec["pred_linear"], h_i, spec.cdtype)     # (B, V)
+        logits_i = mask_vocab_pad(dense(dec["pred_linear"], h_i, spec.cdtype),
+                                  spec.vocab_size)                 # (B, V)
         next_word = jnp.argmax(logits_i, axis=-1).astype(jnp.int32)
         # write next word at prefix position i+1; the final step's write (index
         # clamped to l-1) lands after the last read, so it never affects logits

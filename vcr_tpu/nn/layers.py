@@ -39,14 +39,28 @@ def dense(params, x, compute_dtype=jnp.bfloat16):
 
 # ---------------- embedding ----------------
 
-def embedding_init(vectors: jnp.ndarray):
+def embedding_init(vectors: jnp.ndarray, padded_size: int | None = None):
     """GloVe-initialized embedding table (reference: S2VTModel.py:37-40 — the
-    ixvr pass skips Embedding so the GloVe rows survive, utils.py:101-103)."""
-    return {"table": jnp.asarray(vectors, dtype=jnp.float32)}
+    ixvr pass skips Embedding so the GloVe rows survive, utils.py:101-103).
+    Optionally zero-pad the vocab axis to ``padded_size`` (MXU/mp alignment)."""
+    table = jnp.asarray(vectors, dtype=jnp.float32)
+    if padded_size is not None and padded_size > table.shape[0]:
+        pad = jnp.zeros((padded_size - table.shape[0], table.shape[1]), jnp.float32)
+        table = jnp.concatenate([table, pad], axis=0)
+    return {"table": table}
 
 
 def embed(params, ids: jax.Array) -> jax.Array:
     return jnp.take(params["table"], ids, axis=0)
+
+
+def mask_vocab_pad(logits: jax.Array, vocab_size: int) -> jax.Array:
+    """Force padded vocab columns to -1e9 so they never win argmax and carry
+    ~zero softmax mass (keeps CE equal to the unpadded model)."""
+    if logits.shape[-1] == vocab_size:
+        return logits
+    invalid = jnp.arange(logits.shape[-1]) >= vocab_size
+    return jnp.where(invalid, -1e9, logits)
 
 
 # ---------------- dropout ----------------

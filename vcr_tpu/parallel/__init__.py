@@ -1,0 +1,3 @@
+from vcr_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, shard_batch, shard_params, replicate,
+)

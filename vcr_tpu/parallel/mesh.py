@@ -1,0 +1,80 @@
+"""Device mesh + sharding layout for SPMD training (dp × mp).
+
+The reference is strictly single-GPU (SURVEY.md §2: torch.nn.parallel imported
+but never used; no torch.distributed anywhere) — parallelism here is new,
+TPU-native capability:
+
+* **dp** (data parallel): the batch's leading axis is sharded across dp;
+  GSPMD inserts the gradient all-reduce over ICI automatically once the loss
+  reduces over the sharded batch axis.
+* **mp** (tensor parallel): each captioner's vocabulary projection — by far
+  the largest matmul, (B·L, H) @ (H, V) with V ≈ corpus vocab — is sharded
+  column-wise (w: P(None, 'mp'), b: P('mp')); logits come out sharded over the
+  vocab axis and the CE's log-softmax reduction triggers the psum over mp.
+  The GloVe embedding table is sharded over mp rows the same way.
+
+Sharding is *by placement*: params/opt_state/batches are device_put with
+NamedShardings and the jitted step functions simply inherit them, so the same
+step code runs 1-chip or N-chip unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Parameter leaves whose *parent* module is a vocab-sized projection.
+_VOCAB_PROJ_MODULES = ("linear", "pred_linear")
+
+
+def make_mesh(dp: int, mp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """Create a (dp, mp) mesh. ICI-contiguous layout via mesh_utils when using
+    the default device list."""
+    if devices is None:
+        devices = jax.devices()
+    n = dp * mp
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = mesh_utils.create_device_mesh((dp, mp), devices=devices[:n])
+    return Mesh(arr, axis_names=("dp", "mp"))
+
+
+def _param_spec(path, leaf, vocab_size: int) -> P:
+    """Sharding rule for one param leaf. Vocab-sized output projections and the
+    embedding table split over mp; everything else is replicated (these models
+    are small — H=512 — so replication is the right call for all non-vocab
+    weights)."""
+    names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+    if len(names) >= 2 and names[-2] in _VOCAB_PROJ_MODULES:
+        if names[-1] == "w" and leaf.ndim == 2 and leaf.shape[-1] == vocab_size:
+            return P(None, "mp")
+        if names[-1] == "b" and leaf.ndim == 1 and leaf.shape[0] == vocab_size:
+            return P("mp")
+    if names and names[-1] == "table" and leaf.ndim == 2 and leaf.shape[0] == vocab_size:
+        return P("mp", None)
+    return P()
+
+
+def shard_params(params, mesh: Mesh, vocab_size: int):
+    """device_put each param leaf with its NamedSharding."""
+    def place(path, leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, _param_spec(path, leaf,
+                                                                    vocab_size)))
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard array fields over dp on the leading (batch) axis."""
+    def place(x):
+        x = np.asarray(x)
+        spec = P("dp", *([None] * (x.ndim - 1))) if x.ndim >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return {k: place(v) for k, v in batch.items()}
