@@ -1,0 +1,141 @@
+"""CLI dispatch, caption/glove prep, sweep expansion, and the attention-export
+path end-to-end on synthetic data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vcr_tpu.config import Config
+
+
+def test_extract_captions_msvd_vgg(tmp_path):
+    from vcr_tpu.data.prep.captions import extract_captions_msvd_vgg
+
+    cdir = tmp_path / "data" / "msvd_vgg"
+    cdir.mkdir(parents=True)
+    for split in ("train", "val", "test"):
+        (cdir / f"sents_{split}_lc_nopunc.txt").write_text(
+            "vid1\ta man is playing guitar\n"
+            "vid1\tsomeone plays a guitar\n"
+            "vid2\ta dog runs\n")
+    extract_captions_msvd_vgg(str(tmp_path / "data"))
+    out = json.loads((cdir / "train_captions.json").read_text())
+    assert len(out) == 2
+    by_key = {v["video_key"]: v for v in out}
+    assert len(by_key["vid1"]["captions"]) == 2
+    assert by_key["vid2"]["captions"][0]["desc"] == "a dog runs"
+
+
+def test_extract_captions_msvd(tmp_path):
+    from vcr_tpu.data.prep.captions import extract_captions_msvd
+
+    cdir = tmp_path / "data" / "msvd"
+    (cdir / "clips").mkdir(parents=True)
+    (cdir / "clips" / "vidA_1_5.avi").write_bytes(b"x")
+    (cdir / "multilingual_corpus.csv").write_text(
+        "VideoID,Start,End,Language,Source,Description\n"
+        "vidA,1,5,English,web,a man is playing guitar\n"
+        "vidA,1,5,English,web,someone plays music\n"
+        "vidA,1,5,French,web,un homme joue\n"
+        "vidB,2,6,English,web,missing video\n")
+    extract_captions_msvd(str(tmp_path / "data"), seed=0)
+    train = json.loads((cdir / "train_captions.json").read_text())
+    val = json.loads((cdir / "val_captions.json").read_text())
+    allv = train + val
+    assert len(allv) == 1  # vidB dropped (no clip), French dropped
+    assert len(allv[0]["captions"]) == 2
+
+
+def test_extract_captions_msrvtt(tmp_path):
+    from vcr_tpu.data.prep.captions import extract_captions_msrvtt
+
+    cdir = tmp_path / "data" / "msrvtt"
+    (cdir / "clips").mkdir(parents=True)
+    for vid in ("video1", "video2"):
+        (cdir / "clips" / f"{vid}.mp4").write_bytes(b"x")
+    info = {
+        "videos": [{"video_id": "video1"}, {"video_id": "video2"},
+                   {"video_id": "video3"}],
+        "sentences": [
+            {"video_id": "video1", "caption": "a man sings", "sen_id": 0},
+            {"video_id": "video1", "caption": "a person singing", "sen_id": 1},
+            {"video_id": "video2", "caption": "a dog barks", "sen_id": 2},
+            {"video_id": "video3", "caption": "dropped", "sen_id": 3},
+        ],
+    }
+    (cdir / "videodatainfo_2017_ustc.json").write_text(json.dumps(info))
+    extract_captions_msrvtt(str(tmp_path / "data"), seed=0)
+    train = json.loads((cdir / "train_captions.json").read_text())
+    val = json.loads((cdir / "val_captions.json").read_text())
+    ids = {v["video_id"] for v in train + val}
+    assert ids == {"video1", "video2"}  # video3 dropped
+
+
+def test_extract_glove(tmp_path):
+    from vcr_tpu.data.prep.glove import extract_glove
+
+    data = tmp_path / "data"
+    (data / "glove").mkdir(parents=True)
+    (data / "msvd_vgg").mkdir()
+    (data / "glove" / "glove_test.txt").write_text(
+        "man 0.1 0.2\nguitar 0.3 0.4\nzebra 0.5 0.6\n")
+    (data / "msvd_vgg" / "train_captions.json").write_text(json.dumps(
+        [{"video_key": "v1", "captions": [{"desc": "a Man plays GUITAR"}]}]))
+    cfg = Config(data_dir=str(data), corpus="msvd_vgg")
+    extract_glove(cfg)
+    out = (data / "msvd_vgg" / "glove" / "glove_test.txt").read_text()
+    assert "man 0.1 0.2" in out and "guitar 0.3 0.4" in out
+    assert "zebra" not in out
+
+
+def test_sweep_expand_and_emit():
+    from vcr_tpu.sweep import emit_commands, expand_grid
+
+    grid = {"corpus": "msvd", "lr": [1e-4, 3e-4], "seed": [1, 2]}
+    points = list(expand_grid(grid))
+    assert len(points) == 4
+    assert all(p["corpus"] == "msvd" for p in points)
+    cmds = emit_commands(grid)
+    assert len(cmds) == 4
+    assert all("python -m vcr_tpu.cli" in c for c in cmds)
+
+
+def test_attention_export_end_to_end(tmp_path):
+    """Train SpatialNet one epoch on synthetic yolo features, then export an
+    attention-overlay mp4 for a synthetic clip."""
+    cv2 = pytest.importorskip("cv2")
+    from tests.test_train_loop import tiny_config
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.evals.attention_export import run_export
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    build_corpus(os.path.join(tmp, "data"), corpus="msvd", feat_type="yolo",
+                 grid=4)
+    cfg = tiny_config(tmp, corpus="msvd", mode="train_spatial", epochs=1,
+                      img_size=32)
+    train(cfg)
+
+    # a synthetic clip whose bbox feats exist (train_vid0)
+    clips_dir = os.path.join(tmp, "data", "msvd", "clips")
+    os.makedirs(clips_dir)
+    w = cv2.VideoWriter(os.path.join(clips_dir, "train_vid0.avi"),
+                        cv2.VideoWriter_fourcc(*"MJPG"), 5, (64, 48))
+    for i in range(6):
+        w.write(np.full((48, 64, 3), 30 * i, np.uint8))
+    w.release()
+
+    export_cfg = cfg.replace(
+        mode="eval_attention",
+        spatial_net_file=os.path.join(cfg.save_path, "model_best"),
+        vid_file="train_vid0.avi", export_all=False)
+    outs = run_export(export_cfg)
+    assert len(outs) == 1 and os.path.exists(outs[0])
+    assert os.path.getsize(outs[0]) > 0
+    cap = cv2.VideoCapture(outs[0])
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n > 0  # playable overlay video

