@@ -1,0 +1,81 @@
+"""Beam search: width-1 equals greedy token-for-token; wider beams never score
+worse; eos freezing works."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vcr_tpu.decode import decode_tokens
+from vcr_tpu.models import base, s2vt, s2vt_att
+
+
+def make_spec(vocab, arch="s2vt"):
+    return base.ModelSpec(arch=arch, vocab_size=vocab.vocab_size,
+                          embed_size=vocab.embed_size, hidden_size=8,
+                          vid_feat_size=12, max_len=6, num_frames=4,
+                          dropout_p=0.0, sos_id=vocab.sos_id,
+                          compute_dtype="float32")
+
+
+def _greedy_tokens(module, params, spec, vid):
+    logits = module.apply(params, spec, vid, train=False)
+    return np.asarray(jnp.argmax(logits, axis=-1))
+
+
+def test_beam1_equals_greedy_s2vt(tiny_vocab, rng):
+    spec = make_spec(tiny_vocab, "s2vt")
+    params = s2vt.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+    vid = jnp.asarray(rng.standard_normal((3, 4, 12)), dtype=jnp.float32)
+    greedy = _greedy_tokens(s2vt, params, spec, vid)
+    tokens, scores = decode_tokens(params, spec, vid, tiny_vocab.eos_id, beam_size=1)
+    # greedy rollout emits argmax each step; beam-1 must match until (and incl.)
+    # the first <eos>, after which beam-1 freezes to <eos> — compare prefixes
+    for b in range(3):
+        g = greedy[b]
+        bm = np.asarray(tokens)[b, 0]
+        for t in range(spec.max_len):
+            assert bm[t] == g[t]
+            if g[t] == tiny_vocab.eos_id:
+                break
+
+
+def test_beam1_equals_greedy_s2vt_att(tiny_vocab, rng):
+    spec = make_spec(tiny_vocab, "s2vt-att")
+    params = s2vt_att.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+    vid = jnp.asarray(rng.standard_normal((2, 4, 12)), dtype=jnp.float32)
+    greedy = _greedy_tokens(s2vt_att, params, spec, vid)
+    tokens, _ = decode_tokens(params, spec, vid, tiny_vocab.eos_id, beam_size=1)
+    for b in range(2):
+        g, bm = greedy[b], np.asarray(tokens)[b, 0]
+        for t in range(spec.max_len):
+            assert bm[t] == g[t]
+            if g[t] == tiny_vocab.eos_id:
+                break
+
+
+def test_wider_beam_never_scores_worse(tiny_vocab, rng):
+    spec = make_spec(tiny_vocab, "s2vt")
+    params = s2vt.init_params(jax.random.PRNGKey(1), spec, tiny_vocab.vectors)
+    vid = jnp.asarray(rng.standard_normal((4, 4, 12)), dtype=jnp.float32)
+    _, s1 = decode_tokens(params, spec, vid, tiny_vocab.eos_id, beam_size=1)
+    _, s4 = decode_tokens(params, spec, vid, tiny_vocab.eos_id, beam_size=4)
+    best1 = np.asarray(s1)[:, 0]
+    best4 = np.asarray(s4)[:, 0]
+    assert np.all(best4 >= best1 - 1e-5)
+    # scores sorted best-first
+    assert np.all(np.diff(np.asarray(s4), axis=1) <= 1e-6)
+
+
+def test_eos_freezes_beam(tiny_vocab, rng):
+    spec = make_spec(tiny_vocab, "s2vt")
+    params = s2vt.init_params(jax.random.PRNGKey(2), spec, tiny_vocab.vectors)
+    vid = jnp.asarray(rng.standard_normal((2, 4, 12)), dtype=jnp.float32)
+    tokens, _ = decode_tokens(params, spec, vid, tiny_vocab.eos_id, beam_size=3)
+    t = np.asarray(tokens)
+    for b in range(t.shape[0]):
+        for k in range(t.shape[1]):
+            seq = t[b, k]
+            hit = np.where(seq == tiny_vocab.eos_id)[0]
+            if len(hit) and hit[0] < len(seq) - 1:
+                # after first eos, only eos repeats (frozen beam)
+                assert np.all(seq[hit[0]:] == tiny_vocab.eos_id)

@@ -1,0 +1,211 @@
+"""Convert reference PyTorch checkpoints into vcr_tpu parameter trees.
+
+The reference saves ``{'state_dict': model.state_dict(), ...}`` via torch.save
+(train.py:183-205). These converters map every reference model family's
+state_dict onto this framework's param pytrees so trained reference models
+decode token-for-token here (BASELINE.md decode-parity target):
+
+* S2VTModel        (model/S2VTModel.py:37-49)
+* S2VTAttModel     (model/S2VTAttModel.py:50-123)
+* Transformer      (model/TransformerNet.py:182-222)
+* RationaleNet     (model/RationaleNet.py:26-84)
+* SpatialNet       (model/SpatialNet.py:76-84)
+
+Conventions: torch Linear stores (out, in) — ours is (in, out), so weights
+transpose; torch GRU/LSTM gate matrices (gates, in) -> (in, gates); BatchNorm
+weight/bias/running_mean/running_var -> scale/bias/mean/var. Vocab-sized
+tensors are zero-padded up to spec.padded_vocab_size.
+
+Weights may be torch tensors or numpy arrays (state_dicts load fine with
+``torch.load(..., map_location='cpu')``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from vcr_tpu.models.base import ModelSpec
+
+
+def _np(v) -> np.ndarray:
+    if hasattr(v, "detach"):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v, dtype=np.float32)
+
+
+def _lin(sd: Dict, prefix: str, pad_out_to: int | None = None) -> Dict:
+    w = _np(sd[prefix + ".weight"]).T  # (in, out)
+    p = {"w": w}
+    if prefix + ".bias" in sd:
+        p["b"] = _np(sd[prefix + ".bias"])
+    if pad_out_to is not None and pad_out_to > w.shape[1]:
+        extra = pad_out_to - w.shape[1]
+        p["w"] = np.concatenate([p["w"], np.zeros((w.shape[0], extra), np.float32)],
+                                axis=1)
+        if "b" in p:
+            p["b"] = np.concatenate([p["b"], np.full((extra,), 0.0, np.float32)])
+    return {k: jnp.asarray(v) for k, v in p.items()}
+
+
+def _rnn(sd: Dict, prefix: str, suffix: str = "") -> Dict:
+    return {
+        "w_ih": jnp.asarray(_np(sd[f"{prefix}.weight_ih_l0{suffix}"]).T),
+        "w_hh": jnp.asarray(_np(sd[f"{prefix}.weight_hh_l0{suffix}"]).T),
+        "b_ih": jnp.asarray(_np(sd[f"{prefix}.bias_ih_l0{suffix}"])),
+        "b_hh": jnp.asarray(_np(sd[f"{prefix}.bias_hh_l0{suffix}"])),
+    }
+
+
+def _embedding(sd: Dict, key: str, padded_size: int) -> Dict:
+    table = _np(sd[key])
+    if padded_size > table.shape[0]:
+        pad = np.zeros((padded_size - table.shape[0], table.shape[1]), np.float32)
+        table = np.concatenate([table, pad], axis=0)
+    return {"table": jnp.asarray(table)}
+
+
+def _bn(sd: Dict, prefix: str) -> Dict:
+    return {"scale": jnp.asarray(_np(sd[prefix + ".weight"])),
+            "bias": jnp.asarray(_np(sd[prefix + ".bias"])),
+            "mean": jnp.asarray(_np(sd[prefix + ".running_mean"])),
+            "var": jnp.asarray(_np(sd[prefix + ".running_var"]))}
+
+
+def _bahdanau(sd: Dict, prefix: str) -> Dict:
+    return {"key_layer": _lin(sd, prefix + ".key_layer"),
+            "query_layer": _lin(sd, prefix + ".query_layer"),
+            "energy_layer": _lin(sd, prefix + ".energy_layer")}
+
+
+def _strip(sd: Dict, prefix: str) -> Dict:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# ---------------------------------------------------------------- captioners
+
+def convert_s2vt(sd: Dict, spec: ModelSpec) -> Dict:
+    return {
+        "embedding": _embedding(sd, "embedding.0.weight", spec.padded_vocab_size),
+        "rnn1": _rnn(sd, "rnn1"),
+        "rnn2": _rnn(sd, "rnn2"),
+        "linear": _lin(sd, "linear.1", spec.padded_vocab_size),
+    }
+
+
+def convert_s2vt_att(sd: Dict, spec: ModelSpec) -> Dict:
+    return {
+        "encoder": {"rnn": _rnn(sd, "encoder.rnn")},
+        "decoder": {
+            "embedding": _embedding(sd, "decoder.embedding.weight",
+                                    spec.padded_vocab_size),
+            "rnn": _rnn(sd, "decoder.rnn"),
+            "attention": _bahdanau(sd, "decoder.attention"),
+            "pred_linear": _lin(sd, "decoder.pred_linear.1", spec.padded_vocab_size),
+        },
+    }
+
+
+def _mha(sd: Dict, prefix: str) -> Dict:
+    return {"q": _lin(sd, prefix + ".q_linear"), "k": _lin(sd, prefix + ".k_linear"),
+            "v": _lin(sd, prefix + ".v_linear"), "out": _lin(sd, prefix + ".out")}
+
+
+def _norm(sd: Dict, prefix: str) -> Dict:
+    return {"alpha": jnp.asarray(_np(sd[prefix + ".alpha"])),
+            "bias": jnp.asarray(_np(sd[prefix + ".bias"]))}
+
+
+def _ff(sd: Dict, prefix: str) -> Dict:
+    return {"linear_1": _lin(sd, prefix + ".linear_1"),
+            "linear_2": _lin(sd, prefix + ".linear_2")}
+
+
+def convert_transformer(sd: Dict, spec: ModelSpec) -> Dict:
+    import jax
+
+    def stack(layer_dicts):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layer_dicts)
+
+    n = spec.tf_layers
+    enc_layers = [{
+        "norm_1": _norm(sd, f"encoder.layers.{i}.norm_1"),
+        "norm_2": _norm(sd, f"encoder.layers.{i}.norm_2"),
+        "attn": _mha(sd, f"encoder.layers.{i}.attn"),
+        "ff": _ff(sd, f"encoder.layers.{i}.ff"),
+    } for i in range(n)]
+    dec_layers = [{
+        "norm_1": _norm(sd, f"decoder.layers.{i}.norm_1"),
+        "norm_2": _norm(sd, f"decoder.layers.{i}.norm_2"),
+        "norm_3": _norm(sd, f"decoder.layers.{i}.norm_3"),
+        "attn_1": _mha(sd, f"decoder.layers.{i}.attn_1"),
+        "attn_2": _mha(sd, f"decoder.layers.{i}.attn_2"),
+        "ff": _ff(sd, f"decoder.layers.{i}.ff"),
+    } for i in range(n)]
+
+    from vcr_tpu.models.transformer import make_positional_encoding
+
+    enc_pe = (_np(sd["encoder.pe.pe"])[0] if "encoder.pe.pe" in sd
+              else make_positional_encoding(spec.vid_feat_size))
+    dec_pe = (_np(sd["decoder.pe.pe"])[0] if "decoder.pe.pe" in sd
+              else make_positional_encoding(spec.embed_size))
+    return {
+        "encoder": {"pe": jnp.asarray(enc_pe), "layers": stack(enc_layers),
+                    "norm": _norm(sd, "encoder.norm")},
+        "decoder": {
+            "embedding": _embedding(sd, "decoder.embedding.weight",
+                                    spec.padded_vocab_size),
+            "pe": jnp.asarray(dec_pe),
+            "layers": stack(dec_layers),
+            "norm": _norm(sd, "decoder.norm"),
+            "norm_out": _norm(sd, "decoder.norm_out"),
+            "pred_linear": _lin(sd, "decoder.pred_linear.1", spec.padded_vocab_size),
+        },
+    }
+
+
+# ---------------------------------------------------------------- wrappers
+
+def convert_rationale(sd: Dict, spec: ModelSpec) -> Dict:
+    cap_sd = _strip(sd, "caption_net.")
+    cap = (convert_s2vt(cap_sd, spec) if spec.base_arch == "s2vt"
+           else convert_s2vt_att(cap_sd, spec))
+    return {
+        "caption_net": cap,
+        "gen": {
+            "rnn": {"fwd": _rnn(sd, "gen.rnn"),
+                    "bwd": _rnn(sd, "gen.rnn", suffix="_reverse")},
+            "linear": _lin(sd, "gen.linear"),
+        },
+    }
+
+
+def convert_spatial(sd: Dict, spec: ModelSpec) -> Dict:
+    cap_sd = _strip(sd, "caption_net.")
+    cap = (convert_s2vt(cap_sd, spec) if spec.base_arch == "s2vt"
+           else convert_s2vt_att(cap_sd, spec))
+    return {
+        "caption_net": cap,
+        "conv1": {"w": jnp.asarray(_np(sd["conv.0.weight"])),
+                  "b": jnp.asarray(_np(sd["conv.0.bias"]))},
+        "bn1": _bn(sd, "conv.1"),
+        "conv2": {"w": jnp.asarray(_np(sd["conv.3.weight"])),
+                  "b": jnp.asarray(_np(sd["conv.3.bias"]))},
+        "bn2": _bn(sd, "conv.4"),
+        "attention": _bahdanau(sd, "attention"),
+    }
+
+
+CONVERTERS = {
+    "s2vt": convert_s2vt,
+    "s2vt-att": convert_s2vt_att,
+    "transformer": convert_transformer,
+    "rationale": convert_rationale,
+    "spatial": convert_spatial,
+}
+
+
+def convert_state_dict(sd: Dict, spec: ModelSpec, arch: str) -> Dict:
+    return CONVERTERS[arch](sd, spec)

@@ -1,0 +1,151 @@
+"""Decoding: greedy (reference-parity, built into each model's eval path) and
+on-device beam search.
+
+The reference only implements greedy argmax rollouts (S2VTModel.py:148-177,
+S2VTAttModel.py:190-191, TransformerNet.py:246-263); beam search is part of the
+rebuild's decode surface (BASELINE.md "greedy/beam decode"). Beam width 1
+reproduces greedy token-for-token.
+
+Design: the beam dimension is folded into the batch axis (B*K rows through the
+exact same cell math the greedy path uses), the whole search is one lax.scan,
+and beam reordering is a gather on the state pytree — no host round trips.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vcr_tpu.models import base as model_base
+from vcr_tpu.models import s2vt, s2vt_att
+from vcr_tpu.nn.attention import bahdanau_attend, bahdanau_project_keys
+from vcr_tpu.nn.layers import dense, embed, mask_vocab_pad, vdot
+from vcr_tpu.nn.rnn import gru_gates
+
+NEG_INF = -1e9
+
+
+def _tile_beam(tree, k: int):
+    """Repeat each batch row k times: (B, ...) -> (B*K, ...)."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, k, axis=0), tree)
+
+
+def beam_search(
+    step_fn: Callable,      # (state, words (B*K,)) -> (state, logits (B*K, V))
+    init_state,             # pytree with leading dim B*K
+    batch: int,
+    beam_size: int,
+    max_len: int,
+    sos_id: int,
+    eos_id: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """-> (tokens (B, K, L) int32 sorted best-first, scores (B, K))."""
+    k = beam_size
+
+    words0 = jnp.full((batch * k,), sos_id, dtype=jnp.int32)
+    # only beam 0 of each batch row is live at step 0 (all beams are identical
+    # copies; without this the top-k would pick k duplicates forever)
+    scores0 = jnp.tile(jnp.concatenate(
+        [jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)]), (batch,))
+    finished0 = jnp.zeros((batch * k,), dtype=bool)
+    tokens0 = jnp.zeros((batch * k, max_len), dtype=jnp.int32)
+
+    def step(carry, i):
+        state, words, scores, finished, tokens = carry
+        state, logits = step_fn(state, words)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        v = logp.shape[-1]
+
+        # finished beams: only continuing with eos is free; everything else dies
+        cont = jnp.where(finished[:, None],
+                         jnp.full((1, v), NEG_INF).at[0, eos_id].set(0.0),
+                         logp)
+        total = scores[:, None] + cont                      # (B*K, V)
+        total = total.reshape(batch, k * v)
+        top_scores, top_idx = jax.lax.top_k(total, k)        # (B, K)
+        beam_idx = top_idx // v                              # which source beam
+        word_idx = (top_idx % v).astype(jnp.int32)           # which token
+
+        flat_src = (jnp.arange(batch)[:, None] * k + beam_idx).reshape(-1)
+        state = jax.tree_util.tree_map(lambda x: x[flat_src], state)
+        tokens = tokens[flat_src]
+        finished = finished[flat_src]
+        words = word_idx.reshape(-1)
+        tokens = tokens.at[:, i].set(words)
+        finished = finished | (words == eos_id)
+        return (state, words, top_scores.reshape(-1), finished, tokens), None
+
+    carry0 = (init_state, words0, scores0, finished0, tokens0)
+    (state, words, scores, finished, tokens), _ = jax.lax.scan(
+        step, carry0, jnp.arange(max_len))
+    return tokens.reshape(batch, k, max_len), scores.reshape(batch, k)
+
+
+# ---------------------------------------------------------------- S2VT
+
+def s2vt_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
+                     beam_size: int, eos_id: int) -> Tuple[jax.Array, jax.Array]:
+    """Beam decode for S2VT (cell math identical to s2vt.decode's eval scan)."""
+    enc_outs, state1 = s2vt.encode(params, spec, vid_feats)
+    state2 = s2vt._prime_state2(params, spec, enc_outs)
+    b = vid_feats.shape[0]
+    xg1 = jnp.broadcast_to(params["rnn1"]["b_ih"],
+                           (b * beam_size, 3 * spec.hidden_size))
+
+    init_state = _tile_beam({"s1": state1, "s2": state2}, beam_size)
+
+    def step_fn(state, words):
+        out1 = gru_gates(xg1, state["s1"], params["rnn1"], spec.cdtype)
+        emb = embed(params["embedding"], words)
+        x2 = jnp.concatenate([out1, emb], axis=-1)
+        xg2 = vdot(x2, params["rnn2"]["w_ih"], spec.cdtype) + params["rnn2"]["b_ih"]
+        out2 = gru_gates(xg2, state["s2"], params["rnn2"], spec.cdtype)
+        logits = mask_vocab_pad(dense(params["linear"], out2, spec.cdtype),
+                                spec.vocab_size)
+        return {"s1": out1, "s2": out2}, logits
+
+    return beam_search(step_fn, init_state, b, beam_size, spec.max_len,
+                       spec.sos_id, eos_id)
+
+
+# ---------------------------------------------------------------- S2VT-att
+
+def s2vt_att_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
+                         beam_size: int, eos_id: int) -> Tuple[jax.Array, jax.Array]:
+    encoder_outs, encoder_final = s2vt_att.encode(params, spec, vid_feats)
+    dec = params["decoder"]
+    proj_key = bahdanau_project_keys(dec["attention"], encoder_outs, spec.cdtype)
+    b = vid_feats.shape[0]
+
+    tiled = _tile_beam({"h": encoder_final, "pk": proj_key, "eo": encoder_outs},
+                       beam_size)
+    init_state = {"h": tiled["h"]}
+    pk, eo = tiled["pk"], tiled["eo"]
+
+    def step_fn(state, words):
+        context, _ = bahdanau_attend(dec["attention"], state["h"], pk, eo,
+                                     spec.cdtype)
+        emb = embed(dec["embedding"], words)
+        x = jnp.concatenate([context, emb], axis=-1)
+        xg = vdot(x, dec["rnn"]["w_ih"], spec.cdtype) + dec["rnn"]["b_ih"]
+        h = gru_gates(xg, state["h"], dec["rnn"], spec.cdtype)
+        logits = mask_vocab_pad(dense(dec["pred_linear"], h, spec.cdtype),
+                                spec.vocab_size)
+        return {"h": h}, logits
+
+    return beam_search(step_fn, init_state, b, beam_size, spec.max_len,
+                       spec.sos_id, eos_id)
+
+
+def decode_tokens(params, spec: model_base.ModelSpec, vid_feats, eos_id: int,
+                  beam_size: int = 1):
+    """Unified entry for the plain captioners: beam_size=1's best row equals
+    the greedy rollout token-for-token."""
+    if spec.arch == "s2vt":
+        return s2vt_beam_decode(params, spec, vid_feats, beam_size, eos_id)
+    if spec.arch == "s2vt-att":
+        return s2vt_att_beam_decode(params, spec, vid_feats, beam_size, eos_id)
+    raise NotImplementedError(f"beam decode for {spec.arch}")
