@@ -42,22 +42,26 @@ def main() -> None:
         rng.standard_normal((batch, 30, 4096)).astype(np.float32))
     params = jax.device_put(params)
 
-    @jax.jit
-    def infer(params, vid_feats):
-        logits = s2vt.apply(params, spec, vid_feats, train=False)
-        return jax.numpy.argmax(logits, axis=-1)
-
-    # warmup / compile (np.asarray forces a real device->host readback — the
-    # axon tunnel's block_until_ready does not actually synchronize)
-    np.asarray(infer(params, vid_feats))
-    np.asarray(infer(params, vid_feats))
+    import jax.numpy as jnp
 
     iters = int(os.environ.get("VCR_BENCH_ITERS", "20"))
+
+    # On-device timing: N inference iterations chained inside ONE jit (input
+    # perturbed per iter to defeat CSE). This removes the ~24ms host<->TPU
+    # tunnel round-trip from the measurement — the loop runs entirely on chip.
+    @jax.jit
+    def run_n(params, vid_feats):
+        def body(c, _):
+            logits = s2vt.apply(params, spec, vid_feats * (1.0 + c * 1e-9),
+                                train=False)
+            tok0 = jnp.argmax(logits, axis=-1).astype(jnp.float32).ravel()[0]
+            return tok0 * 1e-12, None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return c
+
+    np.asarray(run_n(params, vid_feats))  # compile + warm
     t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = infer(params, vid_feats)
-    np.asarray(out)  # sustained throughput: queued execs + final readback
+    np.asarray(run_n(params, vid_feats))
     dt = time.perf_counter() - t0
 
     caps_per_sec = batch * iters / dt

@@ -75,6 +75,7 @@ def apply(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     k_gen, k_cap = jax.random.split(rng)
+    vid_feats = vid_feats.astype(spec.cdtype)  # bf16 feed (fp32-mode no-op)
     sel, probs = generator(params["gen"], spec, vid_feats, k_gen, train)
     logits = _base_module(spec).apply(
         params["caption_net"], spec, sel, s, s_len,

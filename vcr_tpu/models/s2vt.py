@@ -136,6 +136,9 @@ def apply(
 ) -> jax.Array:
     """Full forward (reference: S2VTModel.forward, S2VTModel.py:179-202)."""
     del s_len  # S2VT ignores lengths in the forward pass
+    # feed features at compute precision: halves the HBM stream into the
+    # encoder's input projection (no-op in float32 parity mode)
+    vid_feats = vid_feats.astype(spec.cdtype)
     enc_outs, state1 = encode(params, spec, vid_feats)
     return decode(params, spec, enc_outs, state1, s,
                   rng=rng, train=train, teacher_force_prob=teacher_force_prob)

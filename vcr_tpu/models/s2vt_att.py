@@ -118,6 +118,7 @@ def apply(
     teacher_force_prob: jax.Array | float = 1.0,
 ) -> jax.Array:
     del s_len, teacher_force_prob
+    vid_feats = vid_feats.astype(spec.cdtype)  # bf16 feed (fp32-mode no-op)
     encoder_outs, encoder_final = encode(params, spec, vid_feats)
     return decode(params, spec, encoder_outs, encoder_final, s, rng=rng, train=train)
 

@@ -1,0 +1,83 @@
+"""Pallas TPU kernel: fused GRU sequence.
+
+The scan-based GRU (vcr_tpu.nn.rnn.gru_sequence) already hoists the input
+projection into one big MXU matmul; what remains per step is the small
+recurrent matmul + gate math. This kernel runs the WHOLE recurrence in one
+pallas_call: the TPU grid is sequential, so the hidden state lives in a VMEM
+scratch buffer across grid steps, W_hh stays pinned in VMEM, and each step
+streams one (B, 3H) x-gates tile in and one (B, H) output tile out. That
+removes the per-step XLA while-loop overhead and all HBM round-trips for h.
+
+Gate math matches torch exactly (r, z, n ordering) — same as rnn.gru_gates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gru_seq_kernel(xg_ref, whh_ref, bhh_ref, h0_ref, out_ref, h_scratch,
+                    *, hidden: int, compute_dtype):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[:] = h0_ref[:]
+
+    h = h_scratch[:]  # (B, H) float32
+    h_gates = jnp.dot(h.astype(compute_dtype), whh_ref[:].astype(compute_dtype),
+                      preferred_element_type=jnp.float32) + bhh_ref[:]
+    xg = xg_ref[0]    # (B, 3H) block for this step
+
+    xr, xz, xn = (xg[:, :hidden], xg[:, hidden:2 * hidden], xg[:, 2 * hidden:])
+    hr, hz, hn = (h_gates[:, :hidden], h_gates[:, hidden:2 * hidden],
+                  h_gates[:, 2 * hidden:])
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    h_new = (1.0 - z) * n + z * h
+
+    h_scratch[:] = h_new
+    out_ref[0] = h_new
+
+
+def gru_sequence_pallas(params, xs: jax.Array, h0=None,
+                        compute_dtype=jnp.bfloat16, interpret: bool = False):
+    """Drop-in replacement for rnn.gru_sequence: xs (T, B, I) ->
+    (outputs (T, B, H), h_last (B, H))."""
+    from vcr_tpu.nn.layers import vdot
+
+    t, b, i = xs.shape
+    hidden = params["w_hh"].shape[0]
+    x_gates = (vdot(xs.reshape(t * b, i), params["w_ih"], compute_dtype)
+               + params["b_ih"]).reshape(t, b, 3 * hidden).astype(jnp.float32)
+    if h0 is None:
+        h0 = jnp.zeros((b, hidden), dtype=jnp.float32)
+
+    kernel = functools.partial(_gru_seq_kernel, hidden=hidden,
+                               compute_dtype=compute_dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, 3 * hidden), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),           # x_gates, streamed
+            pl.BlockSpec((hidden, 3 * hidden), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),           # W_hh, pinned
+            pl.BlockSpec((3 * hidden,), lambda s: (0,),
+                         memory_space=pltpu.VMEM),           # b_hh
+            pl.BlockSpec((b, hidden), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),           # h0
+        ],
+        out_specs=pl.BlockSpec((1, b, hidden), lambda s: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        interpret=interpret,
+    )(x_gates, params["w_hh"].astype(jnp.float32), params["b_hh"], h0)
+    return outs, outs[-1]
