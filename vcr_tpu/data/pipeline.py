@@ -90,7 +90,8 @@ class BatchIterator:
 
     def __init__(self, dataset: CaptionDataset, batch_size: int, shuffle: bool,
                  seed: int = 0, num_shards: int = 1, shard_index: int = 0,
-                 num_threads: int = 8, drop_remainder: bool = False):
+                 num_threads: int = 8, drop_remainder: bool = False,
+                 use_native: bool = True):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -99,7 +100,21 @@ class BatchIterator:
         self.shard_index = shard_index
         self.epoch = 0
         self.drop_remainder = drop_remainder
+        self.num_threads = num_threads
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
+        self._feat_shape = None
+        self.use_native = use_native
+        if use_native:
+            # the C++ loader needs a consistent per-frame feature shape;
+            # probe the first item once
+            try:
+                from vcr_tpu.data import native
+
+                if native.get_lib() is not None and len(dataset):
+                    f0 = dataset.load_features(0)
+                    self._feat_shape = tuple(f0.shape[1:])
+            except Exception:
+                self._feat_shape = None
 
     def __iter__(self) -> Iterator[Dict]:
         rng = np.random.default_rng((self.seed, self.epoch))
@@ -114,24 +129,67 @@ class BatchIterator:
             if len(idxs) < b and self.drop_remainder:
                 break
             cap_choices = rng.integers(0, 2 ** 31, size=len(idxs))
-            items = list(self._pool.map(
-                lambda pair: self.ds.item(int(pair[0]), int(pair[1])),
-                zip(idxs, cap_choices)))
-            n = len(items)
-            batch = {
-                "vid_feats": np.zeros((b, *items[0]["vid_feats"].shape), np.float32),
-                "sent": np.zeros((b, self.ds.max_len), np.int32),
-                "sent_len": np.zeros((b,), np.int32),
-                "valid": np.zeros((b,), np.float32),
-                "refs": [it["refs"] for it in items],
-                "vid_key": [it["vid_key"] for it in items],
-                "sent_raw": [it["sent_raw"] for it in items],
-            }
-            for j, it in enumerate(items):
-                batch["vid_feats"][j] = it["vid_feats"]
-                batch["sent"][j] = it["sent"]
-                batch["sent_len"][j] = it["sent_len"]
-                batch["valid"][j] = 1.0
-            del n
-            yield batch
+            if self._feat_shape is not None:
+                yield self._native_batch(idxs, cap_choices, b)
+            else:
+                yield self._python_batch(idxs, cap_choices, b)
         self.epoch += 1
+
+    def _text_fields(self, idxs, cap_choices):
+        sents, lens, raws, refs, keys = [], [], [], [], []
+        for idx, choice in zip(idxs, cap_choices):
+            caps = self.ds.captions[int(idx)]["captions"]
+            toks = caps[int(choice) % len(caps)]["desc"]
+            sents.append(self.ds.vocab.encode(toks, self.ds.max_len))
+            lens.append(min(self.ds.max_len, len(toks) + 1))
+            raws.append(" ".join(toks).lower())
+            refs.append([" ".join(c["desc"]).lower() for c in caps])
+            keys.append(self.ds.captions[int(idx)][self.ds.key_field])
+        return sents, lens, raws, refs, keys
+
+    def _assemble(self, b, feats, sents, lens, raws, refs, keys):
+        n = len(sents)
+        batch = {
+            "vid_feats": feats,
+            "sent": np.zeros((b, self.ds.max_len), np.int32),
+            "sent_len": np.zeros((b,), np.int32),
+            "valid": np.zeros((b,), np.float32),
+            "refs": refs, "vid_key": keys, "sent_raw": raws,
+        }
+        for j in range(n):
+            batch["sent"][j] = sents[j]
+            batch["sent_len"][j] = lens[j]
+            batch["valid"][j] = 1.0
+        return batch
+
+    def _native_batch(self, idxs, cap_choices, b):
+        """Feature IO through the C++ loader (vcr_tpu/data/native.py); text
+        fields on the host thread (they're trivial)."""
+        from vcr_tpu.data import native
+
+        paths = [os.path.join(self.ds.vid_feat_dir,
+                              self.ds.captions[int(i)][self.ds.key_field] + ".npy")
+                 for i in idxs]
+        feats = native.load_feature_batch(paths, self.ds.num_frames,
+                                          self._feat_shape, self.num_threads)
+        if feats is None:  # build failed late — drop to python path for good
+            self._feat_shape = None
+            return self._python_batch(idxs, cap_choices, b)
+        if len(idxs) < b:
+            pad = np.zeros((b - len(idxs), *feats.shape[1:]), np.float32)
+            feats = np.concatenate([feats, pad], axis=0)
+        sents, lens, raws, refs, keys = self._text_fields(idxs, cap_choices)
+        return self._assemble(b, feats, sents, lens, raws, refs, keys)
+
+    def _python_batch(self, idxs, cap_choices, b):
+        items = list(self._pool.map(
+            lambda pair: self.ds.item(int(pair[0]), int(pair[1])),
+            zip(idxs, cap_choices)))
+        feats = np.zeros((b, *items[0]["vid_feats"].shape), np.float32)
+        for j, it in enumerate(items):
+            feats[j] = it["vid_feats"]
+        return self._assemble(
+            b, feats,
+            [it["sent"] for it in items], [it["sent_len"] for it in items],
+            [it["sent_raw"] for it in items], [it["refs"] for it in items],
+            [it["vid_key"] for it in items])

@@ -25,6 +25,7 @@ from vcr_tpu.train import checkpoint as ckpt
 from vcr_tpu.train import optim, schedule
 from vcr_tpu.train.step import build_step_fns, device_batch
 from vcr_tpu.utils.logging import TrainLogger
+from vcr_tpu.utils.profiling import StepTimer, annotate, trace
 from vcr_tpu.utils.sampler import StreamSampler, print_sample_sents
 from vcr_tpu.vocab import Vocab
 
@@ -133,42 +134,53 @@ def train(cfg: Config) -> Dict[str, float]:
     logger.n_iter = start_n_iter
 
     final_metrics: Dict[str, float] = {}
-    for epoch in range(start_epoch, cfg.epochs):
-        logger.step()
-        tf_prob = float(tf_probs[epoch])
-        sampler = StreamSampler(cfg.n_sample_sent, seed=cfg.seed + epoch)
-        rnd = np.random.default_rng(cfg.seed + epoch)
+    timer = StepTimer()
+    with trace():  # XLA trace when VCR_TRACE_DIR is set (SURVEY.md §5)
+        for epoch in range(start_epoch, cfg.epochs):
+            logger.step()
+            tf_prob = float(tf_probs[epoch])
+            sampler = StreamSampler(cfg.n_sample_sent, seed=cfg.seed + epoch)
+            rnd = np.random.default_rng(cfg.seed + epoch)
 
-        for batch in train_it:
-            step_key = jax.random.fold_in(root_key, logger.n_iter + 1)
-            params, opt_state, m, pred = train_step(
-                params, opt_state, device_batch(batch), step_key, tf_prob)
-            n_valid = int(batch["valid"].sum())
-            hyps = vocab.get_sents_from_indexes(np.asarray(pred)[:n_valid])
-            for hyp, refs, vk in zip(hyps, batch["refs"], batch["vid_key"]):
-                sampler.add((hyp, refs[rnd.integers(len(refs))], vk))
-            logger.update(m)
+            timer.reset()
+            for batch in train_it:
+                timer.tick()
+                step_key = jax.random.fold_in(root_key, logger.n_iter + 1)
+                params, opt_state, m, pred = train_step(
+                    params, opt_state, device_batch(batch), step_key, tf_prob)
+                n_valid = int(batch["valid"].sum())
+                hyps = vocab.get_sents_from_indexes(np.asarray(pred)[:n_valid])
+                for hyp, refs, vk in zip(hyps, batch["refs"], batch["vid_key"]):
+                    sampler.add((hyp, refs[rnd.integers(len(refs))], vk))
+                logger.update(m)
+            for k, v in timer.summary().items():
+                logger.log_scalar(f"perf/{k}", v)
 
-        val_metrics, val_samples, time_taken = evaluate(
-            eval_step, params, val_it, vocab, log_keys, cfg.n_sample_sent, cfg.seed)
+            with annotate("evaluate"):
+                val_metrics, val_samples, time_taken = evaluate(
+                    eval_step, params, val_it, vocab, log_keys, cfg.n_sample_sent,
+                    cfg.seed)
 
-        print("\n" + "*" * 34 + " TRAIN " + "*" * 34)
-        print_sample_sents(sampler.get())
-        print("*" * 75 + "\n")
-        print("*" * 35 + " VAL " + "*" * 35)
-        logger.log_valid(time_taken, val_metrics)
-        for k in ("METEOR", "BLEU4", "CIDEr"):
-            logger.log_scalar(f"val/{k}", val_metrics[k])
-        print(f"Validation METEOR score: {val_metrics['METEOR']:.5f} "
-              f"(BLEU-4 {val_metrics['BLEU4']:.5f}, CIDEr {val_metrics['CIDEr']:.5f})")
-        print_sample_sents(val_samples)
-        print("")
+            print("\n" + "*" * 34 + " TRAIN " + "*" * 34)
+            print_sample_sents(sampler.get())
+            print("*" * 75 + "\n")
+            print("*" * 35 + " VAL " + "*" * 35)
+            logger.log_valid(time_taken, val_metrics)
+            for k in ("METEOR", "BLEU4", "CIDEr"):
+                logger.log_scalar(f"val/{k}", val_metrics[k])
+            print(f"Validation METEOR score: {val_metrics['METEOR']:.5f} "
+                  f"(BLEU-4 {val_metrics['BLEU4']:.5f}, "
+                  f"CIDEr {val_metrics['CIDEr']:.5f})")
+            print_sample_sents(val_samples)
+            print("")
 
-        is_best = val_metrics["METEOR"] >= best_val_meteor  # >= as in train.py:181
-        if is_best:
-            best_val_meteor = val_metrics["METEOR"]
-        manager.save_epoch(params, opt_state, epoch, logger.n_iter, cfg.to_dict(),
-                           val_metrics["METEOR"], best_val_meteor, is_best)
-        final_metrics = val_metrics
+            is_best = val_metrics["METEOR"] >= best_val_meteor  # >= (train.py:181)
+            if is_best:
+                best_val_meteor = val_metrics["METEOR"]
+            with annotate("checkpoint"):
+                manager.save_epoch(params, opt_state, epoch, logger.n_iter,
+                                   cfg.to_dict(), val_metrics["METEOR"],
+                                   best_val_meteor, is_best)
+            final_metrics = val_metrics
 
     return final_metrics
