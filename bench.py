@@ -32,14 +32,16 @@ def main() -> None:
     from vcr_tpu.models import s2vt
     from __graft_entry__ import _make_spec_and_params
 
-    batch = int(os.environ.get("VCR_BENCH_BATCH", "512"))
+    batch = int(os.environ.get("VCR_BENCH_BATCH", "2048"))
     spec, params = _make_spec_and_params(
         vocab_size=9000, embed_size=300, hidden=512, vid_feat=4096,
         max_len=20, num_frames=30, compute_dtype="bfloat16", vocab_pad_to=128)
 
     rng = np.random.default_rng(0)
+    import jax.numpy as _jnp
     vid_feats = jax.device_put(
-        rng.standard_normal((batch, 30, 4096)).astype(np.float32))
+        rng.standard_normal((batch, 30, 4096)).astype(np.float32)
+    ).astype(_jnp.bfloat16)
     params = jax.device_put(params)
 
     import jax.numpy as jnp
