@@ -82,6 +82,9 @@ class Config:
     compute_dtype: str = "bfloat16"
     # Use the Pallas fused GRU sequence kernel where profitable.
     use_pallas: bool = False
+    # Pad the vocab axis to a multiple of this (128 = MXU lane width; must make
+    # the padded vocab divisible by mesh_mp). 1 = exact reference widths.
+    vocab_pad_to: int = 1
     # Remat (jax.checkpoint) the decoder scan to trade FLOPs for HBM.
     remat: bool = False
     # Beam width for decode (1 = greedy, matching the reference's only mode).

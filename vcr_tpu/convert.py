@@ -209,3 +209,17 @@ CONVERTERS = {
 
 def convert_state_dict(sd: Dict, spec: ModelSpec, arch: str) -> Dict:
     return CONVERTERS[arch](sd, spec)
+
+
+def load_reference_checkpoint(path: str, spec: ModelSpec, arch: str):
+    """Load a reference ``model_{latest,best}.net`` torch.save file and
+    convert it (the dict layout is {'state_dict', 'opts', 'epoch', 'n_iter',
+    ...}, reference train.py:183-205). Returns (params, meta) where meta holds
+    everything but the weights. Requires torch for unpickling."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    sd = blob["state_dict"]
+    params = convert_state_dict(sd, spec, arch)
+    meta = {k: v for k, v in blob.items() if k != "state_dict"}
+    return params, meta

@@ -75,6 +75,7 @@ def spec_from_config(cfg, vocab) -> ModelSpec:
         base_arch=cfg.arch if cfg.arch in ("s2vt", "s2vt-att") else "s2vt",
         tf_layers=cfg.tf_layers,
         tf_heads=cfg.tf_heads,
+        vocab_pad_to=cfg.vocab_pad_to,
     )
 
 

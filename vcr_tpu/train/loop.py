@@ -107,11 +107,28 @@ def train(cfg: Config) -> Dict[str, float]:
             params["caption_net"], base_params)
         print(f"====> Loaded pretrained base from {cfg.pretrained_base}")
 
+    # SPMD: place params on the (dp x mp) mesh when configured; the jitted
+    # steps inherit shardings from their inputs (vcr_tpu/parallel/mesh.py)
+    mesh = None
+    if cfg.mesh_dp * cfg.mesh_mp > 1:
+        from vcr_tpu.parallel import make_mesh, shard_params
+
+        mesh = make_mesh(cfg.mesh_dp, cfg.mesh_mp)
+        assert cfg.bsize % cfg.mesh_dp == 0, "bsize must divide mesh_dp"
+        params = shard_params(params, mesh, spec.padded_vocab_size)
+
     optimizer = optim.build_optimizer(cfg.optim, cfg.lr, cfg.wd, cfg.max_norm,
                                       cfg.momentum)
     opt_state = optimizer.init(params)
     train_step, eval_step = build_step_fns(model_name, spec, optimizer,
                                            cfg.lambda_brev, cfg.lambda_cont)
+    if mesh is not None:
+        from vcr_tpu.parallel import shard_batch
+
+        _train_step, _eval_step = train_step, eval_step
+        train_step = lambda p, o, b, k, tf: _train_step(  # noqa: E731
+            p, o, shard_batch(b, mesh), k, tf)
+        eval_step = lambda p, b: _eval_step(p, shard_batch(b, mesh))  # noqa: E731
 
     tf_probs = schedule.teacher_force_schedule(
         cfg.epochs, cfg.schedule_sample if use_tf_schedule else False)
