@@ -1,0 +1,51 @@
+"""Transformer beam decode: width-1 equals the greedy scan token-for-token."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vcr_tpu.decode import decode_tokens
+from vcr_tpu.models import base
+import vcr_tpu.models.transformer as tr
+from vcr_tpu.nn.layers import dense_init
+
+
+def _small_widths():
+    def small_mha(key, heads, hidden, flag):
+        table = {"e": (12, 12, 12), "d": (16, 16, 16), "ed": (16, 12, 12)}
+        q_in, k_in, v_in = table[flag]
+        kq, kk, kv, ko = jax.random.split(key, 4)
+        return {"q": dense_init(kq, q_in, hidden), "k": dense_init(kk, k_in, hidden),
+                "v": dense_init(kv, v_in, hidden), "out": dense_init(ko, hidden, q_in)}
+
+    return small_mha, (lambda flag: 12 if flag == "e" else 16)
+
+
+def test_transformer_beam1_equals_greedy(tiny_vocab, rng):
+    orig = (tr.mha_init, tr._width)
+    try:
+        tr.mha_init, tr._width = _small_widths()
+        spec = base.ModelSpec(
+            arch="transformer", vocab_size=tiny_vocab.vocab_size,
+            embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
+            max_len=5, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+            compute_dtype="float32", tf_layers=2, tf_heads=2)
+        params = tr.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+        vid = jnp.asarray(rng.standard_normal((2, 4, 12)), dtype=jnp.float32)
+
+        greedy = np.asarray(jnp.argmax(
+            tr.apply(params, spec, vid, train=False), axis=-1))
+        tokens, scores = decode_tokens(params, spec, vid, tiny_vocab.eos_id,
+                                       beam_size=1)
+        t = np.asarray(tokens)
+        for b in range(2):
+            for i in range(spec.max_len):
+                assert t[b, 0, i] == greedy[b, i]
+                if greedy[b, i] == tiny_vocab.eos_id:
+                    break
+
+        # wider beam never scores worse
+        _, s3 = decode_tokens(params, spec, vid, tiny_vocab.eos_id, beam_size=3)
+        assert np.all(np.asarray(s3)[:, 0] >= np.asarray(scores)[:, 0] - 1e-5)
+    finally:
+        tr.mha_init, tr._width = orig

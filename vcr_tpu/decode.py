@@ -34,7 +34,7 @@ def _tile_beam(tree, k: int):
 
 
 def beam_search(
-    step_fn: Callable,      # (state, words (B*K,)) -> (state, logits (B*K, V))
+    step_fn: Callable,      # (state, words (B*K,), i) -> (state, logits (B*K, V))
     init_state,             # pytree with leading dim B*K
     batch: int,
     beam_size: int,
@@ -55,7 +55,7 @@ def beam_search(
 
     def step(carry, i):
         state, words, scores, finished, tokens = carry
-        state, logits = step_fn(state, words)
+        state, logits = step_fn(state, words, i)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         v = logp.shape[-1]
 
@@ -97,7 +97,8 @@ def s2vt_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
 
     init_state = _tile_beam({"s1": state1, "s2": state2}, beam_size)
 
-    def step_fn(state, words):
+    def step_fn(state, words, i):
+        del i
         out1 = gru_gates(xg1, state["s1"], params["rnn1"], spec.cdtype)
         emb = embed(params["embedding"], words)
         x2 = jnp.concatenate([out1, emb], axis=-1)
@@ -125,7 +126,8 @@ def s2vt_att_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Arra
     init_state = {"h": tiled["h"]}
     pk, eo = tiled["pk"], tiled["eo"]
 
-    def step_fn(state, words):
+    def step_fn(state, words, i):
+        del i
         context, _ = bahdanau_attend(dec["attention"], state["h"], pk, eo,
                                      spec.cdtype)
         emb = embed(dec["embedding"], words)
@@ -140,12 +142,66 @@ def s2vt_att_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Arra
                        spec.sos_id, eos_id)
 
 
+# ---------------------------------------------------------------- Transformer
+
+def transformer_beam_decode(params, spec: model_base.ModelSpec,
+                            vid_feats: jax.Array, beam_size: int,
+                            eos_id: int) -> Tuple[jax.Array, jax.Array]:
+    """Beam decode for the Transformer. Each step re-runs the full decoder
+    stack on the padded prefix with the reference's sqrt(prefix_len) PE scale
+    (see models/transformer.py — a KV cache would be math-incorrect here).
+    The per-beam token history rides in the search state so beam reordering
+    keeps prefixes consistent."""
+    import numpy as np
+
+    from vcr_tpu.models import transformer as tr
+    from vcr_tpu.nn.layers import torch_norm
+
+    src_mask = tr.create_masks_inp(vid_feats)
+    e_outputs = tr.encode(params, spec, vid_feats, src_mask,
+                          jax.random.PRNGKey(0), train=False)
+    b = vid_feats.shape[0]
+    l = spec.max_len
+    tiled = _tile_beam({"eo": e_outputs, "sm": src_mask}, beam_size)
+    eo, sm = tiled["eo"], tiled["sm"]
+    causal = jnp.asarray(np.triu(np.ones((l, l)), k=1) == 0)[None, None]
+    dec = params["decoder"]
+    dummy_key = jax.random.PRNGKey(0)
+
+    init_state = {"outputs": jnp.zeros((b * beam_size, l), dtype=jnp.int32)}
+
+    def step_fn(state, words, i):
+        # prefix = [sos, w0..w_{i-1}]: words is the previous step's pick
+        # (sos at i=0), written at position i
+        outputs = jax.lax.dynamic_update_index_in_dim(
+            state["outputs"], words, i, axis=1)
+        x = embed(dec["embedding"], outputs)
+        x = tr._apply_pe(dec["pe"], x, i + 1)
+
+        def layer(p, h, k, e, s, t):
+            return tr._decoder_layer(p, h, e, s, t, k, spec.tf_heads,
+                                     train=False, cdtype=spec.cdtype)
+
+        h = tr._run_stack(layer, dec["layers"], x, dummy_key, spec.tf_layers,
+                          eo, sm, causal)
+        h = torch_norm(dec["norm_out"], h)
+        h_i = jax.lax.dynamic_slice_in_dim(h, i, 1, axis=1)[:, 0]
+        logits = mask_vocab_pad(dense(dec["pred_linear"], h_i, spec.cdtype),
+                                spec.vocab_size)
+        return {"outputs": outputs}, logits
+
+    return beam_search(step_fn, init_state, b, beam_size, spec.max_len,
+                       spec.sos_id, eos_id)
+
+
 def decode_tokens(params, spec: model_base.ModelSpec, vid_feats, eos_id: int,
                   beam_size: int = 1):
-    """Unified entry for the plain captioners: beam_size=1's best row equals
-    the greedy rollout token-for-token."""
+    """Unified entry for the captioners: beam_size=1's best row equals the
+    greedy rollout token-for-token."""
     if spec.arch == "s2vt":
         return s2vt_beam_decode(params, spec, vid_feats, beam_size, eos_id)
     if spec.arch == "s2vt-att":
         return s2vt_att_beam_decode(params, spec, vid_feats, beam_size, eos_id)
+    if spec.arch == "transformer":
+        return transformer_beam_decode(params, spec, vid_feats, beam_size, eos_id)
     raise NotImplementedError(f"beam decode for {spec.arch}")
