@@ -66,6 +66,37 @@ def test_wider_beam_never_scores_worse(tiny_vocab, rng):
     assert np.all(np.diff(np.asarray(s4), axis=1) <= 1e-6)
 
 
+def test_beam_decode_wrapped_models(tiny_vocab, rng):
+    """Rationale and Spatial beam decode run and return sane shapes; spatial
+    beam-1 matches the model's greedy decode."""
+    import jax.numpy as jnp
+
+    from vcr_tpu.models import rationale, spatial
+
+    spec = make_spec(tiny_vocab, "s2vt").with_(arch="rationale", base_arch="s2vt")
+    params = rationale.init_params(jax.random.PRNGKey(3), spec, tiny_vocab.vectors)
+    vid = jnp.asarray(rng.standard_normal((2, 4, 12)), dtype=jnp.float32)
+    tokens, scores = decode_tokens(params, spec, vid, tiny_vocab.eos_id,
+                                   beam_size=2)
+    assert tokens.shape == (2, 2, spec.max_len)
+
+    spec_sp = make_spec(tiny_vocab, "s2vt").with_(
+        arch="spatial", base_arch="s2vt", vid_feat_size=6)
+    params_sp = spatial.init_params(jax.random.PRNGKey(4), spec_sp,
+                                    tiny_vocab.vectors)
+    vid_sp = jnp.asarray(rng.standard_normal((2, 4, 6, 4, 4)), dtype=jnp.float32)
+    logits, _, _ = spatial.apply(params_sp, spec_sp, vid_sp, train=False)
+    greedy = np.asarray(jnp.argmax(logits, axis=-1))
+    tokens_sp, _ = decode_tokens(params_sp, spec_sp, vid_sp, tiny_vocab.eos_id,
+                                 beam_size=1)
+    t = np.asarray(tokens_sp)
+    for b in range(2):
+        for i in range(spec_sp.max_len):
+            assert t[b, 0, i] == greedy[b, i]
+            if greedy[b, i] == tiny_vocab.eos_id:
+                break
+
+
 def test_eos_freezes_beam(tiny_vocab, rng):
     spec = make_spec(tiny_vocab, "s2vt")
     params = s2vt.init_params(jax.random.PRNGKey(2), spec, tiny_vocab.vectors)

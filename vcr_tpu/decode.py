@@ -86,12 +86,14 @@ def beam_search(
 
 # ---------------------------------------------------------------- S2VT
 
-def s2vt_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
-                     beam_size: int, eos_id: int) -> Tuple[jax.Array, jax.Array]:
-    """Beam decode for S2VT (cell math identical to s2vt.decode's eval scan)."""
-    enc_outs, state1 = s2vt.encode(params, spec, vid_feats)
+def s2vt_beam_from_states(params, spec: model_base.ModelSpec,
+                          enc_outs: jax.Array, state1: jax.Array,
+                          beam_size: int, eos_id: int
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Beam decode from S2VT encoder states — shared by S2VT proper and
+    SpatialNet (whose encoder splices spatial contexts, SpatialNet.py:140)."""
     state2 = s2vt._prime_state2(params, spec, enc_outs)
-    b = vid_feats.shape[0]
+    b = enc_outs.shape[1]
     xg1 = jnp.broadcast_to(params["rnn1"]["b_ih"],
                            (b * beam_size, 3 * spec.hidden_size))
 
@@ -112,14 +114,22 @@ def s2vt_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
                        spec.sos_id, eos_id)
 
 
+def s2vt_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
+                     beam_size: int, eos_id: int) -> Tuple[jax.Array, jax.Array]:
+    """Beam decode for S2VT (cell math identical to s2vt.decode's eval scan)."""
+    enc_outs, state1 = s2vt.encode(params, spec, vid_feats)
+    return s2vt_beam_from_states(params, spec, enc_outs, state1, beam_size, eos_id)
+
+
 # ---------------------------------------------------------------- S2VT-att
 
-def s2vt_att_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
-                         beam_size: int, eos_id: int) -> Tuple[jax.Array, jax.Array]:
-    encoder_outs, encoder_final = s2vt_att.encode(params, spec, vid_feats)
+def s2vt_att_beam_from_states(params, spec: model_base.ModelSpec,
+                              encoder_outs: jax.Array, encoder_final: jax.Array,
+                              beam_size: int, eos_id: int
+                              ) -> Tuple[jax.Array, jax.Array]:
     dec = params["decoder"]
     proj_key = bahdanau_project_keys(dec["attention"], encoder_outs, spec.cdtype)
-    b = vid_feats.shape[0]
+    b = encoder_outs.shape[0]
 
     tiled = _tile_beam({"h": encoder_final, "pk": proj_key, "eo": encoder_outs},
                        beam_size)
@@ -140,6 +150,51 @@ def s2vt_att_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Arra
 
     return beam_search(step_fn, init_state, b, beam_size, spec.max_len,
                        spec.sos_id, eos_id)
+
+
+def s2vt_att_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
+                         beam_size: int, eos_id: int) -> Tuple[jax.Array, jax.Array]:
+    encoder_outs, encoder_final = s2vt_att.encode(params, spec, vid_feats)
+    return s2vt_att_beam_from_states(params, spec, encoder_outs, encoder_final,
+                                     beam_size, eos_id)
+
+
+# ------------------------------------------------ RationaleNet / SpatialNet
+
+def rationale_beam_decode(params, spec: model_base.ModelSpec,
+                          vid_feats: jax.Array, beam_size: int, eos_id: int,
+                          rng=None) -> Tuple[jax.Array, jax.Array]:
+    """Hard Gumbel frame selection (eval mode), then beam on the wrapped
+    captioner over the masked features (RationaleNet.py:103-104)."""
+    from vcr_tpu.models import rationale
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    sel, _probs = rationale.generator(params["gen"], spec,
+                                      vid_feats.astype(spec.cdtype), rng,
+                                      train=False)
+    cap = params["caption_net"]
+    if spec.base_arch == "s2vt":
+        return s2vt_beam_decode(cap, spec, sel, beam_size, eos_id)
+    return s2vt_att_beam_decode(cap, spec, sel, beam_size, eos_id)
+
+
+def spatial_beam_decode(params, spec: model_base.ModelSpec,
+                        vid_feats: jax.Array, beam_size: int, eos_id: int
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Spatial-attention encode, then beam on the wrapped captioner's decoder
+    (SpatialNet.py:140)."""
+    from vcr_tpu.models import spatial
+
+    output1, rnn_state, _alphas, _bn = spatial.encode_spatial(
+        params, spec, vid_feats, train=False)
+    cap = params["caption_net"]
+    if spec.base_arch == "s2vt":
+        return s2vt_beam_from_states(cap, spec, output1, rnn_state,
+                                     beam_size, eos_id)
+    return s2vt_att_beam_from_states(cap, spec,
+                                     jnp.transpose(output1, (1, 0, 2)),
+                                     rnn_state, beam_size, eos_id)
 
 
 # ---------------------------------------------------------------- Transformer
@@ -204,4 +259,8 @@ def decode_tokens(params, spec: model_base.ModelSpec, vid_feats, eos_id: int,
         return s2vt_att_beam_decode(params, spec, vid_feats, beam_size, eos_id)
     if spec.arch == "transformer":
         return transformer_beam_decode(params, spec, vid_feats, beam_size, eos_id)
+    if spec.arch == "rationale":
+        return rationale_beam_decode(params, spec, vid_feats, beam_size, eos_id)
+    if spec.arch == "spatial":
+        return spatial_beam_decode(params, spec, vid_feats, beam_size, eos_id)
     raise NotImplementedError(f"beam decode for {spec.arch}")
