@@ -54,10 +54,9 @@ def main() -> None:
     @jax.jit
     def run_n(params, vid_feats):
         def body(c, _):
-            logits = s2vt.apply(params, spec, vid_feats * (1.0 + c * 1e-9),
-                                train=False)
-            tok0 = jnp.argmax(logits, axis=-1).astype(jnp.float32).ravel()[0]
-            return tok0 * 1e-12, None
+            x = (vid_feats * (1.0 + c * 1e-9)).astype(vid_feats.dtype)
+            tokens = s2vt.apply(params, spec, x, train=False, emit="tokens")
+            return tokens.astype(jnp.float32).ravel()[0] * 1e-12, None
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return c
 

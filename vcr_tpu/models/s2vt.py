@@ -57,11 +57,13 @@ def encode_step(params, spec: base.ModelSpec, vid_feat: jax.Array, state: jax.Ar
 
 def _prime_state2(params, spec: base.ModelSpec, enc_outs: jax.Array) -> jax.Array:
     """Run GRU2 over [enc_outs ; zero word embeddings], keep final state
-    (reference: S2VTModel.py:103-107)."""
-    n, b, _ = enc_outs.shape
-    pad = jnp.zeros((n, b, spec.embed_size), dtype=enc_outs.dtype)
-    xs = jnp.concatenate([enc_outs, pad], axis=-1)
-    _, state2 = gru_sequence(params["rnn2"], xs, compute_dtype=spec.cdtype)
+    (reference: S2VTModel.py:103-107). The zero word-embedding half contributes
+    nothing to the input projection, so only the first H rows of W_ih are
+    multiplied — math-identical, ~40% fewer prime-phase FLOPs."""
+    rnn2 = params["rnn2"]
+    sliced = dict(rnn2)
+    sliced["w_ih"] = rnn2["w_ih"][: spec.hidden_size]
+    _, state2 = gru_sequence(sliced, enc_outs, compute_dtype=spec.cdtype)
     return state2
 
 
@@ -74,8 +76,11 @@ def decode(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     teacher_force_prob: jax.Array | float = 1.0,
+    emit: str = "logits",      # "logits" (B, L, V) | "tokens" (B, L) int32 —
+    #                            tokens skips materializing the logits tensor
+    #                            (saves B*L*V HBM writes on the serving path)
 ) -> jax.Array:
-    """-> logits (B, L, vocab). One lax.scan over L decode steps."""
+    """-> logits (B, L, vocab) or greedy tokens (B, L). One lax.scan."""
     b = enc_outs.shape[1]
     state2 = _prime_state2(params, spec, enc_outs)
 
@@ -112,16 +117,19 @@ def decode(
             spec.vocab_size)                                                # (B, V)
 
         next_words = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+        ys = next_words if emit == "tokens" else logits_t
         if train:
             # one coin per batch-step, as in the reference (S2VTModel.py:134-136)
             use_teacher = jax.random.uniform(k_tf, ()) < tf_prob
             next_words = jnp.where(use_teacher, s_in[:, i + 1], next_words)
-        return (out1, out2, next_words), logits_t
+        return (out1, out2, next_words), ys
 
     init_carry = (state1, state2, s_in[:, 0] if train else sos)
     xs = (jnp.arange(spec.max_len), step_keys)
-    _, logits = jax.lax.scan(step, init_carry, xs)
-    return jnp.transpose(logits, (1, 0, 2))  # (B, L, V)
+    _, out = jax.lax.scan(step, init_carry, xs)
+    if emit == "tokens":
+        return jnp.transpose(out, (1, 0))    # (B, L) int32
+    return jnp.transpose(out, (1, 0, 2))     # (B, L, V)
 
 
 def apply(
@@ -133,6 +141,7 @@ def apply(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     teacher_force_prob: jax.Array | float = 1.0,
+    emit: str = "logits",
 ) -> jax.Array:
     """Full forward (reference: S2VTModel.forward, S2VTModel.py:179-202)."""
     del s_len  # S2VT ignores lengths in the forward pass
@@ -141,7 +150,8 @@ def apply(
     vid_feats = vid_feats.astype(spec.cdtype)
     enc_outs, state1 = encode(params, spec, vid_feats)
     return decode(params, spec, enc_outs, state1, s,
-                  rng=rng, train=train, teacher_force_prob=teacher_force_prob)
+                  rng=rng, train=train, teacher_force_prob=teacher_force_prob,
+                  emit=emit)
 
 
 base.register("s2vt", init_params, apply)

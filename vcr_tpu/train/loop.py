@@ -45,10 +45,15 @@ def make_datasets(cfg: Config, vocab: Vocab, feat_type: str
                               cfg.num_frames, cfg.max_len, feat_type)
     val_ds = CaptionDataset(cfg.data_dir, cfg.corpus, "val", vocab,
                             cfg.num_frames, cfg.max_len, feat_type)
+    # multi-host: each process loads its shard of every batch's videos
+    # (the single-GPU reference had no equivalent; SURVEY §2 parallelism plan)
+    nproc, pidx = jax.process_count(), jax.process_index()
     train_it = BatchIterator(train_ds, cfg.bsize, shuffle=True, seed=cfg.seed,
-                             num_threads=cfg.nworkers)
+                             num_threads=cfg.nworkers,
+                             num_shards=nproc, shard_index=pidx)
     val_it = BatchIterator(val_ds, cfg.bsize, shuffle=False, seed=cfg.seed,
-                           num_threads=cfg.nworkers)
+                           num_threads=cfg.nworkers,
+                           num_shards=nproc, shard_index=pidx)
     return train_it, val_it
 
 
