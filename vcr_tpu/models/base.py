@@ -42,6 +42,11 @@ class ModelSpec:
     # they can never win argmax and contribute ~0 softmax mass — results match
     # the unpadded model to float tolerance. 1 = no padding (exact parity).
     vocab_pad_to: int = 1
+    # Run encoder GRUs through the Pallas fused-sequence kernel
+    # (vcr_tpu/ops/pallas_gru.py). On current TPU v5e it measures within noise
+    # of the XLA scan at these dims, so it defaults off; kept as a first-class
+    # switch for shapes where the kernel wins.
+    use_pallas: bool = False
 
     @property
     def padded_vocab_size(self) -> int:
@@ -76,6 +81,7 @@ def spec_from_config(cfg, vocab) -> ModelSpec:
         tf_layers=cfg.tf_layers,
         tf_heads=cfg.tf_heads,
         vocab_pad_to=cfg.vocab_pad_to,
+        use_pallas=cfg.use_pallas,
     )
 
 

@@ -43,6 +43,10 @@ def init_params(key: jax.Array, spec: base.ModelSpec, glove_vectors) -> dict:
 def encode(params, spec: base.ModelSpec, vid_feats: jax.Array):
     """vid_feats (B, N, V) -> (enc_outs (N, B, H), state1 (B, H))."""
     xs = jnp.transpose(vid_feats, (1, 0, 2))
+    if spec.use_pallas:
+        from vcr_tpu.ops.pallas_gru import gru_sequence_pallas
+
+        return gru_sequence_pallas(params["rnn1"], xs, compute_dtype=spec.cdtype)
     return gru_sequence(params["rnn1"], xs, compute_dtype=spec.cdtype)
 
 
