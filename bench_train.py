@@ -1,0 +1,67 @@
+"""Secondary benchmark: S2VT training-step throughput on one TPU chip.
+
+(The driver's headline benchmark is bench.py — inference. This measures the
+jitted train step — forward + backward + Adam + clip — at the reference's
+training configuration, reporting videos/sec and step time.)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _make_spec_and_params
+    from vcr_tpu.train import optim
+    from vcr_tpu.train.step import build_step_fns
+
+    batch = int(os.environ.get("VCR_BENCH_BATCH", "512"))
+    spec, params = _make_spec_and_params(
+        vocab_size=9000, embed_size=300, hidden=512, vid_feat=4096,
+        max_len=20, num_frames=30, compute_dtype="bfloat16", vocab_pad_to=128)
+
+    optimizer = optim.build_optimizer("adam", 2e-3, 4e-5, 1.0)
+    params = jax.device_put(params)
+    opt_state = optimizer.init(params)
+    train_step, _ = build_step_fns("s2vt", spec, optimizer)
+
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "vid_feats": jax.device_put(
+            rng.standard_normal((batch, 30, 4096)).astype(np.float32)
+        ).astype(jnp.bfloat16),
+        "sent": jax.device_put(rng.integers(0, 9000, (batch, 20)).astype(np.int32)),
+        "sent_len": jax.device_put(np.full((batch,), 12, np.int32)),
+        "valid": jax.device_put(np.ones((batch,), np.float32)),
+    }
+
+    iters = int(os.environ.get("VCR_BENCH_ITERS", "20"))
+    key = jax.random.PRNGKey(0)
+    # warm/compile
+    params, opt_state, m, _ = train_step(params, opt_state, batch_data, key, 1.0)
+    np.asarray(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, m, _ = train_step(params, opt_state, batch_data,
+                                             jax.random.fold_in(key, i), 1.0)
+    np.asarray(m["loss"])  # forced readback ends the timed region
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": f"S2VT train step videos/sec/chip (B={batch}, bf16)",
+        "value": round(batch * iters / dt, 2),
+        "unit": "videos/s",
+        "step_ms": round(dt / iters * 1e3, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,21 @@ def test_train_learns(tmp_path):
     assert last["acc"] > first["acc"]
 
 
+def test_train_learns_bf16(tmp_path):
+    """The bfloat16 compute path (the TPU default) also trains."""
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    _build(tmp)
+    first = train(tiny_config(tmp, epochs=1, dropout_p=0.0,
+                              compute_dtype="bfloat16",
+                              save_path=os.path.join(tmp, "b1")))
+    last = train(tiny_config(tmp, epochs=20, dropout_p=0.0,
+                             compute_dtype="bfloat16",
+                             save_path=os.path.join(tmp, "b20")))
+    assert last["loss"] < first["loss"]
+
+
 def test_resume_restores_iteration(tmp_path, capsys):
     from vcr_tpu.train.loop import train
 
