@@ -33,9 +33,11 @@ def main() -> None:
     from __graft_entry__ import _make_spec_and_params
 
     batch = int(os.environ.get("VCR_BENCH_BATCH", "2048"))
+    use_pallas = os.environ.get("VCR_BENCH_PALLAS", "1") == "1"
     spec, params = _make_spec_and_params(
         vocab_size=9000, embed_size=300, hidden=512, vid_feat=4096,
-        max_len=20, num_frames=30, compute_dtype="bfloat16", vocab_pad_to=128)
+        max_len=20, num_frames=30, compute_dtype="bfloat16", vocab_pad_to=128,
+        use_pallas=use_pallas)
 
     rng = np.random.default_rng(0)
     import jax.numpy as _jnp

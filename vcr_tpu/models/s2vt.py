@@ -67,7 +67,12 @@ def _prime_state2(params, spec: base.ModelSpec, enc_outs: jax.Array) -> jax.Arra
     rnn2 = params["rnn2"]
     sliced = dict(rnn2)
     sliced["w_ih"] = rnn2["w_ih"][: spec.hidden_size]
-    _, state2 = gru_sequence(sliced, enc_outs, compute_dtype=spec.cdtype)
+    if spec.use_pallas:
+        from vcr_tpu.ops.pallas_gru import gru_sequence_pallas
+
+        _, state2 = gru_sequence_pallas(sliced, enc_outs, compute_dtype=spec.cdtype)
+    else:
+        _, state2 = gru_sequence(sliced, enc_outs, compute_dtype=spec.cdtype)
     return state2
 
 

@@ -23,16 +23,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _gru_seq_kernel(xg_ref, whh_ref, bhh_ref, h0_ref, out_ref, h_scratch,
                     *, hidden: int, compute_dtype):
-    t = pl.program_id(0)
+    t = pl.program_id(1)  # grid = (batch_tiles, time); time iterates fastest
 
     @pl.when(t == 0)
     def _():
         h_scratch[:] = h0_ref[:]
 
-    h = h_scratch[:]  # (B, H) float32
+    h = h_scratch[:]  # (TB, H) float32
     h_gates = jnp.dot(h.astype(compute_dtype), whh_ref[:].astype(compute_dtype),
                       preferred_element_type=jnp.float32) + bhh_ref[:]
-    xg = xg_ref[0]    # (B, 3H) block for this step
+    xg = xg_ref[0].astype(jnp.float32)    # (TB, 3H) block for this step
 
     xr, xz, xn = (xg[:, :hidden], xg[:, hidden:2 * hidden], xg[:, 2 * hidden:])
     hr, hz, hn = (h_gates[:, :hidden], h_gates[:, hidden:2 * hidden],
@@ -46,38 +46,57 @@ def _gru_seq_kernel(xg_ref, whh_ref, bhh_ref, h0_ref, out_ref, h_scratch,
     out_ref[0] = h_new
 
 
+def _pick_batch_tile(b: int, hidden: int) -> int:
+    """Largest batch tile (multiple of 8 lanes' sublane) keeping the per-step
+    working set comfortably inside VMEM."""
+    # per-step working set counted with Pallas's double buffering of streamed
+    # blocks: 2x xg tile (bf16) + 2x out tile (f32) + 2x h0 (f32) + scratch
+    budget = 11 * 1024 * 1024
+    tile = b
+    while tile > 8:
+        per_step = 2 * tile * 3 * hidden * 2 + 5 * tile * hidden * 4
+        if per_step <= budget and b % tile == 0:
+            return tile
+        tile //= 2
+    return max(tile, 8)
+
+
 def gru_sequence_pallas(params, xs: jax.Array, h0=None,
                         compute_dtype=jnp.bfloat16, interpret: bool = False):
     """Drop-in replacement for rnn.gru_sequence: xs (T, B, I) ->
-    (outputs (T, B, H), h_last (B, H))."""
+    (outputs (T, B, H), h_last (B, H)). Batch-tiled grid: each tile runs its
+    full time recurrence with h resident in VMEM; x-gates stream in bf16."""
     from vcr_tpu.nn.layers import vdot
 
     t, b, i = xs.shape
     hidden = params["w_hh"].shape[0]
+    xg_dtype = jnp.float32 if compute_dtype == jnp.float32 else jnp.bfloat16
     x_gates = (vdot(xs.reshape(t * b, i), params["w_ih"], compute_dtype)
-               + params["b_ih"]).reshape(t, b, 3 * hidden).astype(jnp.float32)
+               + params["b_ih"]).reshape(t, b, 3 * hidden).astype(xg_dtype)
     if h0 is None:
         h0 = jnp.zeros((b, hidden), dtype=jnp.float32)
 
+    tile_b = _pick_batch_tile(b, hidden)
+    nb = b // tile_b
     kernel = functools.partial(_gru_seq_kernel, hidden=hidden,
                                compute_dtype=compute_dtype)
     outs = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(nb, t),
         in_specs=[
-            pl.BlockSpec((1, b, 3 * hidden), lambda s: (s, 0, 0),
+            pl.BlockSpec((1, tile_b, 3 * hidden), lambda nb_, t_: (t_, nb_, 0),
                          memory_space=pltpu.VMEM),           # x_gates, streamed
-            pl.BlockSpec((hidden, 3 * hidden), lambda s: (0, 0),
+            pl.BlockSpec((hidden, 3 * hidden), lambda nb_, t_: (0, 0),
                          memory_space=pltpu.VMEM),           # W_hh, pinned
-            pl.BlockSpec((3 * hidden,), lambda s: (0,),
+            pl.BlockSpec((3 * hidden,), lambda nb_, t_: (0,),
                          memory_space=pltpu.VMEM),           # b_hh
-            pl.BlockSpec((b, hidden), lambda s: (0, 0),
+            pl.BlockSpec((tile_b, hidden), lambda nb_, t_: (nb_, 0),
                          memory_space=pltpu.VMEM),           # h0
         ],
-        out_specs=pl.BlockSpec((1, b, hidden), lambda s: (s, 0, 0),
+        out_specs=pl.BlockSpec((1, tile_b, hidden), lambda nb_, t_: (t_, nb_, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((b, hidden), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile_b, hidden), jnp.float32)],
         interpret=interpret,
-    )(x_gates, params["w_hh"].astype(jnp.float32), params["b_hh"], h0)
+    )(x_gates, params["w_hh"].astype(compute_dtype), params["b_hh"], h0)
     return outs, outs[-1]
