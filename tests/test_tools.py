@@ -1,0 +1,52 @@
+"""verify_parity tool: a synthetic reference .net checkpoint round-trips
+through conversion and decodes the val split."""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def test_verify_parity_tool(tmp_path, tiny_vocab):
+    from tests.test_convert import TorchS2VT, torch_s2vt_greedy
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.config import Config
+    from vcr_tpu.tools import verify_parity
+
+    tmp = str(tmp_path)
+    build_corpus(os.path.join(tmp, "data"), num_frames=4, feat_dim=12,
+                 glove_dim=16)
+
+    cfg = Config(data_dir=os.path.join(tmp, "data"), corpus="msvd_vgg",
+                 arch="s2vt", glove_emb_file="glove_tiny.txt", num_frames=4,
+                 vid_feat_size=12, max_len=6, hidden_size=8, bsize=4,
+                 compute_dtype="float32", seed=123)
+
+    # a "reference" checkpoint: torch model with the reference's layout
+    from vcr_tpu.vocab import Vocab
+
+    vocab = Vocab(os.path.join(tmp, "data", "msvd_vgg", "glove",
+                               "glove_tiny.txt"), seed=cfg.seed)
+    tm = TorchS2VT(vocab.vocab_size, vocab.embed_size, cfg.hidden_size,
+                   cfg.vid_feat_size)
+    ckpt = os.path.join(tmp, "model_best.net")
+    torch.save({"state_dict": tm.state_dict(), "epoch": 3, "n_iter": 42}, ckpt)
+
+    out_file = os.path.join(tmp, "parity.json")
+    results = verify_parity(cfg, ckpt, out_file)
+    assert os.path.exists(out_file)
+    assert len(results) >= 2
+    assert all("caption" in r and "vid_key" in r for r in results)
+
+    # token-for-token vs the torch reimplementation of the reference decode
+    from vcr_tpu.data.pipeline import CaptionDataset
+
+    ds = CaptionDataset(os.path.join(tmp, "data"), "msvd_vgg", "val", vocab,
+                        cfg.num_frames, cfg.max_len)
+    feats = np.stack([ds.load_features(i) for i in range(len(ds))])
+    want = torch_s2vt_greedy(tm, torch.tensor(feats), cfg.max_len,
+                             vocab.sos_id, cfg.vid_feat_size, vocab.embed_size)
+    got = np.asarray([r["tokens"] for r in results])
+    np.testing.assert_array_equal(got, want)

@@ -9,6 +9,7 @@ plus eval_attention and bench.
 
 from __future__ import annotations
 
+import os
 import random
 import sys
 
@@ -60,6 +61,13 @@ def dispatch(cfg: Config) -> None:
         from vcr_tpu.evals.attention_export import run_export
 
         run_export(cfg)
+    elif cfg.mode == "verify_parity":
+        from vcr_tpu.tools import verify_parity
+
+        # pretrained_base carries the reference .net path for this mode
+        out = os.path.join(cfg.save_path, "parity.json")
+        verify_parity(cfg, cfg.pretrained_base, out)
+        print(f"parity decode written to {out}")
     else:
         raise NotImplementedError("unrecognized mode")
 

@@ -1,0 +1,64 @@
+"""Operational tools: reference-checkpoint parity verification.
+
+``verify_parity`` loads a reference PyTorch checkpoint (model_latest.net /
+model_best.net — torch.save dicts, reference train.py:183-205), converts it,
+greedy-decodes a feature directory with the converted weights, and writes the
+captions (plus tokens) for side-by-side comparison with the reference's
+output — the BASELINE.md decode-parity check as a command.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from vcr_tpu.config import Config
+from vcr_tpu.convert import load_reference_checkpoint
+from vcr_tpu.models import base as model_base
+from vcr_tpu.models import build_model
+from vcr_tpu.vocab import Vocab
+
+
+def greedy_captions(params, spec, vocab: Vocab, feats: np.ndarray,
+                    batch_size: int = 32) -> List[Dict]:
+    """feats (N_vids, num_frames, V) -> list of {tokens, caption}."""
+    _, apply_fn = build_model(spec.arch)
+    out = []
+    for start in range(0, len(feats), batch_size):
+        chunk = feats[start:start + batch_size]
+        result = apply_fn(params, spec, jnp.asarray(chunk), train=False)
+        logits = result[0] if isinstance(result, tuple) else result
+        tokens = np.asarray(jnp.argmax(logits, axis=-1))
+        for row in tokens:
+            out.append({"tokens": row.tolist(),
+                        "caption": vocab.get_sent_from_index(row)})
+    return out
+
+
+def verify_parity(cfg: Config, checkpoint_path: str,
+                  out_file: Optional[str] = None) -> List[Dict]:
+    """Decode every video of the corpus val split with a converted reference
+    checkpoint; write {vid_key, tokens, caption} JSON for comparison."""
+    vocab = Vocab(os.path.join(cfg.data_dir, cfg.corpus, "glove",
+                               cfg.glove_emb_file), seed=cfg.seed)
+    spec = model_base.spec_from_config(cfg, vocab)
+    params, meta = load_reference_checkpoint(checkpoint_path, spec, cfg.arch)
+
+    from vcr_tpu.data.pipeline import CaptionDataset
+
+    feat_type = "yolo" if cfg.arch == "spatial" else "cnn"
+    ds = CaptionDataset(cfg.data_dir, cfg.corpus, "val", vocab,
+                        cfg.num_frames, cfg.max_len, feat_type)
+    feats = np.stack([ds.load_features(i) for i in range(len(ds))])
+    keys = [ds.captions[i][ds.key_field] for i in range(len(ds))]
+
+    captions = greedy_captions(params, spec, vocab, feats, cfg.bsize)
+    results = [{"vid_key": k, **c} for k, c in zip(keys, captions)]
+    if out_file:
+        with open(out_file, "w") as f:
+            json.dump(results, f, indent=2)
+    return results
