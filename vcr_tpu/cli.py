@@ -57,6 +57,10 @@ def dispatch(cfg: Config) -> None:
         from vcr_tpu.train.loop import train
 
         train(cfg)
+    elif cfg.mode == "eval":
+        from vcr_tpu.train.loop import evaluate_checkpoint
+
+        evaluate_checkpoint(cfg, cfg.pretrained_base or "")
     elif cfg.mode == "eval_attention":
         from vcr_tpu.evals.attention_export import run_export
 

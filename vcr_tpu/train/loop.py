@@ -88,6 +88,35 @@ def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0):
     return avg, sampler.get(), time.time() - t0
 
 
+def evaluate_checkpoint(cfg: Config, ckpt_path: str = "") -> Dict[str, float]:
+    """Eval-only: load a vcr_tpu checkpoint (default <save_path>/model_best)
+    and run the validation pass (metrics incl. METEOR/BLEU-4/CIDEr)."""
+    mode = cfg.mode if cfg.mode in WORKLOADS else "train"
+    model_name_fn, log_keys, feat_type, _ = WORKLOADS[mode]
+    model_name = model_name_fn(cfg)
+
+    vocab = Vocab(os.path.join(cfg.data_dir, cfg.corpus, "glove", cfg.glove_emb_file),
+                  seed=cfg.seed)
+    spec = model_base.spec_from_config(cfg, vocab)
+    _, val_it = make_datasets(cfg, vocab, feat_type)
+
+    init_fn, _ = model_base.build_model(model_name)
+    params = init_fn(jax.random.PRNGKey(cfg.seed), spec, vocab.vectors)
+    optimizer = optim.build_optimizer(cfg.optim, cfg.lr, cfg.wd, cfg.max_norm)
+    opt_state = optimizer.init(params)
+    path = ckpt_path or ckpt.best_path(cfg.save_path)
+    params, _, meta = ckpt.load_checkpoint(path, params, opt_state)
+    _, eval_step = build_step_fns(model_name, spec, optimizer,
+                                  cfg.lambda_brev, cfg.lambda_cont)
+
+    metrics, samples, time_taken = evaluate(
+        eval_step, params, val_it, vocab, log_keys, cfg.n_sample_sent, cfg.seed)
+    print(f"Eval of {path} (epoch {meta.get('epoch')}): "
+          + ", ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+    print_sample_sents(samples)
+    return metrics
+
+
 def train(cfg: Config) -> Dict[str, float]:
     """Entry point for modes train / train_rationale / train_spatial."""
     mode = cfg.mode if cfg.mode in WORKLOADS else "train"
