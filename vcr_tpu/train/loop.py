@@ -199,10 +199,16 @@ def train(cfg: Config) -> Dict[str, float]:
                 step_key = jax.random.fold_in(root_key, logger.n_iter + 1)
                 params, opt_state, m, pred = train_step(
                     params, opt_state, device_batch(batch), step_key, tf_prob)
-                n_valid = int(batch["valid"].sum())
-                hyps = vocab.get_sents_from_indexes(np.asarray(pred)[:n_valid])
-                for hyp, refs, vk in zip(hyps, batch["refs"], batch["vid_key"]):
-                    sampler.add((hyp, refs[rnd.integers(len(refs))], vk))
+                # lazy reservoir: only the few winning rows are fetched to
+                # host, keeping the step loop free of per-batch device syncs
+                # (unlike reference train.py:151)
+                for j, (refs, vk) in enumerate(zip(batch["refs"],
+                                                   batch["vid_key"])):
+                    key = sampler.draw_key()
+                    if sampler.would_accept(key):
+                        hyp = vocab.get_sent_from_index(np.asarray(pred[j]))
+                        sampler.add_with_key(
+                            key, (hyp, refs[rnd.integers(len(refs))], vk))
                 logger.update(m)
             for k, v in timer.summary().items():
                 logger.log_scalar(f"perf/{k}", v)

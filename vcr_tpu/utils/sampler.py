@@ -16,11 +16,25 @@ class StreamSampler:
         self.samples: List = []
         self._rand = random.Random(seed)
 
-    def add(self, obj: Any) -> None:
-        self.samples.append((self._rand.random(), obj))
+    def draw_key(self) -> float:
+        return self._rand.random()
+
+    def would_accept(self, key: float) -> bool:
+        """True if an item with this reservoir key would enter the sample.
+        Lets callers skip materializing items that won't be kept — on TPU this
+        avoids a device->host sync per batch (the reference synced every batch,
+        train.py:151)."""
+        return (len(self.samples) < self.num_samples
+                or key < self.samples[-1][0])
+
+    def add_with_key(self, key: float, obj: Any) -> None:
+        self.samples.append((key, obj))
         self.samples.sort(key=lambda x: x[0])
         if len(self.samples) > self.num_samples:
             self.samples = self.samples[:-1]
+
+    def add(self, obj: Any) -> None:
+        self.add_with_key(self.draw_key(), obj)
 
     def get(self) -> List[Any]:
         return [s[1] for s in self.samples]
