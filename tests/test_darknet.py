@@ -131,6 +131,26 @@ def test_real_yolov3_get_feats_cut():
     assert det_all.shape == (1, (4 + 16 + 64) * 3, 85)
 
 
+def test_reorg_matches_torch_reference_math():
+    """reorg vs a torch replication of the reference ReOrgLayer view/transpose
+    chain (darknet.py:183-195)."""
+    torch = pytest.importorskip("torch")
+
+    def torch_reorg(x, stride=2):
+        B, C, H, W = x.shape
+        hs = ws = stride
+        x = x.view(B, C, H // hs, hs, W // ws, ws).transpose(-2, -3).contiguous()
+        x = x.view(B, C, H // hs * W // ws, hs, ws)
+        x = x.view(B, C, H // hs * W // ws, hs * ws).transpose(-1, -2).contiguous()
+        x = x.view(B, C, ws * hs, H // ws, W // ws).transpose(1, 2).contiguous()
+        return x.view(B, C * ws * hs, H // ws, W // ws)
+
+    x = np.random.default_rng(0).standard_normal((2, 3, 4, 6)).astype(np.float32)
+    want = torch_reorg(torch.tensor(x)).numpy()
+    got = np.asarray(darknet.reorg(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_predict_transform_math():
     """Zero logits -> sigmoid=0.5 everywhere, wh = anchors, boxes*stride."""
     grid, na, nc, inp = 2, 2, 1, 8  # stride 4

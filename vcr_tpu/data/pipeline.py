@@ -51,6 +51,7 @@ class CaptionDataset:
             self.vid_feat_dir = os.path.join(self.corpus_dir, "bbox_feats/")
         else:
             raise NotImplementedError("unknown feat_type")  # dataset.py:59-60
+        self._cache = None
 
     def __len__(self) -> int:
         return len(self.captions)
@@ -58,11 +59,24 @@ class CaptionDataset:
     def load_features(self, idx: int) -> np.ndarray:
         """Load one video's features, zero-pad/truncate to num_frames
         (dataset.py:76-78). Works for (N, V) CNN feats and (N, F, K, K) YOLO."""
+        if self._cache is not None:
+            hit = self._cache.get(idx)
+            if hit is not None:
+                return hit
         key = self.captions[idx][self.key_field]
         feats = np.load(os.path.join(self.vid_feat_dir, key + ".npy"))
         pad = np.zeros((max(0, self.num_frames - feats.shape[0]), *feats.shape[1:]),
                        dtype=feats.dtype)
-        return np.concatenate([feats, pad], axis=0)[: self.num_frames].astype(np.float32)
+        out = np.concatenate([feats, pad], axis=0)[: self.num_frames] \
+            .astype(np.float32)
+        if self._cache is not None:
+            self._cache[idx] = out
+        return out
+
+    def enable_cache(self) -> None:
+        """Keep decoded features in RAM across epochs (MSVD's full feature set
+        is ~1 GB; the reference re-read every .npy every epoch)."""
+        self._cache = {}
 
     def item(self, idx: int, cap_choice: int) -> Dict:
         """One sample dict (dataset.py:73-89). cap_choice picks the caption

@@ -81,6 +81,8 @@ def build_filter_chain(blocks: List[Dict]) -> List[int]:
                 prev = out[index + layers[0]]
             else:
                 prev = out[index + layers[0]] + out[index + layers[1]]
+        elif t == "reorg":
+            prev = prev * int(b.get("stride", 2)) ** 2
         elif t in ("shortcut", "upsample", "maxpool", "yolo"):
             pass  # channel count unchanged
         else:
@@ -206,6 +208,20 @@ def _upsample2(x: jax.Array) -> jax.Array:
     return x.reshape(b, c, 2 * h, 2 * w)
 
 
+def reorg(x: jax.Array, stride: int = 2) -> jax.Array:
+    """Space-to-depth ReOrg (darknet.py:178-195; vestigial in yolov3.cfg but
+    part of the cfg dialect — kept for cfg files that use it). Matches the
+    reference's channel ordering: (B, C, H, W) -> (B, C*s*s, H/s, W/s) with the
+    s*s spatial phases becoming the leading channel factor."""
+    b, c, h, w = x.shape
+    hs = ws = stride
+    assert h % hs == 0 and w % ws == 0
+    x = x.reshape(b, c, h // hs, hs, w // ws, ws).transpose(0, 1, 2, 4, 3, 5)
+    x = x.reshape(b, c, (h // hs) * (w // ws), hs * ws).transpose(0, 1, 3, 2)
+    x = x.reshape(b, c, ws * hs, h // ws, w // ws).transpose(0, 2, 1, 3, 4)
+    return x.reshape(b, c * ws * hs, h // ws, w // ws)
+
+
 def _maxpool(x: jax.Array, size: int, stride: int) -> jax.Array:
     if stride != 1:
         return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
@@ -290,6 +306,8 @@ class Darknet:
                 else:
                     x = jnp.concatenate([outputs[i + layers[0]],
                                          outputs[i + layers[1]]], axis=1)
+            elif t == "reorg":
+                x = reorg(x, int(b.get("stride", 2)))
             elif t == "shortcut":
                 x = outputs[i - 1] + outputs[i + int(b["from"])]
             elif t == "yolo":

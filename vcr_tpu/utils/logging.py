@@ -69,6 +69,8 @@ class TrainLogger:
         self.reset()
 
     def log_valid(self, time_taken: float, metrics: Dict) -> None:
+        # exclude validation time from the next train window (logger.py:60)
+        self.time_start += time_taken
         vals = {k: _to_float(metrics[k]) for k in self.log_keys}
         if self.writer:
             for k, v in vals.items():
