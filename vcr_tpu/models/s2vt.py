@@ -90,8 +90,24 @@ def decode(
     #                            (saves B*L*V HBM writes on the serving path)
 ) -> jax.Array:
     """-> logits (B, L, vocab) or greedy tokens (B, L). One lax.scan."""
-    b = enc_outs.shape[1]
     state2 = _prime_state2(params, spec, enc_outs)
+    return decode_from_states(params, spec, state1, state2, s, rng=rng,
+                              train=train, teacher_force_prob=teacher_force_prob,
+                              emit=emit)
+
+
+def decode_from_states(
+    params,
+    spec: base.ModelSpec,
+    state1: jax.Array,         # (B, H)
+    state2: jax.Array,         # (B, H) primed GRU2 state
+    s: Optional[jax.Array],
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    teacher_force_prob: jax.Array | float = 1.0,
+    emit: str = "logits",
+) -> jax.Array:
+    b = state1.shape[0]
 
     # GRU1's decode-phase input is a zero frame, so its input gates are the
     # constant bias — hoisted out of the scan (S2VTModel.py:122 feeds zeros).
@@ -157,6 +173,10 @@ def apply(
     # feed features at compute precision: halves the HBM stream into the
     # encoder's input projection (no-op in float32 parity mode)
     vid_feats = vid_feats.astype(spec.cdtype)
+    # (a transpose-free batch-major pallas path exists —
+    # ops.pallas_gru.gru_sequence_pallas_bt — but its strided 2D block DMA
+    # measured slower than transposing + time-major streaming, so encode()
+    # keeps the time-major kernel)
     enc_outs, state1 = encode(params, spec, vid_feats)
     return decode(params, spec, enc_outs, state1, s,
                   rng=rng, train=train, teacher_force_prob=teacher_force_prob,

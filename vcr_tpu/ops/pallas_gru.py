@@ -22,7 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _gru_seq_kernel(xg_ref, whh_ref, bhh_ref, h0_ref, out_ref, h_scratch,
-                    *, hidden: int, compute_dtype):
+                    *, hidden: int, compute_dtype, time_major: bool):
     t = pl.program_id(1)  # grid = (batch_tiles, time); time iterates fastest
 
     @pl.when(t == 0)
@@ -32,7 +32,9 @@ def _gru_seq_kernel(xg_ref, whh_ref, bhh_ref, h0_ref, out_ref, h_scratch,
     h = h_scratch[:]  # (TB, H) float32
     h_gates = jnp.dot(h.astype(compute_dtype), whh_ref[:].astype(compute_dtype),
                       preferred_element_type=jnp.float32) + bhh_ref[:]
-    xg = xg_ref[0].astype(jnp.float32)    # (TB, 3H) block for this step
+    # block is (1, TB, 3H) in time-major layout; in batch-major the gates are
+    # viewed as (B, T*3H) and the block is a 2D (TB, 3H) column slice
+    xg = (xg_ref[0] if time_major else xg_ref[:]).astype(jnp.float32)
 
     xr, xz, xn = (xg[:, :hidden], xg[:, hidden:2 * hidden], xg[:, 2 * hidden:])
     hr, hz, hn = (h_gates[:, :hidden], h_gates[:, hidden:2 * hidden],
@@ -43,7 +45,10 @@ def _gru_seq_kernel(xg_ref, whh_ref, bhh_ref, h0_ref, out_ref, h_scratch,
     h_new = (1.0 - z) * n + z * h
 
     h_scratch[:] = h_new
-    out_ref[0] = h_new
+    if time_major:
+        out_ref[0] = h_new
+    else:
+        out_ref[:] = h_new
 
 
 def _pick_batch_tile(b: int, hidden: int) -> int:
@@ -61,6 +66,57 @@ def _pick_batch_tile(b: int, hidden: int) -> int:
     return max(tile, 8)
 
 
+def _run_gru_kernel(params, x_gates, h0, *, hidden, compute_dtype, time_major,
+                    interpret):
+    """Shared pallas_call for both layouts. x_gates: (T, B, 3H) time-major or
+    (B, T, 3H) batch-major; outputs mirror the input layout."""
+    if time_major:
+        t, b, _ = x_gates.shape
+        out_shape = (t, b, hidden)
+    else:
+        b, t, _ = x_gates.shape
+        # 2D views satisfy the TPU lowering's last-two-dims tiling rule
+        x_gates = x_gates.reshape(b, t * 3 * hidden)
+        out_shape = (b, t * hidden)
+    tile_b = _pick_batch_tile(b, hidden)
+    nb = b // tile_b
+    if time_major:
+        xg_spec = pl.BlockSpec((1, tile_b, 3 * hidden),
+                               lambda nb_, t_: (t_, nb_, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, tile_b, hidden),
+                                lambda nb_, t_: (t_, nb_, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        xg_spec = pl.BlockSpec((tile_b, 3 * hidden),
+                               lambda nb_, t_: (nb_, t_),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((tile_b, hidden),
+                                lambda nb_, t_: (nb_, t_),
+                                memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_gru_seq_kernel, hidden=hidden,
+                               compute_dtype=compute_dtype,
+                               time_major=time_major)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, t),
+        in_specs=[
+            xg_spec,                                          # x_gates, streamed
+            pl.BlockSpec((hidden, 3 * hidden), lambda nb_, t_: (0, 0),
+                         memory_space=pltpu.VMEM),            # W_hh, pinned
+            pl.BlockSpec((3 * hidden,), lambda nb_, t_: (0,),
+                         memory_space=pltpu.VMEM),            # b_hh
+            pl.BlockSpec((tile_b, hidden), lambda nb_, t_: (nb_, 0),
+                         memory_space=pltpu.VMEM),            # h0
+        ],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_b, hidden), jnp.float32)],
+        interpret=interpret,
+    )(x_gates, params["w_hh"].astype(compute_dtype), params["b_hh"], h0)
+
+
 def gru_sequence_pallas(params, xs: jax.Array, h0=None,
                         compute_dtype=jnp.bfloat16, interpret: bool = False):
     """Drop-in replacement for rnn.gru_sequence: xs (T, B, I) ->
@@ -75,28 +131,28 @@ def gru_sequence_pallas(params, xs: jax.Array, h0=None,
                + params["b_ih"]).reshape(t, b, 3 * hidden).astype(xg_dtype)
     if h0 is None:
         h0 = jnp.zeros((b, hidden), dtype=jnp.float32)
-
-    tile_b = _pick_batch_tile(b, hidden)
-    nb = b // tile_b
-    kernel = functools.partial(_gru_seq_kernel, hidden=hidden,
-                               compute_dtype=compute_dtype)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(nb, t),
-        in_specs=[
-            pl.BlockSpec((1, tile_b, 3 * hidden), lambda nb_, t_: (t_, nb_, 0),
-                         memory_space=pltpu.VMEM),           # x_gates, streamed
-            pl.BlockSpec((hidden, 3 * hidden), lambda nb_, t_: (0, 0),
-                         memory_space=pltpu.VMEM),           # W_hh, pinned
-            pl.BlockSpec((3 * hidden,), lambda nb_, t_: (0,),
-                         memory_space=pltpu.VMEM),           # b_hh
-            pl.BlockSpec((tile_b, hidden), lambda nb_, t_: (nb_, 0),
-                         memory_space=pltpu.VMEM),           # h0
-        ],
-        out_specs=pl.BlockSpec((1, tile_b, hidden), lambda nb_, t_: (t_, nb_, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tile_b, hidden), jnp.float32)],
-        interpret=interpret,
-    )(x_gates, params["w_hh"].astype(compute_dtype), params["b_hh"], h0)
+    outs = _run_gru_kernel(params, x_gates, h0, hidden=hidden,
+                           compute_dtype=compute_dtype, time_major=True,
+                           interpret=interpret)
     return outs, outs[-1]
+
+
+def gru_sequence_pallas_bt(params, xs_bt: jax.Array, h0=None,
+                           compute_dtype=jnp.bfloat16, interpret: bool = False):
+    """Batch-major variant: xs (B, T, I) -> (outputs (B, T, H), h_last (B, H)).
+    The kernel's block index map reads the natural layout directly, so neither
+    the inputs nor the gate tensor is ever transposed — at B=2048/V=4096 this
+    removes ~1 GB of pure layout traffic per encoder call."""
+    from vcr_tpu.nn.layers import vdot
+
+    b, t, i = xs_bt.shape
+    hidden = params["w_hh"].shape[0]
+    xg_dtype = jnp.float32 if compute_dtype == jnp.float32 else jnp.bfloat16
+    x_gates = (vdot(xs_bt.reshape(b * t, i), params["w_ih"], compute_dtype)
+               + params["b_ih"]).reshape(b, t, 3 * hidden).astype(xg_dtype)
+    if h0 is None:
+        h0 = jnp.zeros((b, hidden), dtype=jnp.float32)
+    outs = _run_gru_kernel(params, x_gates, h0, hidden=hidden,
+                           compute_dtype=compute_dtype, time_major=False,
+                           interpret=interpret).reshape(b, t, hidden)
+    return outs, outs[:, -1]
