@@ -20,6 +20,21 @@ def test_pallas_gru_matches_scan(rng):
     np.testing.assert_allclose(np.asarray(h_last), np.asarray(ref_h), atol=1e-5)
 
 
+def test_pallas_gru_batch_major_matches_scan(rng):
+    t, b, i, h = 5, 8, 12, 128
+    from vcr_tpu.ops.pallas_gru import gru_sequence_pallas_bt
+
+    params = rnn.gru_init(jax.random.PRNGKey(2), i, h)
+    xs = jnp.asarray(rng.standard_normal((t, b, i)).astype(np.float32))
+    ref_outs, ref_h = rnn.gru_sequence(params, xs, compute_dtype=jnp.float32)
+    outs_bt, h_last = gru_sequence_pallas_bt(params, xs.transpose(1, 0, 2),
+                                             compute_dtype=jnp.float32,
+                                             interpret=True)
+    np.testing.assert_allclose(np.asarray(outs_bt),
+                               np.asarray(ref_outs.transpose(1, 0, 2)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_last), np.asarray(ref_h), atol=1e-5)
+
+
 def test_pallas_gru_with_h0(rng):
     t, b, i, h = 4, 8, 8, 128
     params = rnn.gru_init(jax.random.PRNGKey(1), i, h)
