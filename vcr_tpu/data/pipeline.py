@@ -20,10 +20,39 @@ I/O, so this replaces torch's worker processes (num_workers=4) without IPC.
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+
+def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
+    """Run the underlying iterator in a background thread with a bounded
+    queue, overlapping host-side batch assembly (and the device upload that
+    jax dispatches asynchronously) with the current step's compute."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # surface loader errors in the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+    if err:
+        raise err[0]
 
 from vcr_tpu.data.captions import read_caption_file
 from vcr_tpu.vocab import Vocab

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from vcr_tpu.config import Config
-from vcr_tpu.data.pipeline import BatchIterator, CaptionDataset
+from vcr_tpu.data.pipeline import BatchIterator, CaptionDataset, prefetch
 from vcr_tpu.evals import metrics as qmetrics
 from vcr_tpu.models import base as model_base
 from vcr_tpu.train import checkpoint as ckpt
@@ -68,8 +68,9 @@ def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0):
     all_hyps, all_refs = [], []
     rnd = np.random.default_rng(seed)
 
-    for batch in val_it:
+    for batch in prefetch(val_it):
         m, pred = eval_step(params, device_batch(batch))
+        m, pred = jax.device_get((m, pred))  # one bulk transfer per batch
         n_valid = int(batch["valid"].sum())
         hyps = vocab.get_sents_from_indexes(np.asarray(pred)[:n_valid])
         for hyp, refs, vk in zip(hyps, batch["refs"], batch["vid_key"]):
@@ -194,7 +195,7 @@ def train(cfg: Config) -> Dict[str, float]:
             rnd = np.random.default_rng(cfg.seed + epoch)
 
             timer.reset()
-            for batch in train_it:
+            for batch in prefetch(train_it):
                 timer.tick()
                 step_key = jax.random.fold_in(root_key, logger.n_iter + 1)
                 params, opt_state, m, pred = train_step(

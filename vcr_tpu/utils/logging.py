@@ -58,7 +58,12 @@ class TrainLogger:
     def log_train(self) -> None:
         assert self.num_batches
         time_taken = time.time() - self.time_start
-        means = {k: float(np.mean([_to_float(m[k]) for m in self._window]))
+        # one bulk device->host transfer for the whole window (per-scalar
+        # fetches cost a full round trip each on remote-attached TPUs)
+        import jax
+
+        window = jax.device_get(self._window)
+        means = {k: float(np.mean([_to_float(m[k]) for m in window]))
                  for k in self.log_keys}
         if self.writer:
             for k, v in means.items():
