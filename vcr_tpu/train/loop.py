@@ -57,7 +57,18 @@ def make_datasets(cfg: Config, vocab: Vocab, feat_type: str
     return train_it, val_it
 
 
-def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0):
+def _staged(it, place=None):
+    """Start each batch's host->device transfer from the prefetch thread so
+    the upload overlaps the previous step's compute. ``place`` maps the array
+    fields onto devices (default single-device put; mesh runs shard here)."""
+    place = place or (lambda b: jax.device_put(b))
+    for batch in it:
+        batch["_device"] = place(device_batch(batch))
+        yield batch
+
+
+def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0,
+             place=None):
     """Validation pass (reference train.py:46-76): per-batch metrics averaged
     over batches, per-sample METEOR, sampled (hyp, ref, vid) triples. Adds
     corpus BLEU-4 and CIDEr-D over the whole split."""
@@ -68,8 +79,8 @@ def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0):
     all_hyps, all_refs = [], []
     rnd = np.random.default_rng(seed)
 
-    for batch in prefetch(val_it):
-        m, pred = eval_step(params, device_batch(batch))
+    for batch in prefetch(_staged(val_it, place)):
+        m, pred = eval_step(params, batch["_device"])
         m, pred = jax.device_get((m, pred))  # one bulk transfer per batch
         n_valid = int(batch["valid"].sum())
         hyps = vocab.get_sents_from_indexes(np.asarray(pred)[:n_valid])
@@ -160,10 +171,9 @@ def train(cfg: Config) -> Dict[str, float]:
     if mesh is not None:
         from vcr_tpu.parallel import shard_batch
 
-        _train_step, _eval_step = train_step, eval_step
-        train_step = lambda p, o, b, k, tf: _train_step(  # noqa: E731
-            p, o, shard_batch(b, mesh), k, tf)
-        eval_step = lambda p, b: _eval_step(p, shard_batch(b, mesh))  # noqa: E731
+        place = lambda b: shard_batch(b, mesh)  # noqa: E731
+    else:
+        place = None
 
     tf_probs = schedule.teacher_force_schedule(
         cfg.epochs, cfg.schedule_sample if use_tf_schedule else False)
@@ -195,11 +205,11 @@ def train(cfg: Config) -> Dict[str, float]:
             rnd = np.random.default_rng(cfg.seed + epoch)
 
             timer.reset()
-            for batch in prefetch(train_it):
+            for batch in prefetch(_staged(train_it, place)):
                 timer.tick()
                 step_key = jax.random.fold_in(root_key, logger.n_iter + 1)
                 params, opt_state, m, pred = train_step(
-                    params, opt_state, device_batch(batch), step_key, tf_prob)
+                    params, opt_state, batch["_device"], step_key, tf_prob)
                 # lazy reservoir: only the few winning rows are fetched to
                 # host, keeping the step loop free of per-batch device syncs
                 # (unlike reference train.py:151)
@@ -217,7 +227,7 @@ def train(cfg: Config) -> Dict[str, float]:
             with annotate("evaluate"):
                 val_metrics, val_samples, time_taken = evaluate(
                     eval_step, params, val_it, vocab, log_keys, cfg.n_sample_sent,
-                    cfg.seed)
+                    cfg.seed, place)
 
             print("\n" + "*" * 34 + " TRAIN " + "*" * 34)
             print_sample_sents(sampler.get())
