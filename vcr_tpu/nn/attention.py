@@ -19,8 +19,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from vcr_tpu.nn import init as vinit
-from vcr_tpu.nn.layers import dense, dense_init, dropout, vdot
+from vcr_tpu.nn.layers import dense, dense_init, dropout
 
 
 # ---------------- Bahdanau (additive) attention ----------------

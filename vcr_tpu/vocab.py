@@ -12,7 +12,7 @@ seeded random-normal vectors (reference: utils.py:42-50).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
