@@ -39,14 +39,13 @@ def main() -> None:
         max_len=20, num_frames=30, compute_dtype="bfloat16", vocab_pad_to=128,
         use_pallas=use_pallas)
 
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(0)
-    import jax.numpy as _jnp
     vid_feats = jax.device_put(
         rng.standard_normal((batch, 30, 4096)).astype(np.float32)
-    ).astype(_jnp.bfloat16)
+    ).astype(jnp.bfloat16)
     params = jax.device_put(params)
-
-    import jax.numpy as jnp
 
     iters = int(os.environ.get("VCR_BENCH_ITERS", "20"))
 

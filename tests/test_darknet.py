@@ -78,10 +78,8 @@ def test_parse_real_yolov3_cfg():
     assert chain[[b["type"] for b in blocks[1:]].index("yolo") - 1] == 255
 
 
-def test_shortcut_is_invalid_tiny_but_shapes_flow(tiny_cfg):
-    # note: the tiny cfg's shortcut adds mismatched shapes intentionally? no —
-    # keep it valid: conv(8) -> conv(16, s2) -> shortcut from=-2 would mismatch.
-    # We only check the filter chain bookkeeping here.
+def test_tiny_cfg_filter_chain(tiny_cfg):
+    """Filter-chain bookkeeping through conv/shortcut/conv/yolo blocks."""
     blocks = darknet.parse_cfg(tiny_cfg)
     chain = darknet.build_filter_chain(blocks)
     assert chain == [8, 16, 16, 24, 24]

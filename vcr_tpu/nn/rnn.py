@@ -42,14 +42,12 @@ def gru_gates(x_gates: jax.Array, h: jax.Array, params, compute_dtype=jnp.bfloat
     torch semantics: r = σ(xr + hr); z = σ(xz + hz); n = tanh(xn + r∘hn);
     h' = (1-z)∘n + z∘h.
     """
-    hidden = h.shape[-1]
     h_gates = vdot(h, params["w_hh"], compute_dtype) + params["b_hh"]
     xr, xz, xn = jnp.split(x_gates, 3, axis=-1)
     hr, hz, hn = jnp.split(h_gates, 3, axis=-1)
     r = jax.nn.sigmoid(xr + hr)
     z = jax.nn.sigmoid(xz + hz)
     n = jnp.tanh(xn + r * hn)
-    del hidden
     return (1.0 - z) * n + z * h
 
 
