@@ -21,6 +21,56 @@ def _small_widths():
     return small_mha, (lambda flag: 12 if flag == "e" else 16)
 
 
+def test_fast_decode_equals_parity_modulo_pe_scale(tiny_vocab, rng):
+    """With the reference's sqrt(prefix_len) PE scale neutralized, the
+    KV-cached fast decode must produce exactly the parity decode's tokens —
+    proving the cache machinery itself is correct. (With the scale active the
+    two modes differ by design; see decode_greedy_fast docstring.)"""
+    orig = (tr.mha_init, tr._width, tr._pe_scale)
+    try:
+        tr.mha_init, tr._width = _small_widths()
+        tr._pe_scale = lambda n: jnp.float32(1.0)
+        spec = base.ModelSpec(
+            arch="transformer", vocab_size=tiny_vocab.vocab_size,
+            embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
+            max_len=6, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+            compute_dtype="float32", tf_layers=2, tf_heads=2)
+        params = tr.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+        vid = jnp.asarray(rng.standard_normal((3, 4, 12)), dtype=jnp.float32)
+
+        src_mask = tr.create_masks_inp(vid)
+        e_out = tr.encode(params, spec, vid, src_mask, jax.random.PRNGKey(0),
+                          train=False)
+        parity = np.asarray(jnp.argmax(
+            tr.decode_greedy(params, spec, e_out, src_mask), axis=-1))
+        fast = np.asarray(tr.decode_greedy_fast(params, spec, e_out))
+        np.testing.assert_array_equal(fast, parity)
+    finally:
+        tr.mha_init, tr._width, tr._pe_scale = orig
+
+
+def test_fast_decode_shapes_and_determinism(tiny_vocab, rng):
+    orig = (tr.mha_init, tr._width)
+    try:
+        tr.mha_init, tr._width = _small_widths()
+        spec = base.ModelSpec(
+            arch="transformer", vocab_size=tiny_vocab.vocab_size,
+            embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
+            max_len=5, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+            compute_dtype="float32", tf_layers=2, tf_heads=2)
+        params = tr.init_params(jax.random.PRNGKey(1), spec, tiny_vocab.vectors)
+        vid = jnp.asarray(rng.standard_normal((2, 4, 12)), dtype=jnp.float32)
+        src_mask = tr.create_masks_inp(vid)
+        e_out = tr.encode(params, spec, vid, src_mask, jax.random.PRNGKey(0),
+                          train=False)
+        t1 = np.asarray(tr.decode_greedy_fast(params, spec, e_out))
+        t2 = np.asarray(tr.decode_greedy_fast(params, spec, e_out))
+        assert t1.shape == (2, spec.max_len) and t1.dtype == np.int32
+        np.testing.assert_array_equal(t1, t2)
+    finally:
+        tr.mha_init, tr._width = orig
+
+
 def test_transformer_beam1_equals_greedy(tiny_vocab, rng):
     orig = (tr.mha_init, tr._width)
     try:

@@ -148,11 +148,18 @@ def init_params(key: jax.Array, spec: base.ModelSpec, glove_vectors) -> dict:
     }
 
 
+def _pe_scale(scale_len) -> jax.Array:
+    """The reference's sqrt(seq_len) embedding scale (TransformerNet.py:129).
+    Factored out so tests can neutralize it when proving the KV-cached fast
+    decode equals the parity decode modulo this scale."""
+    return jnp.sqrt(jnp.asarray(scale_len, jnp.float32))
+
+
 def _apply_pe(pe: jax.Array, x: jax.Array, scale_len) -> jax.Array:
     """x * sqrt(scale_len) + pe[:L] — the reference's sqrt(x.shape[1]) scaling
     (TransformerNet.py:127-134). scale_len may be a traced scalar (decode)."""
     seq_len = x.shape[1]
-    return x * jnp.sqrt(jnp.asarray(scale_len, jnp.float32)) + pe[None, :seq_len, :]
+    return x * _pe_scale(scale_len) + pe[None, :seq_len, :]
 
 
 def _run_stack(layer_fn, stacked_params, x, key, n_layers, *args):
@@ -243,6 +250,102 @@ def decode_greedy(params, spec: base.ModelSpec, e_outputs, src_mask) -> jax.Arra
 
     outputs, logits = jax.lax.scan(step, outputs0, jnp.arange(l))
     return jnp.transpose(logits, (1, 0, 2))  # (B, L, V)
+
+
+def decode_greedy_fast(params, spec: base.ModelSpec, e_outputs, src_mask=None
+                       ) -> jax.Array:
+    """KV-cached greedy decode — the SERVING mode, ~L× fewer decoder FLOPs.
+
+    NOT token-parity with the reference: the reference rescales the WHOLE
+    prefix by sqrt(prefix_len) every step (TransformerNet.py:129), which
+    invalidates any cache. Here each token keeps the sqrt(i+1) scale from the
+    step it was emitted, so K/V of past positions are reusable. Use
+    decode_greedy for reference parity; use this for throughput serving.
+
+    Returns greedy tokens (B, L) int32.
+    """
+    del src_mask  # all-ones in the reference; cross-attention is unmasked
+    dec = params["decoder"]
+    layers = dec["layers"]
+    b = e_outputs.shape[0]
+    l = spec.max_len
+    heads = spec.tf_heads
+    hidden = layers["attn_1"]["q"]["w"].shape[-1]
+    d_k = hidden // heads
+    n_layers = spec.tf_layers
+    cdt = spec.cdtype
+
+    def heads_split(x):  # (B, S, hidden) -> (B, h, S, d_k)
+        return x.reshape(b, -1, heads, d_k).transpose(0, 2, 1, 3)
+
+    # cross-attention K/V precomputed once per layer from the encoder outputs
+    def cross_kv(layer_p):
+        k = heads_split(dense(layer_p["attn_2"]["k"], e_outputs, cdt))
+        v = heads_split(dense(layer_p["attn_2"]["v"], e_outputs, cdt))
+        return k, v
+
+    cross_k, cross_v = jax.vmap(cross_kv)(layers)   # (Nl, B, h, S, d_k)
+
+    cache_k0 = jnp.zeros((n_layers, b, heads, l, d_k), jnp.float32)
+    cache_v0 = jnp.zeros_like(cache_k0)
+    pos_mask_row = jnp.arange(l)                     # attend to cols <= i
+
+    def attend_cached(attn_p, x2, ck, cv, i):
+        """Single-token self-attention against the cache (incl. this token)."""
+        q = heads_split(dense(attn_p["q"], x2, cdt))          # (B, h, 1, d_k)
+        k_new = heads_split(dense(attn_p["k"], x2, cdt))
+        v_new = heads_split(dense(attn_p["v"], x2, cdt))
+        ck = jax.lax.dynamic_update_slice_in_dim(ck, k_new.astype(ck.dtype), i,
+                                                 axis=2)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv, v_new.astype(cv.dtype), i,
+                                                 axis=2)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt), ck.astype(cdt),
+                            preferred_element_type=jnp.float32) / (d_k ** 0.5)
+        scores = jnp.where(pos_mask_row[None, None, None, :] > i, -1e9, scores)
+        w = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cdt), cv.astype(cdt),
+                         preferred_element_type=jnp.float32)
+        out = ctx.transpose(0, 2, 1, 3).reshape(b, 1, hidden)
+        return dense(attn_p["out"], out, cdt), ck, cv
+
+    def attend_cross(attn_p, x2, k, v):
+        q = heads_split(dense(attn_p["q"], x2, cdt))
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt), k.astype(cdt),
+                            preferred_element_type=jnp.float32) / (d_k ** 0.5)
+        w = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cdt), v.astype(cdt),
+                         preferred_element_type=jnp.float32)
+        out = ctx.transpose(0, 2, 1, 3).reshape(b, 1, hidden)
+        return dense(attn_p["out"], out, cdt)
+
+    def step(carry, i):
+        words, ck_all, cv_all = carry
+        x = embed(dec["embedding"], words)[:, None, :]          # (B, 1, 300)
+        x = x * _pe_scale(i + 1) \
+            + jax.lax.dynamic_slice_in_dim(dec["pe"], i, 1, axis=0)[None]
+
+        def layer_body(h, inp):
+            layer_p, kx, vx, ck, cv = inp
+            x2 = torch_norm(layer_p["norm_1"], h)
+            a, ck, cv = attend_cached(layer_p["attn_1"], x2, ck, cv, i)
+            h = h + a
+            x2 = torch_norm(layer_p["norm_2"], h)
+            h = h + attend_cross(layer_p["attn_2"], x2, kx, vx)
+            x2 = torch_norm(layer_p["norm_3"], h)
+            h = h + _ff_apply(layer_p["ff"], x2, None, False, cdt)
+            return h, (ck, cv)
+
+        x, (ck_all, cv_all) = jax.lax.scan(
+            layer_body, x, (layers, cross_k, cross_v, ck_all, cv_all))
+        h = torch_norm(dec["norm_out"], x)[:, 0]
+        logits = mask_vocab_pad(dense(dec["pred_linear"], h, cdt),
+                                spec.vocab_size)
+        next_word = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (next_word, ck_all, cv_all), next_word
+
+    sos = jnp.full((b,), spec.sos_id, dtype=jnp.int32)
+    _, tokens = jax.lax.scan(step, (sos, cache_k0, cache_v0), jnp.arange(l))
+    return jnp.transpose(tokens, (1, 0))  # (B, L)
 
 
 def create_masks_inp(vid_features: jax.Array) -> jax.Array:
