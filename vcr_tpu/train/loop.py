@@ -167,7 +167,8 @@ def train(cfg: Config) -> Dict[str, float]:
                                       cfg.momentum)
     opt_state = optimizer.init(params)
     train_step, eval_step = build_step_fns(model_name, spec, optimizer,
-                                           cfg.lambda_brev, cfg.lambda_cont)
+                                           cfg.lambda_brev, cfg.lambda_cont,
+                                           remat=cfg.remat)
     if mesh is not None:
         from vcr_tpu.parallel import shard_batch
 

@@ -21,12 +21,14 @@ from vcr_tpu.models import base
 from vcr_tpu.train import losses
 
 
-def _forward(model_name: str, apply_fn, params, spec, batch, rng, train, tf_prob,
+def _forward(model_name: str, fwd, params, batch, rng, tf_prob,
              lambda_brev: float, lambda_cont: float):
-    """Run the model and compute (loss, metrics, pred, aux) per workload."""
+    """Run a bound forward and compute (loss, metrics, pred, aux) per workload.
+    ``fwd(params, vid_feats, sent, sent_len, rng, tf_prob)`` carries only array
+    arguments, so it can be wrapped with jax.checkpoint for rematerialization."""
     valid = batch["valid"]
-    out = apply_fn(params, spec, batch["vid_feats"], batch["sent"], batch["sent_len"],
-                   rng=rng, train=train, teacher_force_prob=tf_prob)
+    out = fwd(params, batch["vid_feats"], batch["sent"], batch["sent_len"],
+              rng, tf_prob)
     aux: Dict = {}
     if model_name == "rationale":
         logits, probs = out
@@ -69,18 +71,32 @@ def build_step_fns(
     optimizer: optax.GradientTransformation,
     lambda_brev: float = 1.0,
     lambda_cont: float = 1.0,
+    remat: bool = False,
 ) -> Tuple[Callable, Callable]:
     """-> (train_step, eval_step).
 
     train_step(params, opt_state, batch, rng, tf_prob)
         -> (params, opt_state, metrics, pred)
     eval_step(params, batch) -> (metrics, pred)   # deterministic greedy
+
+    remat: rematerialize the forward under the backward pass (jax.checkpoint)
+    — trades ~1 extra forward of FLOPs for not storing per-step activations in
+    HBM; useful for long sequences / large batches.
     """
     _, apply_fn = base.build_model(model_name)
 
+    def _bound(train: bool):
+        def fn(params, vid_feats, sent, sent_len, rng, tf_prob):
+            return apply_fn(params, spec, vid_feats, sent, sent_len, rng=rng,
+                            train=train, teacher_force_prob=tf_prob)
+        return fn
+
+    train_fwd = jax.checkpoint(_bound(True)) if remat else _bound(True)
+    eval_fwd = _bound(False)
+
     def loss_fn(params, batch, rng, tf_prob):
         loss, metrics, pred, aux = _forward(
-            model_name, apply_fn, params, spec, batch, rng, True, tf_prob,
+            model_name, train_fwd, params, batch, rng, tf_prob,
             lambda_brev, lambda_cont)
         return loss, (metrics, pred, aux)
 
@@ -97,7 +113,7 @@ def build_step_fns(
     @jax.jit
     def eval_step(params, batch):
         _, metrics, pred, _ = _forward(
-            model_name, apply_fn, params, spec, batch, None, False, 0.0,
+            model_name, eval_fwd, params, batch, None, 0.0,
             lambda_brev, lambda_cont)
         return metrics, pred
 
