@@ -85,6 +85,19 @@ def test_tiny_cfg_filter_chain(tiny_cfg):
     assert chain == [8, 16, 16, 24, 24]
 
 
+def test_cfg_parser_robustness(tmp_path):
+    """Comments, blank lines, stray whitespace, values with '=' inside."""
+    p = tmp_path / "messy.cfg"
+    p.write_text(
+        "# top comment\n\n[net]\n  height = 32  \nwidth=32\n\n"
+        "# layer comment\n[convolutional]\nbatch_normalize=1\nfilters=8\n"
+        "size=3\nstride=1\npad=1\nactivation=leaky\n\n")
+    blocks = darknet.parse_cfg(str(p))
+    assert [b["type"] for b in blocks] == ["net", "convolutional"]
+    assert blocks[0]["height"] == "32"
+    assert blocks[1]["filters"] == "8"
+
+
 def test_weights_roundtrip(tiny_cfg, tmp_path):
     blocks = darknet.parse_cfg(tiny_cfg)
     params = darknet.init_params(jax.random.PRNGKey(0), blocks)
