@@ -1,0 +1,67 @@
+"""Mid-epoch checkpointing: a run killed mid-epoch resumes from the exact
+batch and finishes with the same total number of optimization steps."""
+
+import json
+import os
+
+import numpy as np
+
+
+def test_midepoch_checkpoint_and_resume(tmp_path):
+    from tests.test_train_loop import tiny_config
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    build_corpus(os.path.join(tmp, "data"), num_videos=8)  # 2 batches/epoch @ bs4
+
+    # full uninterrupted run: 2 epochs x 2 batches = 4 iters
+    cfg_full = tiny_config(tmp, epochs=2, ckpt_iter=1,
+                           save_path=os.path.join(tmp, "full"))
+    train(cfg_full)
+    meta_full = json.load(open(os.path.join(cfg_full.save_path, "model_latest",
+                                            "meta.json")))
+    assert meta_full["n_iter"] == 4
+
+    # "preempted" run: train fully with per-iter checkpoints, then rewrite the
+    # latest meta as if the process died right after iter 1 of epoch 0 (the
+    # resume adopts the checkpointed config — reference train.py:133 — so the
+    # saved config must already carry epochs=2). This verifies the control
+    # flow: batch fast-forward + iteration accounting.
+    cfg_a = tiny_config(tmp, epochs=2, ckpt_iter=1,
+                        save_path=os.path.join(tmp, "resume"))
+    train(cfg_a)
+    meta_path = os.path.join(cfg_a.save_path, "model_latest", "meta.json")
+    meta_a = json.load(open(meta_path))
+    meta_a["batch_in_epoch"] = 1
+    meta_a["n_iter"] = 1
+    meta_a["epoch"] = 0
+    json.dump(meta_a, open(meta_path, "w"))
+
+    cfg_b = tiny_config(tmp, epochs=2, ckpt_iter=0, resume=True,
+                        save_path=os.path.join(tmp, "resume"))
+    train(cfg_b)
+    meta_b = json.load(open(meta_path))
+    # resumed at epoch 0 batch 1: 1 remaining batch of epoch 0 + 2 of epoch 1
+    assert meta_b["epoch"] == 1
+    assert meta_b["n_iter"] == 1 + 1 + 2
+
+
+def test_epoch_order_is_deterministic_by_absolute_epoch(tmp_path):
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.data.pipeline import BatchIterator, CaptionDataset
+    from vcr_tpu.vocab import Vocab
+
+    glove = build_corpus(os.path.join(str(tmp_path), "data"), num_videos=8)
+    vocab = Vocab(glove)
+    ds = CaptionDataset(os.path.join(str(tmp_path), "data"), "msvd_vgg",
+                        "train", vocab, 4, 6)
+    it = BatchIterator(ds, 4, shuffle=True, seed=3)
+    it.epoch = 5
+    keys_a = [b["vid_key"] for b in it]
+    it.epoch = 5  # reset to the same absolute epoch
+    keys_b = [b["vid_key"] for b in it]
+    assert keys_a == keys_b
+    it.epoch = 6
+    keys_c = [b["vid_key"] for b in it]
+    assert keys_a != keys_c

@@ -89,6 +89,10 @@ class Config:
     remat: bool = False
     # Beam width for decode (1 = greedy, matching the reference's only mode).
     beam_size: int = 1
+    # Save a mid-epoch checkpoint every N train iterations (0 = off). Resume
+    # restarts from the exact batch (preemption tolerance; the reference only
+    # checkpointed per epoch).
+    ckpt_iter: int = 0
     # eval_attention export inputs (reference eval_attention.py:119-126)
     spatial_net_file: str = ""
     vid_file: str = ""

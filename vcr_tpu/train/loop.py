@@ -182,15 +182,22 @@ def train(cfg: Config) -> Dict[str, float]:
     manager = ckpt.CheckpointManager(cfg.save_path)
     start_n_iter, best_val_meteor = 0, 0.0
     start_epoch = cfg.start_epoch
+    skip_batches = 0  # mid-epoch resume: batches already done in start_epoch
     if cfg.resume:
         resumed = manager.try_resume(params, opt_state)
         if resumed is not None:
             print("====> Resuming training from previous checkpoint")
             params, opt_state, meta = resumed
             start_n_iter = meta["n_iter"]
-            best_val_meteor = meta["best_val_meteor_score"]
+            best_val_meteor = meta.get("best_val_meteor_score", 0.0)
             cfg = Config.from_dict(meta["config"])  # train.py:133 adopts saved opts
-            start_epoch = meta["epoch"] + 1
+            if meta.get("batch_in_epoch") is not None:
+                start_epoch = meta["epoch"]          # mid-epoch checkpoint
+                skip_batches = meta["batch_in_epoch"]
+                print(f"====> Mid-epoch resume: epoch {start_epoch}, "
+                      f"skipping {skip_batches} batches")
+            else:
+                start_epoch = meta["epoch"] + 1
 
     logger = TrainLogger(start_epoch, cfg.log_iter, cfg.log_dir)
     logger.set(log_keys)
@@ -205,12 +212,27 @@ def train(cfg: Config) -> Dict[str, float]:
             sampler = StreamSampler(cfg.n_sample_sent, seed=cfg.seed + epoch)
             rnd = np.random.default_rng(cfg.seed + epoch)
 
+            # deterministic shuffle per absolute epoch (also makes mid-epoch
+            # resume land on the exact same batch order)
+            train_it.epoch = epoch
+            batch_in_epoch = 0
             timer.reset()
             for batch in prefetch(_staged(train_it, place)):
+                if batch_in_epoch < skip_batches:
+                    batch_in_epoch += 1
+                    continue
                 timer.tick()
                 step_key = jax.random.fold_in(root_key, logger.n_iter + 1)
                 params, opt_state, m, pred = train_step(
                     params, opt_state, batch["_device"], step_key, tf_prob)
+                batch_in_epoch += 1
+                if cfg.ckpt_iter and (logger.n_iter + 1) % cfg.ckpt_iter == 0:
+                    ckpt.save_checkpoint(
+                        ckpt.latest_path(cfg.save_path), params, opt_state,
+                        {"epoch": epoch, "n_iter": logger.n_iter + 1,
+                         "config": cfg.to_dict(),
+                         "best_val_meteor_score": best_val_meteor,
+                         "batch_in_epoch": batch_in_epoch})
                 # lazy reservoir: only the few winning rows are fetched to
                 # host, keeping the step loop free of per-batch device syncs
                 # (unlike reference train.py:151)
@@ -222,6 +244,7 @@ def train(cfg: Config) -> Dict[str, float]:
                         sampler.add_with_key(
                             key, (hyp, refs[rnd.integers(len(refs))], vk))
                 logger.update(m)
+            skip_batches = 0  # only the first resumed epoch fast-forwards
             for k, v in timer.summary().items():
                 logger.log_scalar(f"perf/{k}", v)
 
