@@ -57,6 +57,18 @@ def test_train_learns(tmp_path):
     assert last["acc"] > first["acc"]
 
 
+def test_train_with_beam_eval(tmp_path):
+    """beam_size > 1 routes validation captions through the beam decoder."""
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    _build(tmp)
+    cfg = tiny_config(tmp, epochs=1, beam_size=3)
+    metrics = train(cfg)
+    assert np.isfinite(metrics["loss"])
+    assert 0.0 <= metrics["METEOR"] <= 1.0
+
+
 def test_train_learns_bf16(tmp_path):
     """The bfloat16 compute path (the TPU default) also trains."""
     from vcr_tpu.train.loop import train

@@ -68,10 +68,14 @@ def _staged(it, place=None):
 
 
 def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0,
-             place=None):
+             place=None, beam_fn=None):
     """Validation pass (reference train.py:46-76): per-batch metrics averaged
     over batches, per-sample METEOR, sampled (hyp, ref, vid) triples. Adds
-    corpus BLEU-4 and CIDEr-D over the whole split."""
+    corpus BLEU-4 and CIDEr-D over the whole split.
+
+    beam_fn: optional jitted (params, vid_feats) -> (tokens (B,K,L), scores);
+    when given, caption metrics score the beam-best hypotheses while loss/acc
+    stay on the greedy eval logits."""
     t0 = time.time()
     sums: Dict[str, float] = {k: 0.0 for k in log_keys}
     meteor_sum, num_batches = 0.0, 0
@@ -81,6 +85,9 @@ def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0,
 
     for batch in prefetch(_staged(val_it, place)):
         m, pred = eval_step(params, batch["_device"])
+        if beam_fn is not None:
+            tokens, _scores = beam_fn(params, batch["_device"]["vid_feats"])
+            pred = tokens[:, 0]  # beam-best
         m, pred = jax.device_get((m, pred))  # one bulk transfer per batch
         n_valid = int(batch["valid"].sum())
         hyps = vocab.get_sents_from_indexes(np.asarray(pred)[:n_valid])
@@ -176,6 +183,17 @@ def train(cfg: Config) -> Dict[str, float]:
     else:
         place = None
 
+    # beam-search validation decode (cfg.beam_size > 1); greedy otherwise
+    beam_fn = None
+    if cfg.beam_size > 1:
+        from functools import partial
+
+        from vcr_tpu.decode import decode_tokens
+
+        beam_fn = jax.jit(partial(
+            lambda p, v, spec_, k_: decode_tokens(p, spec_, v, vocab.eos_id, k_),
+            spec_=spec, k_=cfg.beam_size))
+
     tf_probs = schedule.teacher_force_schedule(
         cfg.epochs, cfg.schedule_sample if use_tf_schedule else False)
 
@@ -251,7 +269,7 @@ def train(cfg: Config) -> Dict[str, float]:
             with annotate("evaluate"):
                 val_metrics, val_samples, time_taken = evaluate(
                     eval_step, params, val_it, vocab, log_keys, cfg.n_sample_sent,
-                    cfg.seed, place)
+                    cfg.seed, place, beam_fn)
 
             print("\n" + "*" * 34 + " TRAIN " + "*" * 34)
             print_sample_sents(sampler.get())
