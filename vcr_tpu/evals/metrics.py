@@ -23,9 +23,17 @@ import math
 from collections import Counter, defaultdict
 from typing import Dict, List, Sequence, Tuple
 
+from functools import lru_cache
+
 from nltk.stem.porter import PorterStemmer
 
-_STEMMER = PorterStemmer()
+_PORTER = PorterStemmer()
+
+
+@lru_cache(maxsize=65536)
+def _stem(word: str) -> str:
+    # caption vocabularies are small; caching makes METEOR ~linear in tokens
+    return _PORTER.stem(word)
 
 
 def tokenize(text: str) -> List[str]:
@@ -52,8 +60,8 @@ def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
     r_idx = [j for j in r_idx if j not in used_r]
 
     # stage 2: stem matches on the leftovers
-    h_stem = {i: _STEMMER.stem(hyp[i]) for i in h_idx}
-    r_stem = {j: _STEMMER.stem(ref[j]) for j in r_idx}
+    h_stem = {i: _stem(hyp[i]) for i in h_idx}
+    r_stem = {j: _stem(ref[j]) for j in r_idx}
     used_r2 = set()
     for i in list(h_idx):
         for j in r_idx:
