@@ -102,7 +102,9 @@ def test_train_rationale_end_to_end(tmp_path):
 
     tmp = str(tmp_path)
     _build(tmp)
-    cfg = tiny_config(tmp, mode="train_rationale", arch="s2vt", epochs=1)
+    # beam_size=2 also exercises the wrapped-model beam dispatch at eval
+    cfg = tiny_config(tmp, mode="train_rationale", arch="s2vt", epochs=1,
+                      beam_size=2)
     metrics = train(cfg)
     for k in ("loss", "loss_ce", "loss_brev", "loss_cont", "len"):
         assert np.isfinite(metrics[k]), k

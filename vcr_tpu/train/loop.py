@@ -190,9 +190,11 @@ def train(cfg: Config) -> Dict[str, float]:
 
         from vcr_tpu.decode import decode_tokens
 
+        # dispatch on the registry model (rationale/spatial wrap cfg.arch)
+        beam_spec = spec.with_(arch=model_name)
         beam_fn = jax.jit(partial(
             lambda p, v, spec_, k_: decode_tokens(p, spec_, v, vocab.eos_id, k_),
-            spec_=spec, k_=cfg.beam_size))
+            spec_=beam_spec, k_=cfg.beam_size))
 
     tf_probs = schedule.teacher_force_schedule(
         cfg.epochs, cfg.schedule_sample if use_tf_schedule else False)
