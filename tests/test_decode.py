@@ -96,6 +96,21 @@ def test_beam_decode_wrapped_models(tiny_vocab, rng):
             if greedy[b, i] == tiny_vocab.eos_id:
                 break
 
+    # spatial with the s2vt-att base: beam-1 == greedy too
+    spec_att = spec_sp.with_(base_arch="s2vt-att")
+    params_att = spatial.init_params(jax.random.PRNGKey(5), spec_att,
+                                     tiny_vocab.vectors)
+    logits_att, _, _ = spatial.apply(params_att, spec_att, vid_sp, train=False)
+    greedy_att = np.asarray(jnp.argmax(logits_att, axis=-1))
+    tokens_att, _ = decode_tokens(params_att, spec_att, vid_sp,
+                                  tiny_vocab.eos_id, beam_size=1)
+    ta = np.asarray(tokens_att)
+    for b in range(2):
+        for i in range(spec_att.max_len):
+            assert ta[b, 0, i] == greedy_att[b, i]
+            if greedy_att[b, i] == tiny_vocab.eos_id:
+                break
+
 
 def test_eos_freezes_beam(tiny_vocab, rng):
     spec = make_spec(tiny_vocab, "s2vt")
