@@ -35,6 +35,19 @@ def test_pallas_gru_batch_major_matches_scan(rng):
     np.testing.assert_allclose(np.asarray(h_last), np.asarray(ref_h), atol=1e-5)
 
 
+def test_pallas_gru_manual_dma_matches_scan(rng):
+    from vcr_tpu.ops.pallas_gru import gru_sequence_pallas_dma
+
+    t, b, i, h = 6, 16, 12, 128
+    params = rnn.gru_init(jax.random.PRNGKey(3), i, h)
+    xs = jnp.asarray(rng.standard_normal((t, b, i)).astype(np.float32))
+    ref_outs, ref_h = rnn.gru_sequence(params, xs, compute_dtype=jnp.float32)
+    outs, h_last = gru_sequence_pallas_dma(params, xs, compute_dtype=jnp.float32,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(ref_outs), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_last), np.asarray(ref_h), atol=1e-5)
+
+
 def test_pallas_gru_with_h0(rng):
     t, b, i, h = 4, 8, 8, 128
     params = rnn.gru_init(jax.random.PRNGKey(1), i, h)

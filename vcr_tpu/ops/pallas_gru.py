@@ -137,6 +137,122 @@ def gru_sequence_pallas(params, xs: jax.Array, h0=None,
     return outs, outs[-1]
 
 
+def _gru_seq_dma_kernel(xg_hbm, whh_ref, bhh_ref, h0_ref, out_hbm,
+                        h_scratch, xg_buf, out_buf, in_sems, out_sems,
+                        *, hidden: int, t_steps: int, compute_dtype):
+    """One grid step per batch tile; the whole time recurrence runs inside with
+    manually double-buffered DMA: xg tiles stream HBM->VMEM ahead of compute,
+    outputs stream VMEM->HBM behind it (pallas guide: double buffering)."""
+
+    # ANY-space refs cover the whole array; slice the batch tile in the DMA
+    tile_b = xg_buf.shape[1]
+    tile0 = pl.program_id(0) * tile_b
+
+    def in_dma(slot, t):
+        return pltpu.make_async_copy(xg_hbm.at[t, pl.ds(tile0, tile_b)],
+                                     xg_buf.at[slot], in_sems.at[slot])
+
+    def out_dma(slot, t):
+        return pltpu.make_async_copy(out_buf.at[slot],
+                                     out_hbm.at[t, pl.ds(tile0, tile_b)],
+                                     out_sems.at[slot])
+
+    h_scratch[:] = h0_ref[:]
+    in_dma(0, 0).start()
+
+    def body(t, _):
+        slot = t % 2
+        nxt = (t + 1) % 2
+
+        @pl.when(t + 1 < t_steps)
+        def _():
+            in_dma(nxt, t + 1).start()
+
+        in_dma(slot, t).wait()
+
+        h = h_scratch[:]
+        h_gates = jnp.dot(h.astype(compute_dtype),
+                          whh_ref[:].astype(compute_dtype),
+                          preferred_element_type=jnp.float32) + bhh_ref[:]
+        xg = xg_buf[slot].astype(jnp.float32)
+        xr, xz, xn = (xg[:, :hidden], xg[:, hidden:2 * hidden],
+                      xg[:, 2 * hidden:])
+        hr, hz, hn = (h_gates[:, :hidden], h_gates[:, hidden:2 * hidden],
+                      h_gates[:, 2 * hidden:])
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        h_scratch[:] = h_new
+
+        # wait for the write started 2 steps ago before reusing its buffer
+        @pl.when(t >= 2)
+        def _():
+            out_dma(slot, t - 2).wait()
+
+        out_buf[slot] = h_new
+        out_dma(slot, t).start()
+        return 0
+
+    jax.lax.fori_loop(0, t_steps, body, 0)
+    # drain the last two in-flight writes
+    @pl.when(t_steps >= 2)
+    def _():
+        out_dma((t_steps - 2) % 2, t_steps - 2).wait()
+    out_dma((t_steps - 1) % 2, t_steps - 1).wait()
+
+
+def gru_sequence_pallas_dma(params, xs: jax.Array, h0=None,
+                            compute_dtype=jnp.bfloat16,
+                            interpret: bool = False):
+    """Manual-DMA variant of gru_sequence_pallas (same (T,B,I) API).
+
+    Measured SLOWER than the grid-pipelined kernel on TPU v5e (9.8 vs 8.9 ms at
+    T=30/B=2048/H=512): Pallas's automatic block pipelining already achieves
+    full DMA/compute overlap, so the remaining recurrence cost is the dependent
+    small-matmul latency, not transfer scheduling. Kept as a bitwise-verified
+    reference implementation of the manual double-buffering pattern."""
+    from vcr_tpu.nn.layers import vdot
+
+    t, b, i = xs.shape
+    hidden = params["w_hh"].shape[0]
+    xg_dtype = jnp.float32 if compute_dtype == jnp.float32 else jnp.bfloat16
+    x_gates = (vdot(xs.reshape(t * b, i), params["w_ih"], compute_dtype)
+               + params["b_ih"]).reshape(t, b, 3 * hidden).astype(xg_dtype)
+    if h0 is None:
+        h0 = jnp.zeros((b, hidden), dtype=jnp.float32)
+
+    tile_b = _pick_batch_tile(b, hidden)
+    nb = b // tile_b
+    kernel = functools.partial(_gru_seq_dma_kernel, hidden=hidden, t_steps=t,
+                               compute_dtype=compute_dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            # stays whole in HBM; the kernel DMAs per-tile slices itself
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((hidden, 3 * hidden), lambda nb_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * hidden,), lambda nb_: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, hidden), lambda nb_: (nb_, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, hidden), jnp.float32),        # h
+            pltpu.VMEM((2, tile_b, 3 * hidden), xg_dtype),    # xg double buffer
+            pltpu.VMEM((2, tile_b, hidden), jnp.float32),     # out double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x_gates, params["w_hh"].astype(compute_dtype), params["b_hh"], h0)
+    return outs, outs[-1]
+
+
 def gru_sequence_pallas_bt(params, xs_bt: jax.Array, h0=None,
                            compute_dtype=jnp.bfloat16, interpret: bool = False):
     """Batch-major variant: xs (B, T, I) -> (outputs (B, T, H), h_last (B, H)).
