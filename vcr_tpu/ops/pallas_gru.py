@@ -231,7 +231,7 @@ def gru_sequence_pallas_dma(params, xs: jax.Array, h0=None,
         grid=(nb,),
         in_specs=[
             # stays whole in HBM; the kernel DMAs per-tile slices itself
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((hidden, 3 * hidden), lambda nb_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * hidden,), lambda nb_: (0,),
@@ -239,7 +239,7 @@ def gru_sequence_pallas_dma(params, xs: jax.Array, h0=None,
             pl.BlockSpec((tile_b, hidden), lambda nb_: (nb_, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((tile_b, hidden), jnp.float32),        # h
