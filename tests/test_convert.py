@@ -152,6 +152,39 @@ def test_s2vt_att_token_parity(tiny_vocab, rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_export_roundtrip(tiny_vocab, rng):
+    """params -> reference state_dict -> params round-trips exactly, and the
+    exported dict loads into a torch module with the reference layout."""
+    spec = make_spec(tiny_vocab)
+    import vcr_tpu.models.s2vt as s2vt_mod
+
+    params = s2vt_mod.init_params(jax.random.PRNGKey(5), spec, tiny_vocab.vectors)
+    sd = convert.export_s2vt(params, spec)
+    back = convert.convert_s2vt(sd, spec)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    tm = TorchS2VT(spec.vocab_size, spec.embed_size, spec.hidden_size,
+                   spec.vid_feat_size)
+    tm.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})  # layout OK
+
+    # s2vt-att too
+    spec_att = make_spec(tiny_vocab, arch="s2vt-att")
+    import vcr_tpu.models.s2vt_att as att_mod
+
+    p_att = att_mod.init_params(jax.random.PRNGKey(6), spec_att,
+                                tiny_vocab.vectors)
+    sd_att = convert.export_s2vt_att(p_att, spec_att)
+    back_att = convert.convert_s2vt_att(sd_att, spec_att)
+    for a, b in zip(jax.tree_util.tree_leaves(p_att),
+                    jax.tree_util.tree_leaves(back_att)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    tma = TorchS2VTAtt(spec_att.vocab_size, spec_att.embed_size,
+                       spec_att.hidden_size, spec_att.vid_feat_size)
+    tma.load_state_dict({k: torch.tensor(v) for k, v in sd_att.items()})
+
+
 def test_rationale_and_spatial_conversion_run(tiny_vocab, rng):
     spec = make_spec(tiny_vocab, arch="rationale", base_arch="s2vt", tau=1.0)
     sd = {}

@@ -211,6 +211,59 @@ def convert_state_dict(sd: Dict, spec: ModelSpec, arch: str) -> Dict:
     return CONVERTERS[arch](sd, spec)
 
 
+# ---------------------------------------------------------------- export
+
+def _lin_out(p, prefix: str, out: Dict, vocab_size: int | None = None) -> None:
+    w = np.asarray(p["w"]).T  # back to torch (out, in)
+    b = np.asarray(p["b"]) if "b" in p else None
+    if vocab_size is not None:  # strip vocab padding columns
+        w = w[:vocab_size]
+        b = b[:vocab_size] if b is not None else None
+    out[prefix + ".weight"] = w
+    if b is not None:
+        out[prefix + ".bias"] = b
+
+
+def _rnn_out(p, prefix: str, out: Dict, suffix: str = "") -> None:
+    out[f"{prefix}.weight_ih_l0{suffix}"] = np.asarray(p["w_ih"]).T
+    out[f"{prefix}.weight_hh_l0{suffix}"] = np.asarray(p["w_hh"]).T
+    out[f"{prefix}.bias_ih_l0{suffix}"] = np.asarray(p["b_ih"])
+    out[f"{prefix}.bias_hh_l0{suffix}"] = np.asarray(p["b_hh"])
+
+
+def export_s2vt(params: Dict, spec: ModelSpec) -> Dict:
+    """vcr_tpu S2VT params -> a reference-format state_dict (numpy arrays;
+    torch.load-compatible after tensor conversion). Inverse of convert_s2vt —
+    lets models trained here run in the PyTorch reference unchanged."""
+    out: Dict = {}
+    out["embedding.0.weight"] = np.asarray(
+        params["embedding"]["table"])[: spec.vocab_size]
+    _rnn_out(params["rnn1"], "rnn1", out)
+    _rnn_out(params["rnn2"], "rnn2", out)
+    _lin_out(params["linear"], "linear.1", out, spec.vocab_size)
+    return out
+
+
+def export_s2vt_att(params: Dict, spec: ModelSpec) -> Dict:
+    out: Dict = {}
+    _rnn_out(params["encoder"]["rnn"], "encoder.rnn", out)
+    dec = params["decoder"]
+    out["decoder.embedding.weight"] = np.asarray(
+        dec["embedding"]["table"])[: spec.vocab_size]
+    _rnn_out(dec["rnn"], "decoder.rnn", out)
+    for name in ("key_layer", "query_layer", "energy_layer"):
+        _lin_out(dec["attention"][name], f"decoder.attention.{name}", out)
+    _lin_out(dec["pred_linear"], "decoder.pred_linear.1", out, spec.vocab_size)
+    return out
+
+
+EXPORTERS = {"s2vt": export_s2vt, "s2vt-att": export_s2vt_att}
+
+
+def export_state_dict(params: Dict, spec: ModelSpec, arch: str) -> Dict:
+    return EXPORTERS[arch](params, spec)
+
+
 def load_reference_checkpoint(path: str, spec: ModelSpec, arch: str):
     """Load a reference ``model_{latest,best}.net`` torch.save file and
     convert it (the dict layout is {'state_dict', 'opts', 'epoch', 'n_iter',
