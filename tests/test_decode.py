@@ -112,6 +112,34 @@ def test_beam_decode_wrapped_models(tiny_vocab, rng):
                 break
 
 
+def test_sampling_decode(tiny_vocab, rng):
+    """Sampling decode: near-zero temperature reproduces greedy; top-k=1 is
+    exactly greedy; different keys give different samples at T=1."""
+    from vcr_tpu.decode import s2vt_sample_decode
+
+    spec = make_spec(tiny_vocab, "s2vt")
+    params = s2vt.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+    vid = jnp.asarray(rng.standard_normal((3, 4, 12)), dtype=jnp.float32)
+    greedy = _greedy_tokens(s2vt, params, spec, vid)
+
+    # top_k=1 forces the argmax regardless of key
+    t1 = np.asarray(s2vt_sample_decode(params, spec, vid, jax.random.PRNGKey(1),
+                                       tiny_vocab.eos_id, temperature=1.0,
+                                       top_k=1))
+    for b in range(3):
+        for i in range(spec.max_len):
+            assert t1[b, i] == greedy[b, i]
+            if greedy[b, i] == tiny_vocab.eos_id:
+                break
+
+    # high temperature with different keys: decodes differ (overwhelmingly)
+    a = np.asarray(s2vt_sample_decode(params, spec, vid, jax.random.PRNGKey(2),
+                                      tiny_vocab.eos_id, temperature=2.0))
+    b_ = np.asarray(s2vt_sample_decode(params, spec, vid, jax.random.PRNGKey(3),
+                                       tiny_vocab.eos_id, temperature=2.0))
+    assert not np.array_equal(a, b_)
+
+
 def test_eos_freezes_beam(tiny_vocab, rng):
     spec = make_spec(tiny_vocab, "s2vt")
     params = s2vt.init_params(jax.random.PRNGKey(2), spec, tiny_vocab.vectors)

@@ -84,20 +84,49 @@ def beam_search(
     return tokens.reshape(batch, k, max_len), scores.reshape(batch, k)
 
 
+def sample_search(
+    step_fn: Callable,
+    init_state,
+    rows: int,
+    max_len: int,
+    sos_id: int,
+    eos_id: int,
+    rng: jax.Array,
+    temperature: float = 1.0,
+    top_k: int = 0,
+) -> jax.Array:
+    """Stochastic decoding (beyond the reference's greedy-only surface):
+    per-step categorical sampling from softmax(logits / temperature), optionally
+    restricted to the top_k logits. Rows that emitted <eos> keep emitting it.
+    -> tokens (rows, max_len) int32."""
+    words0 = jnp.full((rows,), sos_id, dtype=jnp.int32)
+    finished0 = jnp.zeros((rows,), dtype=bool)
+    keys = jax.random.split(rng, max_len)
+
+    def step(carry, inp):
+        state, words, finished = carry
+        i, key = inp
+        state, logits = step_fn(state, words, i)
+        logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+        if top_k and top_k > 0:
+            kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+            logits = jnp.where(logits < kth, NEG_INF, logits)
+        sampled = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+        words = jnp.where(finished, eos_id, sampled)
+        finished = finished | (words == eos_id)
+        return (state, words, finished), words
+
+    (_, _, _), tokens = jax.lax.scan(step, (init_state, words0, finished0),
+                                     (jnp.arange(max_len), keys))
+    return jnp.transpose(tokens, (1, 0))
+
+
 # ---------------------------------------------------------------- S2VT
 
-def s2vt_beam_from_states(params, spec: model_base.ModelSpec,
-                          enc_outs: jax.Array, state1: jax.Array,
-                          beam_size: int, eos_id: int
-                          ) -> Tuple[jax.Array, jax.Array]:
-    """Beam decode from S2VT encoder states — shared by S2VT proper and
-    SpatialNet (whose encoder splices spatial contexts, SpatialNet.py:140)."""
-    state2 = s2vt._prime_state2(params, spec, enc_outs)
-    b = enc_outs.shape[1]
-    xg1 = jnp.broadcast_to(params["rnn1"]["b_ih"],
-                           (b * beam_size, 3 * spec.hidden_size))
-
-    init_state = _tile_beam({"s1": state1, "s2": state2}, beam_size)
+def _s2vt_stepper(params, spec: model_base.ModelSpec, rows: int):
+    """The S2VT decode cell as a (state, words, i) step closure over `rows`
+    batch rows (beam folds B*K rows; sampling uses B)."""
+    xg1 = jnp.broadcast_to(params["rnn1"]["b_ih"], (rows, 3 * spec.hidden_size))
 
     def step_fn(state, words, i):
         del i
@@ -110,8 +139,35 @@ def s2vt_beam_from_states(params, spec: model_base.ModelSpec,
                                 spec.vocab_size)
         return {"s1": out1, "s2": out2}, logits
 
+    return step_fn
+
+
+def s2vt_beam_from_states(params, spec: model_base.ModelSpec,
+                          enc_outs: jax.Array, state1: jax.Array,
+                          beam_size: int, eos_id: int
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Beam decode from S2VT encoder states — shared by S2VT proper and
+    SpatialNet (whose encoder splices spatial contexts, SpatialNet.py:140)."""
+    state2 = s2vt._prime_state2(params, spec, enc_outs)
+    b = enc_outs.shape[1]
+    init_state = _tile_beam({"s1": state1, "s2": state2}, beam_size)
+    step_fn = _s2vt_stepper(params, spec, b * beam_size)
     return beam_search(step_fn, init_state, b, beam_size, spec.max_len,
                        spec.sos_id, eos_id)
+
+
+def s2vt_sample_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
+                       rng: jax.Array, eos_id: int, temperature: float = 1.0,
+                       top_k: int = 0) -> jax.Array:
+    """Temperature/top-k sampling decode for S2VT -> tokens (B, L)."""
+    enc_outs, state1 = s2vt.encode(params, spec,
+                                   vid_feats.astype(spec.cdtype))
+    state2 = s2vt._prime_state2(params, spec, enc_outs)
+    b = vid_feats.shape[0]
+    step_fn = _s2vt_stepper(params, spec, b)
+    return sample_search(step_fn, {"s1": state1, "s2": state2}, b,
+                         spec.max_len, spec.sos_id, eos_id, rng,
+                         temperature, top_k)
 
 
 def s2vt_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
