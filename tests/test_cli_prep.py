@@ -102,6 +102,45 @@ def test_sweep_expand_and_emit():
     assert all("python -m vcr_tpu.cli" in c for c in cmds)
 
 
+def test_rationale_export_end_to_end(tmp_path):
+    """Train RationaleNet one epoch, export the frame-selection overlay."""
+    cv2 = pytest.importorskip("cv2")
+    from tests.test_train_loop import tiny_config
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.config import Config
+    from vcr_tpu.evals.attention_export import export_rationale_video
+    from vcr_tpu.models import base as model_base
+    from vcr_tpu.train import checkpoint as ckpt
+    from vcr_tpu.train.loop import train
+    from vcr_tpu.vocab import Vocab
+
+    tmp = str(tmp_path)
+    build_corpus(os.path.join(tmp, "data"), corpus="msvd")
+    cfg = tiny_config(tmp, corpus="msvd", mode="train_rationale", epochs=1,
+                      img_size=32)
+    train(cfg)
+
+    clips_dir = os.path.join(tmp, "data", "msvd", "clips")
+    os.makedirs(clips_dir)
+    w = cv2.VideoWriter(os.path.join(clips_dir, "train_vid0.avi"),
+                        cv2.VideoWriter_fourcc(*"MJPG"), 5, (64, 48))
+    for i in range(6):
+        w.write(np.full((48, 64, 3), 30 * i, np.uint8))
+    w.release()
+
+    params, _, meta = ckpt.load_checkpoint(
+        os.path.join(cfg.save_path, "model_best"))
+    saved = Config.from_dict(meta["config"])
+    vocab = Vocab(os.path.join(saved.data_dir, saved.corpus, "glove",
+                               saved.glove_emb_file), seed=saved.seed)
+    spec = model_base.spec_from_config(saved, vocab).with_(arch="rationale")
+    out = export_rationale_video(
+        params, spec, saved, clips_dir,
+        os.path.join(tmp, "data", "msvd", "feats"), "train_vid0.avi",
+        str(tmp_path))
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
 def test_attention_export_end_to_end(tmp_path):
     """Train SpatialNet one epoch on synthetic yolo features, then export an
     attention-overlay mp4 for a synthetic clip."""

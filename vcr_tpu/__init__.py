@@ -19,3 +19,26 @@ the step functions.
 """
 
 __version__ = "0.1.0"
+
+# Public API (lazy — importing vcr_tpu must not pull in jax et al.)
+__all__ = ["Config", "Vocab", "train", "decode_tokens", "build_model",
+           "ModelSpec"]
+
+
+def __getattr__(name):
+    if name == "Config":
+        from vcr_tpu.config import Config
+        return Config
+    if name == "Vocab":
+        from vcr_tpu.vocab import Vocab
+        return Vocab
+    if name == "train":
+        from vcr_tpu.train.loop import train
+        return train
+    if name == "decode_tokens":
+        from vcr_tpu.decode import decode_tokens
+        return decode_tokens
+    if name in ("build_model", "ModelSpec"):
+        from vcr_tpu.models import base
+        return getattr(base, name)
+    raise AttributeError(name)

@@ -84,6 +84,44 @@ def export_video(params, spec, cfg, clips_dir: str, bbox_feats_dir: str,
     return out_path
 
 
+def export_rationale_video(params, spec, cfg, clips_dir: str, feats_dir: str,
+                           vid_file: str, out_dir: str) -> str:
+    """Temporal-rationale overlay: darken frames the Gumbel generator did NOT
+    select (hard eval selection, RationaleNet.py:49-53). The temporal analogue
+    of the spatial heatmap export — new capability (the reference only
+    visualized spatial attention)."""
+    assert cv2 is not None, "cv2 required for video export"
+    import jax
+
+    from vcr_tpu.models import rationale
+
+    raw = F.decode_frames(os.path.join(clips_dir, vid_file))
+    idxs = F.subsample_indices(len(raw), cfg.num_frames)
+    frame_list = [raw[i] for i in idxs]
+    base = os.path.splitext(os.path.basename(vid_file))[0]
+
+    vid_feats = np.load(os.path.join(feats_dir, base + ".npy"))[None]
+    if vid_feats.shape[1] < cfg.num_frames:
+        pad = np.zeros((1, cfg.num_frames - vid_feats.shape[1],
+                        *vid_feats.shape[2:]), vid_feats.dtype)
+        vid_feats = np.concatenate([vid_feats, pad], axis=1)
+    vid_feats = vid_feats[:, :cfg.num_frames].astype(np.float32)
+
+    _, probs = rationale.apply(params, spec, vid_feats,
+                               rng=jax.random.PRNGKey(cfg.seed), train=False)
+    selected = np.asarray(probs)[0, :, 1]  # hard 0/1 at eval
+
+    out_path = os.path.join(out_dir, base + "_rationale.mp4")
+    writer = cv2.VideoWriter(out_path, 0x7634706D, 2,
+                             (cfg.img_size, cfg.img_size))
+    for i, frame in enumerate(frame_list):
+        _, canvas = F.prep_image_yolo(frame, cfg.img_size)
+        weight = 1.0 if (i < len(selected) and selected[i] > 0.5) else 0.25
+        writer.write(np.uint8(canvas * weight))
+    writer.release()
+    return out_path
+
+
 def run_export(cfg: Config) -> List[str]:
     """CLI entry (eval_attention.py:119-148): single clip or --all."""
     params, spec, saved_cfg, _ = load_spatial_net(cfg.spatial_net_file, cfg.data_dir)
