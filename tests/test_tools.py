@@ -9,6 +9,28 @@ import pytest
 torch = pytest.importorskip("torch")
 
 
+def test_decode_corpus_tool(tmp_path):
+    from tests.test_train_loop import tiny_config
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.tools import decode_corpus
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    build_corpus(os.path.join(tmp, "data"))
+    cfg = tiny_config(tmp, epochs=1)
+    train(cfg)
+
+    out_file = os.path.join(tmp, "caps.json")
+    results = decode_corpus(cfg, out_file=out_file)
+    assert os.path.exists(out_file)
+    assert len(results) >= 2
+    assert all(isinstance(r["caption"], str) for r in results)
+
+    # beam decode agrees with greedy prefixes on beam_size=1 path equivalence
+    results_beam = decode_corpus(cfg, beam_size=2)
+    assert len(results_beam) == len(results)
+
+
 def test_verify_parity_tool(tmp_path, tiny_vocab):
     from tests.test_convert import TorchS2VT, torch_s2vt_greedy
     from tests.util_corpus import build_corpus

@@ -61,6 +61,13 @@ def dispatch(cfg: Config) -> None:
         from vcr_tpu.train.loop import evaluate_checkpoint
 
         evaluate_checkpoint(cfg, cfg.pretrained_base or "")
+    elif cfg.mode == "decode":
+        from vcr_tpu.tools import decode_corpus
+
+        out = os.path.join(cfg.save_path, "captions.json")
+        decode_corpus(cfg, cfg.pretrained_base or "", out,
+                      beam_size=cfg.beam_size)
+        print(f"captions written to {out}")
     elif cfg.mode == "eval_attention":
         from vcr_tpu.evals.attention_export import run_export
 

@@ -39,6 +39,57 @@ def greedy_captions(params, spec, vocab: Vocab, feats: np.ndarray,
     return out
 
 
+def decode_corpus(cfg: Config, checkpoint_path: str = "",
+                  out_file: Optional[str] = None, split: str = "val",
+                  beam_size: int = 1) -> List[Dict]:
+    """Caption every video of a split with a vcr_tpu checkpoint (greedy or
+    beam). The plain inference command the reference never had — its only
+    decode surfaces were the train-loop eval and eval_attention."""
+    import jax
+
+    from vcr_tpu.data.pipeline import CaptionDataset
+    from vcr_tpu.train import checkpoint as ckpt
+
+    vocab = Vocab(os.path.join(cfg.data_dir, cfg.corpus, "glove",
+                               cfg.glove_emb_file), seed=cfg.seed)
+    spec = model_base.spec_from_config(cfg, vocab)
+    path = checkpoint_path or ckpt.best_path(cfg.save_path)
+    params, _, meta = ckpt.load_checkpoint(path)
+    del meta
+
+    feat_type = "yolo" if cfg.mode == "train_spatial" else "cnn"
+    ds = CaptionDataset(cfg.data_dir, cfg.corpus, split, vocab,
+                        cfg.num_frames, cfg.max_len, feat_type)
+    feats = np.stack([ds.load_features(i) for i in range(len(ds))])
+    keys = [ds.captions[i][ds.key_field] for i in range(len(ds))]
+
+    if beam_size > 1:
+        from vcr_tpu.decode import decode_tokens
+
+        tokens, _ = jax.jit(
+            lambda p, v: decode_tokens(p, spec, v, vocab.eos_id, beam_size)
+        )(params, jnp.asarray(feats))
+        tokens = np.asarray(tokens[:, 0])
+    else:
+        tokens = np.asarray(jax.jit(
+            lambda p, v: _greedy(p, spec, v))(params, jnp.asarray(feats)))
+
+    results = [{"vid_key": k, "tokens": t.tolist(),
+                "caption": vocab.get_sent_from_index(t)}
+               for k, t in zip(keys, tokens)]
+    if out_file:
+        with open(out_file, "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+def _greedy(params, spec, vid_feats):
+    _, apply_fn = build_model(spec.arch)
+    out = apply_fn(params, spec, vid_feats, train=False)
+    logits = out[0] if isinstance(out, tuple) else out
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
 def verify_parity(cfg: Config, checkpoint_path: str,
                   out_file: Optional[str] = None) -> List[Dict]:
     """Decode every video of the corpus val split with a converted reference
