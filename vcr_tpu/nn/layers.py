@@ -107,15 +107,20 @@ def conv2d_init(key, in_ch, out_ch, ksize, use_bias=True):
 
 
 def conv2d(params, x, stride=1, padding="SAME", compute_dtype=jnp.bfloat16):
-    """x: (B, C, H, W) NCHW to match the reference's torch tensors."""
+    """x: (B, C, H, W) NCHW to match the reference's torch tensors.
+
+    The output dtype equals compute_dtype (upcast to f32 by the bias add):
+    requesting preferred_element_type=f32 on bf16 operands makes the conv VJP
+    mix f32 cotangents with bf16 weights, which lax.conv rejects. TPU convs
+    accumulate in f32 internally either way."""
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         params["w"].astype(compute_dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
     )
+    y = y.astype(jnp.float32)
     if "b" in params:
         y = y + params["b"][None, :, None, None]
     return y
