@@ -62,9 +62,11 @@ def main() -> None:
         return c
 
     np.asarray(run_n(params, vid_feats))  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(run_n(params, vid_feats))
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):  # best-of-3 timed repeats (tunnel jitter smoothing)
+        t0 = time.perf_counter()
+        np.asarray(run_n(params, vid_feats))
+        dt = min(dt, time.perf_counter() - t0)
 
     caps_per_sec = batch * iters / dt
     print(json.dumps({
