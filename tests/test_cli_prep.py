@@ -90,6 +90,30 @@ def test_extract_glove(tmp_path):
     assert "zebra" not in out
 
 
+def test_cli_argv_dispatch(tmp_path, capsys):
+    """The generated argparse surface: every reference flag parses, types are
+    coerced, and --mode dispatches (exercised via extract_captions)."""
+    from vcr_tpu.cli import main
+    from vcr_tpu.config import build_parser
+
+    ns = build_parser().parse_args(
+        ["--mode", "train", "--lr", "3e-4", "--bsize", "16",
+         "--schedule_sample", "true", "--resume", "false",
+         "--mesh_dp", "2", "--corpus", "msvd"])
+    assert ns.lr == 3e-4 and ns.bsize == 16
+    assert ns.schedule_sample is True and ns.resume is False
+    assert ns.mesh_dp == 2
+
+    cdir = tmp_path / "data" / "msvd_vgg"
+    cdir.mkdir(parents=True)
+    for split in ("train", "val", "test"):
+        (cdir / f"sents_{split}_lc_nopunc.txt").write_text("vid1\ta dog runs\n")
+    main(["--mode", "extract_captions", "--corpus", "msvd_vgg",
+          "--data_dir", str(tmp_path / "data")])
+    assert (cdir / "train_captions.json").exists()
+    assert "MSVD_VGG corpus" in capsys.readouterr().out
+
+
 def test_sweep_expand_and_emit():
     from vcr_tpu.sweep import emit_commands, expand_grid
 
