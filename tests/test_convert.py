@@ -152,6 +152,23 @@ def test_s2vt_att_token_parity(tiny_vocab, rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_detect_arch(tiny_vocab):
+    spec = make_spec(tiny_vocab)
+    tm = TorchS2VT(spec.vocab_size, spec.embed_size, spec.hidden_size,
+                   spec.vid_feat_size)
+    assert convert.detect_arch(tm.state_dict()) == "s2vt"
+    ta = TorchS2VTAtt(spec.vocab_size, spec.embed_size, spec.hidden_size,
+                      spec.vid_feat_size)
+    assert convert.detect_arch(ta.state_dict()) == "s2vt-att"
+    # wrapped families
+    sd = {"caption_net." + k: v for k, v in tm.state_dict().items()}
+    sd["gen.rnn.weight_ih_l0"] = torch.zeros(1)
+    assert convert.detect_arch(sd) == "rationale"
+    sd2 = {"caption_net." + k: v for k, v in tm.state_dict().items()}
+    sd2["conv.0.weight"] = torch.zeros(1)
+    assert convert.detect_arch(sd2) == "spatial"
+
+
 def test_export_roundtrip(tiny_vocab, rng):
     """params -> reference state_dict -> params round-trips exactly, and the
     exported dict loads into a torch module with the reference layout."""

@@ -264,6 +264,20 @@ def export_state_dict(params: Dict, spec: ModelSpec, arch: str) -> Dict:
     return EXPORTERS[arch](params, spec)
 
 
+def detect_arch(sd: Dict) -> str:
+    """Infer the reference model family from state_dict key structure."""
+    keys = set(sd.keys())
+    if any(k.startswith("gen.rnn.") for k in keys):
+        return "rationale"
+    if "conv.0.weight" in keys and any(k.startswith("caption_net.") for k in keys):
+        return "spatial"
+    if any(k.startswith("encoder.layers.0.attn.q_linear") for k in keys):
+        return "transformer"
+    if any(k.startswith("decoder.attention.") for k in keys):
+        return "s2vt-att"
+    return "s2vt"
+
+
 def load_reference_checkpoint(path: str, spec: ModelSpec, arch: str):
     """Load a reference ``model_{latest,best}.net`` torch.save file and
     convert it (the dict layout is {'state_dict', 'opts', 'epoch', 'n_iter',
@@ -273,6 +287,10 @@ def load_reference_checkpoint(path: str, spec: ModelSpec, arch: str):
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
     sd = blob["state_dict"]
+    detected = detect_arch(sd)
+    if detected != arch and detected in ("rationale", "spatial"):
+        arch = detected  # wrapped families are unambiguous from the keys
     params = convert_state_dict(sd, spec, arch)
     meta = {k: v for k, v in blob.items() if k != "state_dict"}
+    meta["detected_arch"] = detected
     return params, meta
