@@ -59,6 +59,33 @@ def test_rationale_losses():
     assert abs(rlen - 2.0) < 1e-6
 
 
+def test_padded_rows_do_not_nan(rng):
+    """All-padding rows (valid=0, s_len=0) must not produce NaN/Inf — the
+    guards in the two-stage CE mean and accuracy denominators."""
+    b, l, v = 4, 5, 7
+    logits = rng.standard_normal((b, l, v)).astype(np.float32)
+    target = rng.integers(0, v, (b, l))
+    s_len = np.array([3, 0, 2, 0])     # rows 1 and 3 are padding
+    valid = np.array([1.0, 0.0, 1.0, 0.0], np.float32)
+    ce = float(losses.masked_cross_entropy(jnp.asarray(logits),
+                                           jnp.asarray(target),
+                                           jnp.asarray(s_len),
+                                           jnp.asarray(valid)))
+    acc = float(losses.masked_accuracy(jnp.asarray(logits), jnp.asarray(target),
+                                       jnp.asarray(s_len), jnp.asarray(valid)))
+    assert np.isfinite(ce) and np.isfinite(acc)
+    # matches computing on only the valid rows
+    ce_ref = float(losses.masked_cross_entropy(
+        jnp.asarray(logits[[0, 2]]), jnp.asarray(target[[0, 2]]),
+        jnp.asarray(s_len[[0, 2]])))
+    assert abs(ce - ce_ref) < 1e-6
+    # fully-empty batch: zero (guarded), not NaN
+    ce0 = float(losses.masked_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(target),
+        jnp.zeros(b, np.int32), jnp.zeros(b, np.float32)))
+    assert np.isfinite(ce0)
+
+
 def test_inverse_sigmoid():
     # reference docstring values (train_utils.py:11-20)
     probs = schedule.inverse_sigmoid(1000)
