@@ -202,3 +202,31 @@ def test_attention_export_end_to_end(tmp_path):
     while cap.read()[0]:
         n += 1
     assert n > 0  # playable overlay video
+
+    # --all batch mode (eval_attention.py:137-148)
+    outs_all = run_export(export_cfg.replace(export_all=True))
+    assert len(outs_all) == 1  # every clip in clips/ (we created one)
+
+
+def test_sweep_run_in_process(tmp_path):
+    """run_sweep executes every grid point and writes result.json files."""
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.sweep import run_sweep
+
+    tmp = str(tmp_path)
+    build_corpus(os.path.join(tmp, "data"))
+    grid = {
+        "mode": "train", "corpus": "msvd_vgg",
+        "data_dir": os.path.join(tmp, "data"),
+        "glove_emb_file": "glove_tiny.txt", "arch": "s2vt",
+        "num_frames": 4, "vid_feat_size": 12, "max_len": 6, "hidden_size": 8,
+        "bsize": 4, "epochs": 1, "log_iter": 2, "log_dir": "",
+        "compute_dtype": "float32", "lr": [1e-2, 1e-3],
+    }
+    base = os.path.join(tmp, "sweeps")
+    run_sweep(grid, base)
+    results = [d for d in os.listdir(base)
+               if os.path.exists(os.path.join(base, d, "result.json"))]
+    assert len(results) == 2
+    r = json.loads(open(os.path.join(base, results[0], "result.json")).read())
+    assert "METEOR" in r

@@ -34,6 +34,22 @@ def test_serving_vgg_end_to_end(tiny_vocab, rng):
     np.testing.assert_array_equal(np.asarray(tokens), np.asarray(want))
 
 
+def test_serving_resnet_end_to_end(tiny_vocab, rng):
+    from vcr_tpu.models import resnet
+
+    spec = base.ModelSpec(arch="s2vt", vocab_size=tiny_vocab.vocab_size,
+                          embed_size=tiny_vocab.embed_size, hidden_size=8,
+                          vid_feat_size=512, max_len=5, num_frames=2,
+                          dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+                          compute_dtype="float32")
+    params = s2vt.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+    feat_params = resnet.init_params(jax.random.PRNGKey(1), "resnet18")
+    caption = jax.jit(build_captioner(params, spec, "resnet", feat_params))
+    frames = jnp.asarray(rng.standard_normal((1, 2, 3, 64, 64)), jnp.float32)
+    tokens = caption(frames)
+    assert tokens.shape == (1, spec.max_len)
+
+
 def test_eval_only_mode(tmp_path):
     from tests.test_train_loop import tiny_config
     from tests.util_corpus import build_corpus

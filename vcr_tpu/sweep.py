@@ -51,17 +51,27 @@ def expand_grid(grid: Dict) -> Iterator[Dict]:
         yield point
 
 
-def job_name(point: Dict) -> str:
-    axes = sorted(k for k in point)
-    return "_".join(f"{k}-{point[k]}" for k in axes
-                    if k not in ("mode", "data_dir", "save_path", "log_dir"))[:120]
+def job_name(point: Dict, axis_keys=None) -> str:
+    """Directory name for one grid point: the VARYING axes (always fully
+    present, never truncated away) plus a short stable hash of the full point."""
+    import hashlib
+
+    digest = hashlib.sha1(
+        json.dumps(point, sort_keys=True, default=str).encode()).hexdigest()[:8]
+    if axis_keys:
+        head = "_".join(f"{k}-{point[k]}" for k in sorted(axis_keys))
+    else:
+        head = "_".join(f"{k}-{point[k]}" for k in sorted(point)
+                        if k not in ("mode", "data_dir", "save_path", "log_dir"))
+    return (head[:100] + "_" + digest) if head else digest
 
 
 def emit_commands(grid: Dict, base_save: str = "./sweeps") -> List[str]:
     """One shell command per grid point (feed to any scheduler)."""
     cmds = []
+    axes = [k for k, v in grid.items() if isinstance(v, list)]
     for point in expand_grid(grid):
-        name = job_name(point)
+        name = job_name(point, axes)
         point = dict(point)
         point.setdefault("save_path", os.path.join(base_save, name, "models"))
         point.setdefault("log_dir", os.path.join(base_save, name, "logs"))
@@ -74,8 +84,9 @@ def run_sweep(grid: Dict, base_save: str = "./sweeps") -> None:
     """Run every grid point sequentially in-process (single host/slice)."""
     from vcr_tpu.train.loop import train
 
+    axes = [k for k, v in grid.items() if isinstance(v, list)]
     for point in expand_grid(grid):
-        name = job_name(point)
+        name = job_name(point, axes)
         point = dict(point)
         point.setdefault("save_path", os.path.join(base_save, name, "models"))
         point.setdefault("log_dir", os.path.join(base_save, name, "logs"))
