@@ -1,0 +1,32 @@
+# vcr_tpu developer targets
+.PHONY: test test-fast bench bench-train bench-all native entry dryrun clean
+
+test:            ## full suite on the 8-virtual-device CPU mesh
+	python -m pytest tests/ -q
+
+test-fast:       ## unit tests only (skip the slow end-to-end loops)
+	python -m pytest tests/ -q --ignore=tests/test_train_loop.py \
+	    --ignore=tests/test_mesh_training.py --ignore=tests/test_cli_prep.py
+
+bench:           ## headline benchmark (one JSON line, real TPU)
+	python bench.py
+
+bench-train:     ## training-step throughput
+	python bench_train.py
+
+bench-all:       ## all five model-family configs
+	python bench_all.py
+
+native:          ## build the C++ batch loader explicitly
+	g++ -O3 -shared -fPIC -pthread -std=c++17 native/npy_loader.cpp \
+	    -o vcr_tpu/data/_libnpy.so
+
+entry:           ## driver compile-check
+	python __graft_entry__.py
+
+dryrun:          ## 8-virtual-device multichip dry run
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+clean:
+	rm -rf vcr_tpu/data/_libnpy.so .pytest_cache
+	find . -name __pycache__ -type d -exec rm -rf {} +
