@@ -33,7 +33,10 @@ from vcr_tpu.models.base import ModelSpec
 def _np(v) -> np.ndarray:
     if hasattr(v, "detach"):
         v = v.detach().cpu().numpy()
-    return np.asarray(v, dtype=np.float32)
+    # copy=True: tensor.numpy() ALIASES torch storage, and torch optimizers
+    # mutate parameters in place — a converted param tree must be a snapshot,
+    # not a live view (caught by tests/test_train_equivalence.py).
+    return np.array(v, dtype=np.float32, copy=True)
 
 
 def _lin(sd: Dict, prefix: str, pad_out_to: int | None = None) -> Dict:
