@@ -55,3 +55,92 @@ def test_cider_identity_beats_garbage():
     bad = ["xyzzy foo bar", "qwerty baz quux"]
     assert m.cider_d(good, refs) > m.cider_d(bad, refs)
     assert m.cider_d(bad, refs) < 1e-6
+
+
+# ------------------------------------------------- METEOR 1.5 (hand goldens)
+
+def test_meteor15_identity_golden():
+    """Identical 6-token sentence: P=R=Fmean=1, 1 chunk / 6 matches,
+    Pen = 0.6*(1/6)**0.2 -> score = 1 - 0.6*6**-0.2 (the 1.5 jar's known
+    'identical sentences score well below 1' behavior)."""
+    s = "a man is playing a guitar"
+    want = 1.0 - 0.6 * (1.0 / 6.0) ** 0.2
+    assert abs(m.meteor15_single(s, s) - want) < 1e-12
+
+
+def test_meteor15_function_word_weighting_golden():
+    """hyp 'the cat' vs ref 'a cat': only the content word matches.
+    P = R = 0.75/(0.25+0.75) = 0.75, Fmean = 0.75, Pen = 0.6*1**0.2 = 0.6
+    -> 0.3. A content-word miss ('big cat') weighs more: P = 0.75/1.5 = 0.5,
+    Fmean = 0.375/0.5375 -> score ~0.27907."""
+    a = m.meteor15_single("the cat", "a cat")
+    assert abs(a - 0.3) < 1e-12
+    b = m.meteor15_single("big cat", "a cat")
+    want_b = 0.4 * (0.5 * 0.75 / (0.85 * 0.5 + 0.15 * 0.75))
+    assert abs(b - want_b) < 1e-12
+    assert a > b  # missing a function word hurts less than a content word
+
+
+def test_meteor15_stem_stage_weight_golden():
+    """'man plays' vs 'man playing': exact (w=1.0) + stem (w=0.6) matches,
+    all content words. P = R = (0.75 + 0.6*0.75)/1.5 = 0.8; 1 chunk / 2
+    matches -> Pen = 0.6*0.5**0.2; score = 0.8*(1 - 0.6*0.5**0.2)."""
+    want = 0.8 * (1.0 - 0.6 * 0.5 ** 0.2)
+    assert abs(m.meteor15_single("man plays", "man playing") - want) < 1e-12
+
+
+def test_meteor15_multi_ref_and_batch():
+    hyp = "a dog runs"
+    refs = ["piano violin cello", "a dog runs"]
+    assert m.meteor15_score(hyp, refs) == m.meteor15_single(hyp, "a dog runs")
+    assert m.batch_meteor([hyp], [refs]) == m.meteor15_score(hyp, refs)
+
+
+# ------------------------------------------------- BLEU anchored to nltk
+
+def test_corpus_bleu_matches_nltk():
+    from nltk.translate.bleu_score import corpus_bleu as nltk_corpus_bleu
+
+    refs = [["the cat sat on the mat", "a cat was on the mat"],
+            ["the dog ran in the park", "a dog runs through the park"],
+            ["a man is playing a guitar by the fire"]]
+    hyps = ["the cat sat on the mat",
+            "the dog ran quickly in the park",
+            "a man is playing a guitar"]
+    ours = m.corpus_bleu(hyps, refs)
+    want = nltk_corpus_bleu(
+        [[r.split() for r in rs] for rs in refs], [h.split() for h in hyps])
+    assert abs(ours - want) < 1e-12
+
+
+def test_sentence_bleu_matches_nltk_unsmoothed():
+    from nltk.translate.bleu_score import sentence_bleu as nltk_sentence_bleu
+
+    refs = ["the cat sat on the mat quietly", "a cat was sitting on the mat"]
+    hyp = "the cat sat quietly on the mat"  # all 1-4 gram precisions > 0
+    ours = m.bleu4_score(hyp, refs, smooth=False)
+    want = nltk_sentence_bleu([r.split() for r in refs], hyp.split())
+    assert abs(ours - want) < 1e-12
+
+
+# ------------------------------------------------- CIDEr-D hand golden
+
+def test_cider_d_hand_golden_identity():
+    """Two single-ref docs, hyp == ref. 1- and 2-gram cosines are exactly 1
+    (any nonzero tf-idf vector vs itself), 3-/4-grams vanish (len 2), length
+    penalty exp(0)=1 -> per-doc 10*(1+1+0+0)/4 = 5."""
+    score = m.cider_d(["a b", "c d"], [["a b"], ["c d"]])
+    assert abs(score - 5.0) < 1e-12
+
+
+def test_cider_d_hand_golden_partial():
+    """doc1: hyp 'a b' vs ref 'a c'; doc2: hyp 'c d' vs ref 'c d'.
+    df: a->1, c->2, d->1, b->0 over 2 docs.
+    doc1 1-gram: hyp vec {a: .5ln2, b: .5ln2}, ref vec {a: .5ln2, c: 0};
+    min-clipped dot = (.5ln2)^2, norms sqrt(2)*.5ln2 and .5ln2 -> sim 1/sqrt2;
+    2-grams share nothing -> doc1 = 10*(1/sqrt2)/4.
+    doc2: c has idf 0, d carries it -> 1-gram sim 1; 2-gram sim 1 -> 5."""
+    import math as _math
+    want = (10.0 * (1.0 / _math.sqrt(2.0)) / 4.0 + 5.0) / 2.0
+    score = m.cider_d(["a b", "c d"], [["a c"], ["c d"]])
+    assert abs(score - want) < 1e-12

@@ -6,11 +6,19 @@ The reference evaluates METEOR only, via the nlg-eval package's Java jar
 score over each batch. That jar (and WordNet) are unavailable in a zero-egress
 environment, so:
 
-* :func:`meteor_score` implements METEOR with exact + Porter-stem matching
-  stages (the standard parameters alpha=0.9, beta=3, gamma=0.5 used by
-  nltk.translate.meteor_score); the WordNet synonym stage is skipped. It is
-  used exactly like the reference uses METEOR — per-sample, max over
-  references, averaged over the batch — for model selection.
+* :func:`meteor15_single` implements the METEOR 1.5 scoring formula
+  (Denkowski & Lavie 2014): exact + Porter-stem matcher stages with the
+  official stage weights (1.0, 0.6), content/function-word weighting
+  (delta=0.75 over an embedded closed-class function list), and the English
+  'rank' parameters alpha=0.85 beta=0.2 gamma=0.6. Deviations from the jar,
+  all documented in PARITY.md: no WordNet-synonym/paraphrase stages (their
+  data is unavailable offline), greedy rather than beam-search alignment,
+  approximated function-word list. This is the model-selection metric
+  (:func:`batch_meteor`), used per-sample / max-over-refs / batch-averaged
+  exactly like the reference (train_utils.py:97-111).
+* :func:`meteor_score` is the simpler METEOR-1.0-parameter scorer
+  (alpha=0.9, beta=3, gamma=0.5 — what nltk.translate.meteor_score uses),
+  kept for comparison.
 * :func:`bleu4_score` / :func:`corpus_bleu` implement smoothed sentence and
   corpus BLEU (uniform 4-gram weights, standard brevity penalty).
 * :func:`cider_d` implements CIDEr-D (tf-idf 1..4-gram cosine with length
@@ -42,18 +50,21 @@ def tokenize(text: str) -> List[str]:
 
 # ---------------------------------------------------------------- METEOR
 
-def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
-    """Greedy two-stage alignment (exact, then stem). Returns (matches, chunks)."""
+def _align_pairs(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, int]]:
+    """Greedy two-stage alignment. Returns [(hyp_idx, ref_idx, stage)] with
+    stage 0 = exact, stage 1 = stem. First-come greedy matching per stage (as
+    in nltk's METEOR); the official jar instead beam-searches the alignment
+    that minimizes chunks — a documented deviation (PARITY.md)."""
     h_idx = list(range(len(hyp)))
     r_idx = list(range(len(ref)))
-    pairs: List[Tuple[int, int]] = []
+    pairs: List[Tuple[int, int, int]] = []
 
-    # stage 1: exact matches (first-come greedy, as in nltk's implementation)
+    # stage 1: exact matches
     used_r = set()
     for i in list(h_idx):
         for j in r_idx:
             if j not in used_r and hyp[i] == ref[j]:
-                pairs.append((i, j))
+                pairs.append((i, j, 0))
                 used_r.add(j)
                 h_idx.remove(i)
                 break
@@ -66,20 +77,29 @@ def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
     for i in list(h_idx):
         for j in r_idx:
             if j not in used_r2 and h_stem[i] == r_stem[j]:
-                pairs.append((i, j))
+                pairs.append((i, j, 1))
                 used_r2.add(j)
                 h_idx.remove(i)
                 break
+    return pairs
 
+
+def _chunks(pairs: List[Tuple[int, int, int]]) -> int:
+    """Chunk count: contiguous runs in both hyp and ref order."""
     if not pairs:
-        return 0, 0
-    # chunk count: contiguous runs in both hyp and ref order
-    pairs.sort()
+        return 0
+    spairs = sorted(p[:2] for p in pairs)
     chunks = 1
-    for (i1, j1), (i2, j2) in zip(pairs, pairs[1:]):
+    for (i1, j1), (i2, j2) in zip(spairs, spairs[1:]):
         if not (i2 == i1 + 1 and j2 == j1 + 1):
             chunks += 1
-    return len(pairs), chunks
+    return chunks
+
+
+def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
+    """Greedy two-stage alignment (exact, then stem). Returns (matches, chunks)."""
+    pairs = _align_pairs(hyp, ref)
+    return len(pairs), _chunks(pairs)
 
 
 def meteor_single(hyp: str, ref: str,
@@ -103,12 +123,86 @@ def meteor_score(hyp: str, refs: Sequence[str]) -> float:
     return max((meteor_single(hyp, r) for r in refs), default=0.0)
 
 
-def batch_meteor(hyps: Sequence[str], refs_list: Sequence[Sequence[str]]) -> float:
+# METEOR 1.5 (Denkowski & Lavie 2014, "Meteor Universal") — the scorer behind
+# the reference's nlg-eval model-selection metric (train_utils.py:97-111).
+# The jar ships a corpus-frequency-derived English function-word list; this
+# embedded closed-class set (articles, prepositions, conjunctions, pronouns,
+# auxiliaries, common adverbial particles) approximates it.
+_FUNCTION_WORDS = frozenset("""
+a an the this that these those some any each every no all both either neither
+i you he she it we they me him her us them my your his its our their mine
+yours hers ours theirs myself yourself himself herself itself ourselves
+yourselves themselves who whom whose which what
+in on at by for with about against between into through during before after
+above below to from up down of off over under again further once out
+and or but nor so yet if then else when while as because although though
+since unless until whether than
+is am are was were be been being have has had having do does did doing
+will would shall should may might must can could
+not n't no nor never
+there here very just only also too quite rather
+'s 'm 're 've 'll 'd . , ! ? ; : " ' ( )
+""".split())
+
+# English 'rank'-task parameters from the Meteor 1.5 distribution:
+# alpha=.85 beta=.2 gamma=.6 delta=.75; matcher weights exact=1.0 stem=0.6
+# (synonym=0.8 / paraphrase=0.6 stages need WordNet + paraphrase tables,
+# unavailable offline — documented deviation, PARITY.md).
+_M15_STAGE_WEIGHTS = (1.0, 0.6)
+
+
+def meteor15_single(hyp: str, ref: str, alpha: float = 0.85, beta: float = 0.2,
+                    gamma: float = 0.6, delta: float = 0.75) -> float:
+    """METEOR 1.5 English scoring formula:
+
+        P = Σ_i w_i·(δ·m_i(h_c) + (1−δ)·m_i(h_f)) / (δ·|h_c| + (1−δ)·|h_f|)
+        R = likewise over the reference
+        Fmean = P·R / (α·P + (1−α)·R)
+        Pen = γ·(chunks / matches)^β
+        score = (1 − Pen)·Fmean
+
+    where h_c/h_f split the hypothesis into content/function words and
+    m_i(·) counts words matched by stage i (exact, stem)."""
+    h, r = tokenize(hyp), tokenize(ref)
+    if not h or not r:
+        return 0.0
+    pairs = _align_pairs(h, r)
+    if not pairs:
+        return 0.0
+
+    def weighted(tokens, matched):  # matched: {idx: stage}
+        num = sum(_M15_STAGE_WEIGHTS[st]
+                  * (delta if tokens[i] not in _FUNCTION_WORDS else 1 - delta)
+                  for i, st in matched.items())
+        den = sum(delta if t not in _FUNCTION_WORDS else 1 - delta
+                  for t in tokens)
+        return num, den
+
+    h_num, h_den = weighted(h, {i: st for i, _, st in pairs})
+    r_num, r_den = weighted(r, {j: st for _, j, st in pairs})
+    if h_den == 0 or r_den == 0:
+        return 0.0
+    p, rec = h_num / h_den, r_num / r_den
+    if p == 0 or rec == 0:
+        return 0.0
+    fmean = p * rec / (alpha * p + (1 - alpha) * rec)
+    pen = gamma * (_chunks(pairs) / len(pairs)) ** beta
+    return (1 - pen) * fmean
+
+
+def meteor15_score(hyp: str, refs: Sequence[str]) -> float:
+    """Max over references (multi-reference METEOR)."""
+    return max((meteor15_single(hyp, r) for r in refs), default=0.0)
+
+
+def batch_meteor(hyps: Sequence[str], refs_list: Sequence[Sequence[str]],
+                 scorer=meteor15_score) -> float:
     """Average per-sample METEOR over a batch — the reference's aggregation
-    (train_utils.py:97-111)."""
+    (train_utils.py:97-111). Defaults to the METEOR-1.5 scorer, matching the
+    reference's nlg-eval jar semantics as closely as offline allows."""
     if not hyps:
         return 0.0
-    return sum(meteor_score(h, rs) for h, rs in zip(hyps, refs_list)) / len(hyps)
+    return sum(scorer(h, rs) for h, rs in zip(hyps, refs_list)) / len(hyps)
 
 
 # ---------------------------------------------------------------- BLEU
