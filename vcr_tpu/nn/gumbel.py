@@ -17,16 +17,23 @@ def gumbel_softmax(
     tau: float = 1.0,
     hard: bool = False,
     axis: int = -1,
+    noise: jax.Array | None = None,
 ) -> jax.Array:
     """Sample from the Gumbel-Softmax distribution.
 
     soft: y = softmax((logits + g) / tau), g ~ Gumbel(0, 1)
     hard: one_hot(argmax(y)) with straight-through gradients
           (y_hard - stop_grad(y) + y), as in torch.
+
+    ``noise`` injects pre-drawn Gumbel(0,1) noise instead of sampling from
+    ``key`` — used by cross-framework parity tests to share noise with torch.
     """
-    gumbels = -jnp.log(-jnp.log(
-        jax.random.uniform(key, logits.shape, minval=1e-20, maxval=1.0)
-    ) + 1e-20)
+    if noise is not None:
+        gumbels = noise
+    else:
+        gumbels = -jnp.log(-jnp.log(
+            jax.random.uniform(key, logits.shape, minval=1e-20, maxval=1.0)
+        ) + 1e-20)
     y_soft = jax.nn.softmax((logits + gumbels) / tau, axis=axis)
     if not hard:
         return y_soft
