@@ -99,3 +99,40 @@ def test_transformer_beam1_equals_greedy(tiny_vocab, rng):
         assert np.all(np.asarray(s3)[:, 0] >= np.asarray(scores)[:, 0] - 1e-5)
     finally:
         tr.mha_init, tr._width = orig
+
+
+def test_transformer_fast_beam1_equals_fast_greedy(tiny_vocab, rng):
+    """KV-cached beam with width 1 must reproduce the KV-cached greedy decode
+    token-for-token (same cell, same cache), and a wider fast beam never
+    scores worse."""
+    from vcr_tpu.decode import transformer_beam_decode_fast
+
+    orig = (tr.mha_init, tr._width)
+    try:
+        tr.mha_init, tr._width = _small_widths()
+        spec = base.ModelSpec(
+            arch="transformer", vocab_size=tiny_vocab.vocab_size,
+            embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
+            max_len=5, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+            compute_dtype="float32", tf_layers=2, tf_heads=2)
+        params = tr.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+        vid = jnp.asarray(rng.standard_normal((3, 4, 12)), dtype=jnp.float32)
+
+        src_mask = tr.create_masks_inp(vid)
+        e_out = tr.encode(params, spec, vid, src_mask, jax.random.PRNGKey(0),
+                          train=False)
+        greedy = np.asarray(tr.decode_greedy_fast(params, spec, e_out))
+        tokens, scores = transformer_beam_decode_fast(
+            params, spec, vid, 1, tiny_vocab.eos_id)
+        t = np.asarray(tokens)
+        for b in range(3):
+            for i in range(spec.max_len):
+                assert t[b, 0, i] == greedy[b, i]
+                if greedy[b, i] == tiny_vocab.eos_id:
+                    break
+
+        _, s3 = transformer_beam_decode_fast(params, spec, vid, 3,
+                                             tiny_vocab.eos_id)
+        assert np.all(np.asarray(s3)[:, 0] >= np.asarray(scores)[:, 0] - 1e-5)
+    finally:
+        tr.mha_init, tr._width = orig

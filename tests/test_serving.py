@@ -19,7 +19,7 @@ def test_serving_vgg_end_to_end(tiny_vocab, rng):
                           compute_dtype="float32")
     params = s2vt.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
     feat_params = vgg.init_params(jax.random.PRNGKey(1))
-    caption = jax.jit(build_captioner(params, spec, "vgg16", feat_params))
+    caption = build_captioner(params, spec, "vgg16", feat_params)
 
     frames = jnp.asarray(rng.standard_normal((1, 2, 3, 224, 224)),
                          dtype=jnp.float32)
@@ -44,7 +44,7 @@ def test_serving_resnet_end_to_end(tiny_vocab, rng):
                           compute_dtype="float32")
     params = s2vt.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
     feat_params = resnet.init_params(jax.random.PRNGKey(1), "resnet18")
-    caption = jax.jit(build_captioner(params, spec, "resnet", feat_params))
+    caption = build_captioner(params, spec, "resnet", feat_params)
     frames = jnp.asarray(rng.standard_normal((1, 2, 3, 64, 64)), jnp.float32)
     tokens = caption(frames)
     assert tokens.shape == (1, spec.max_len)
@@ -63,3 +63,67 @@ def test_eval_only_mode(tmp_path):
     # same checkpoint + deterministic eval => same val metrics
     assert abs(metrics["METEOR"] - trained["METEOR"]) < 1e-9
     assert abs(metrics["loss"] - trained["loss"]) < 1e-5
+
+
+def test_serving_transformer_uses_fast_decode(tiny_vocab, rng):
+    import vcr_tpu.models.transformer as tr
+    from tests.test_decode_transformer import _small_widths
+
+    orig = (tr.mha_init, tr._width)
+    try:
+        tr.mha_init, tr._width = _small_widths()
+        spec = base.ModelSpec(
+            arch="transformer", vocab_size=tiny_vocab.vocab_size,
+            embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
+            max_len=5, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+            compute_dtype="float32", tf_layers=2, tf_heads=2)
+        params = tr.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+        caption = build_captioner(params, spec, "none")
+        feats = jnp.asarray(rng.standard_normal((2, 4, 12)), jnp.float32)
+        tokens = caption(feats)
+        src_mask = tr.create_masks_inp(feats)
+        e_out = tr.encode(params, spec, feats, src_mask, jax.random.PRNGKey(0),
+                          train=False)
+        want = tr.decode_greedy_fast(params, spec, e_out)
+        np.testing.assert_array_equal(np.asarray(tokens), np.asarray(want))
+    finally:
+        tr.mha_init, tr._width = orig
+
+
+def test_serving_rationale_and_spatial(tiny_vocab, rng):
+    from vcr_tpu.models import rationale, spatial
+
+    # rationale: serving tokens == generator(rng) + wrapped-captioner greedy
+    spec = base.ModelSpec(arch="rationale", base_arch="s2vt", tau=1.0,
+                          vocab_size=tiny_vocab.vocab_size,
+                          embed_size=tiny_vocab.embed_size, hidden_size=8,
+                          vid_feat_size=12, max_len=5, num_frames=4,
+                          dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+                          compute_dtype="float32")
+    params = rationale.init_params(jax.random.PRNGKey(0), spec,
+                                   tiny_vocab.vectors)
+    rng_key = jax.random.PRNGKey(7)
+    caption = build_captioner(params, spec, "none", rng=rng_key)
+    feats = jnp.asarray(rng.standard_normal((2, 4, 12)), jnp.float32)
+    tokens = caption(feats)
+    sel, _ = rationale.generator(params["gen"], spec, feats, rng_key,
+                                 train=False)
+    want = s2vt.apply(params["caption_net"], spec, sel, train=False,
+                      emit="tokens")
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(want))
+
+    # spatial: serving tokens == spatial.apply argmax
+    spec_sp = base.ModelSpec(arch="spatial", base_arch="s2vt",
+                             vocab_size=tiny_vocab.vocab_size,
+                             embed_size=tiny_vocab.embed_size, hidden_size=8,
+                             vid_feat_size=6, max_len=5, num_frames=3,
+                             dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+                             compute_dtype="float32")
+    params_sp = spatial.init_params(jax.random.PRNGKey(1), spec_sp,
+                                    tiny_vocab.vectors)
+    caption_sp = build_captioner(params_sp, spec_sp, "none")
+    grid = jnp.asarray(rng.standard_normal((2, 3, 6, 4, 4)), jnp.float32)
+    tokens_sp = caption_sp(grid)
+    logits, _, _ = spatial.apply(params_sp, spec_sp, grid, train=False)
+    np.testing.assert_array_equal(np.asarray(tokens_sp),
+                                  np.asarray(jnp.argmax(logits, axis=-1)))

@@ -252,22 +252,28 @@ def decode_greedy(params, spec: base.ModelSpec, e_outputs, src_mask) -> jax.Arra
     return jnp.transpose(logits, (1, 0, 2))  # (B, L, V)
 
 
-def decode_greedy_fast(params, spec: base.ModelSpec, e_outputs, src_mask=None
-                       ) -> jax.Array:
-    """KV-cached greedy decode — the SERVING mode, ~L× fewer decoder FLOPs.
+def make_cached_stepper(params, spec: base.ModelSpec, e_outputs):
+    """KV-cached single-token decoder step — the SERVING-mode cell shared by
+    the fast greedy scan and the fast beam search (decode.py).
 
     NOT token-parity with the reference: the reference rescales the WHOLE
     prefix by sqrt(prefix_len) every step (TransformerNet.py:129), which
     invalidates any cache. Here each token keeps the sqrt(i+1) scale from the
-    step it was emitted, so K/V of past positions are reusable. Use
-    decode_greedy for reference parity; use this for throughput serving.
+    step it was emitted, so K/V of past positions are reusable. Use the parity
+    decoders for reference parity; use this for throughput serving.
 
-    Returns greedy tokens (B, L) int32.
+    ``e_outputs`` (rows, S, 4096) fixes the row count; for beam search the
+    rows are B*K (encoder outputs tiled per beam; cross-attention K/V are
+    identical across one item's beams, so they can live outside the reordered
+    search state).
+
+    -> (step_fn(state, words, i) -> (state, logits (rows, V)), init_state)
+    where state = {"ck","cv"}: (rows, Nl, h, L, d_k) self-attention caches
+    (rows leading so beam reordering can gather on axis 0).
     """
-    del src_mask  # all-ones in the reference; cross-attention is unmasked
     dec = params["decoder"]
     layers = dec["layers"]
-    b = e_outputs.shape[0]
+    rows = e_outputs.shape[0]
     l = spec.max_len
     heads = spec.tf_heads
     hidden = layers["attn_1"]["q"]["w"].shape[-1]
@@ -275,24 +281,27 @@ def decode_greedy_fast(params, spec: base.ModelSpec, e_outputs, src_mask=None
     n_layers = spec.tf_layers
     cdt = spec.cdtype
 
-    def heads_split(x):  # (B, S, hidden) -> (B, h, S, d_k)
-        return x.reshape(b, -1, heads, d_k).transpose(0, 2, 1, 3)
+    def heads_split(x):  # (rows, S, hidden) -> (rows, h, S, d_k)
+        return x.reshape(rows, -1, heads, d_k).transpose(0, 2, 1, 3)
 
     # cross-attention K/V precomputed once per layer from the encoder outputs
+    # (the reference's src mask is all-ones: cross-attention is unmasked)
     def cross_kv(layer_p):
         k = heads_split(dense(layer_p["attn_2"]["k"], e_outputs, cdt))
         v = heads_split(dense(layer_p["attn_2"]["v"], e_outputs, cdt))
         return k, v
 
-    cross_k, cross_v = jax.vmap(cross_kv)(layers)   # (Nl, B, h, S, d_k)
+    cross_k, cross_v = jax.vmap(cross_kv)(layers)   # (Nl, rows, h, S, d_k)
 
-    cache_k0 = jnp.zeros((n_layers, b, heads, l, d_k), jnp.float32)
-    cache_v0 = jnp.zeros_like(cache_k0)
+    init_state = {
+        "ck": jnp.zeros((rows, n_layers, heads, l, d_k), jnp.float32),
+        "cv": jnp.zeros((rows, n_layers, heads, l, d_k), jnp.float32),
+    }
     pos_mask_row = jnp.arange(l)                     # attend to cols <= i
 
     def attend_cached(attn_p, x2, ck, cv, i):
         """Single-token self-attention against the cache (incl. this token)."""
-        q = heads_split(dense(attn_p["q"], x2, cdt))          # (B, h, 1, d_k)
+        q = heads_split(dense(attn_p["q"], x2, cdt))          # (rows, h, 1, d_k)
         k_new = heads_split(dense(attn_p["k"], x2, cdt))
         v_new = heads_split(dense(attn_p["v"], x2, cdt))
         ck = jax.lax.dynamic_update_slice_in_dim(ck, k_new.astype(ck.dtype), i,
@@ -305,7 +314,7 @@ def decode_greedy_fast(params, spec: base.ModelSpec, e_outputs, src_mask=None
         w = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cdt), cv.astype(cdt),
                          preferred_element_type=jnp.float32)
-        out = ctx.transpose(0, 2, 1, 3).reshape(b, 1, hidden)
+        out = ctx.transpose(0, 2, 1, 3).reshape(rows, 1, hidden)
         return dense(attn_p["out"], out, cdt), ck, cv
 
     def attend_cross(attn_p, x2, k, v):
@@ -315,12 +324,14 @@ def decode_greedy_fast(params, spec: base.ModelSpec, e_outputs, src_mask=None
         w = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cdt), v.astype(cdt),
                          preferred_element_type=jnp.float32)
-        out = ctx.transpose(0, 2, 1, 3).reshape(b, 1, hidden)
+        out = ctx.transpose(0, 2, 1, 3).reshape(rows, 1, hidden)
         return dense(attn_p["out"], out, cdt)
 
-    def step(carry, i):
-        words, ck_all, cv_all = carry
-        x = embed(dec["embedding"], words)[:, None, :]          # (B, 1, 300)
+    def step_fn(state, words, i):
+        # layer-scan wants layers leading; beam reorder wants rows leading
+        ck_all = jnp.moveaxis(state["ck"], 0, 1)     # (Nl, rows, h, L, d_k)
+        cv_all = jnp.moveaxis(state["cv"], 0, 1)
+        x = embed(dec["embedding"], words)[:, None, :]          # (rows, 1, 300)
         x = x * _pe_scale(i + 1) \
             + jax.lax.dynamic_slice_in_dim(dec["pe"], i, 1, axis=0)[None]
 
@@ -340,11 +351,29 @@ def decode_greedy_fast(params, spec: base.ModelSpec, e_outputs, src_mask=None
         h = torch_norm(dec["norm_out"], x)[:, 0]
         logits = mask_vocab_pad(dense(dec["pred_linear"], h, cdt),
                                 spec.vocab_size)
+        state = {"ck": jnp.moveaxis(ck_all, 1, 0),
+                 "cv": jnp.moveaxis(cv_all, 1, 0)}
+        return state, logits
+
+    return step_fn, init_state
+
+
+def decode_greedy_fast(params, spec: base.ModelSpec, e_outputs, src_mask=None
+                       ) -> jax.Array:
+    """KV-cached greedy decode — ~L× fewer decoder FLOPs than the parity scan
+    (see make_cached_stepper for the PE-scale deviation). -> tokens (B, L)."""
+    del src_mask
+    b = e_outputs.shape[0]
+    step_fn, init_state = make_cached_stepper(params, spec, e_outputs)
+
+    def step(carry, i):
+        words, state = carry
+        state, logits = step_fn(state, words, i)
         next_word = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (next_word, ck_all, cv_all), next_word
+        return (next_word, state), next_word
 
     sos = jnp.full((b,), spec.sos_id, dtype=jnp.int32)
-    _, tokens = jax.lax.scan(step, (sos, cache_k0, cache_v0), jnp.arange(l))
+    _, tokens = jax.lax.scan(step, (sos, init_state), jnp.arange(spec.max_len))
     return jnp.transpose(tokens, (1, 0))  # (B, L)
 
 

@@ -16,45 +16,90 @@ import jax
 import jax.numpy as jnp
 
 from vcr_tpu.models import base as model_base
-from vcr_tpu.models import resnet, s2vt, s2vt_att, vgg
+from vcr_tpu.models import (rationale, resnet, s2vt, s2vt_att, spatial,
+                            transformer, vgg)
 
 
 def build_captioner(params, spec: model_base.ModelSpec,
                     featurizer: str = "vgg16",
-                    feat_params=None) -> Callable:
+                    feat_params=None,
+                    rng=None) -> Callable:
     """-> fn(frames (B, N, 3, S, S) normalized) -> tokens (B, L) int32.
+    The returned fn is ALREADY jitted (params passed as a jit argument — see
+    the note at the bottom); do not wrap it in jax.jit again or the weights
+    become compile-time constants.
+
+    Covers ALL FIVE model families (BASELINE.md config list):
+    s2vt / s2vt-att / transformer decode greedily (the transformer takes its
+    KV-cached serving decode, transformer.make_cached_stepper); rationale runs
+    its hard-Gumbel frame selection (eval semantics, RationaleNet.py:49-53)
+    with ``rng`` (default PRNGKey(0), see PARITY.md "Known deviations") before
+    its wrapped captioner; spatial consumes YOLO grid features (B, N, F, K, K)
+    — use featurizer='yolo' with darknet params to fuse the backbone, or feed
+    precomputed bbox features with featurizer='none'.
 
     featurizer: 'vgg16' (fc7, 4096-d — msvd_vgg pipeline), 'resnet' (512-d
-    pooled — msvd/msrvtt pipeline), or 'none' (input is already features).
+    pooled — msvd/msrvtt pipeline), 'yolo' (darknet get_feats grid — spatial
+    pipeline; feat_params is the Darknet object), or 'none' (input is already
+    features).
     """
-    if featurizer == "vgg16":
+    if featurizer in ("vgg16", "resnet"):
+        assert feat_params is not None
+        extract = (vgg.extract_fc7 if featurizer == "vgg16"
+                   else resnet.extract_features)
+
+        def featurize(frames):
+            b, n = frames.shape[:2]
+            flat = frames.reshape(b * n, *frames.shape[2:])
+            feats = extract(feat_params, flat, spec.cdtype)
+            return feats.reshape(b, n, -1)
+    elif featurizer == "yolo":
         assert feat_params is not None
 
         def featurize(frames):
             b, n = frames.shape[:2]
             flat = frames.reshape(b * n, *frames.shape[2:])
-            feats = vgg.extract_fc7(feat_params, flat, spec.cdtype)
-            return feats.reshape(b, n, -1)
-    elif featurizer == "resnet":
-        assert feat_params is not None
-
-        def featurize(frames):
-            b, n = frames.shape[:2]
-            flat = frames.reshape(b * n, *frames.shape[2:])
-            feats = resnet.extract_features(feat_params, flat, spec.cdtype)
-            return feats.reshape(b, n, -1)
+            feats = feat_params.get_feats(flat, spec.cdtype)   # (B·N, F, K, K)
+            return feats.reshape(b, n, *feats.shape[1:])
     elif featurizer == "none":
         featurize = lambda x: x  # noqa: E731
     else:
         raise NotImplementedError(featurizer)
 
-    cap = s2vt if spec.arch == "s2vt" else s2vt_att
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
 
-    def caption(frames_or_feats: jax.Array) -> jax.Array:
+    def caption(params, frames_or_feats: jax.Array) -> jax.Array:
         feats = featurize(frames_or_feats)
         if spec.arch == "s2vt":
-            return cap.apply(params, spec, feats, train=False, emit="tokens")
-        logits = cap.apply(params, spec, feats, train=False)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return s2vt.apply(params, spec, feats, train=False, emit="tokens")
+        if spec.arch == "s2vt-att":
+            logits = s2vt_att.apply(params, spec, feats, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if spec.arch == "transformer":
+            feats = feats.astype(spec.cdtype)
+            src_mask = transformer.create_masks_inp(feats)
+            e_out = transformer.encode(params, spec, feats, src_mask,
+                                       jax.random.PRNGKey(0), train=False)
+            return transformer.decode_greedy_fast(params, spec, e_out)
+        if spec.arch == "rationale":
+            sel, _ = rationale.generator(params["gen"], spec,
+                                         feats.astype(spec.cdtype), rng,
+                                         train=False)
+            cap = params["caption_net"]
+            if spec.base_arch == "s2vt":
+                return s2vt.apply(cap, spec, sel, train=False, emit="tokens")
+            logits = s2vt_att.apply(cap, spec, sel, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if spec.arch == "spatial":
+            logits, _, _ = spatial.apply(params, spec, feats, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        raise NotImplementedError(spec.arch)
 
-    return caption
+    # jit with params as an ARGUMENT: closing over them would bake every
+    # weight into the compiled program as a constant — XLA then constant-folds
+    # them (minutes of compile at real widths) and re-uploads them with the
+    # executable (observed live: a 4096-wide transformer captioner took >8min
+    # to compile through the device tunnel as constants vs ~90s as arguments).
+    caption_jit = jax.jit(caption)
+    return lambda frames_or_feats: caption_jit(params, frames_or_feats)
