@@ -124,6 +124,26 @@ class Config:
         return dataclasses.replace(self, **kw)
 
 
+# I/O and runtime knobs that stay under CLI control when a checkpoint's
+# embedded config is adopted; everything else (arch, widths, dtype, tau, ...)
+# must come from the checkpoint or the rebuilt model won't match the stored
+# weights (reference resume adopts opts wholesale, train.py:133).
+_CLI_OVERRIDE_FIELDS = (
+    "data_dir", "corpus", "glove_emb_file", "save_path", "bsize", "nworkers",
+    "n_sample_sent", "beam_size", "seed", "out_dir", "vid_file", "export_all",
+    "pretrained_base", "spatial_net_file", "log_dir", "log_iter",
+    "mesh_dp", "mesh_mp",
+)
+
+
+def adopt_checkpoint_config(cli_cfg: Config, meta: Dict[str, Any]) -> Config:
+    """Rebuild the Config for eval/decode-style consumers of a checkpoint:
+    model hyperparameters from the checkpoint's embedded config (so the model
+    always matches the stored weights), I/O + runtime knobs from the CLI."""
+    cfg = Config.from_dict(meta["config"])
+    return cfg.replace(**{f: getattr(cli_cfg, f) for f in _CLI_OVERRIDE_FIELDS})
+
+
 def _str2bool(t: str) -> bool:
     # reference args.py:3-7 semantics: anything not in the truthy set is False
     return t.lower() in ("true", "t", "1")

@@ -50,12 +50,15 @@ def decode_corpus(cfg: Config, checkpoint_path: str = "",
     from vcr_tpu.data.pipeline import CaptionDataset
     from vcr_tpu.train import checkpoint as ckpt
 
+    path = checkpoint_path or ckpt.best_path(cfg.save_path)
+    params, _, meta = ckpt.load_checkpoint(path)
+    # model hyperparameters come from the checkpoint's embedded config so the
+    # rebuilt spec always matches the stored weights (CLI keeps I/O knobs)
+    from vcr_tpu.config import adopt_checkpoint_config
+    cfg = adopt_checkpoint_config(cfg, meta)
     vocab = Vocab(os.path.join(cfg.data_dir, cfg.corpus, "glove",
                                cfg.glove_emb_file), seed=cfg.seed)
     spec = model_base.spec_from_config(cfg, vocab)
-    path = checkpoint_path or ckpt.best_path(cfg.save_path)
-    params, _, meta = ckpt.load_checkpoint(path)
-    del meta
 
     feat_type = "yolo" if cfg.mode == "train_spatial" else "cnn"
     ds = CaptionDataset(cfg.data_dir, cfg.corpus, split, vocab,

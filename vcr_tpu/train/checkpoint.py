@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Any, Dict, Optional, Tuple
 
 import orbax.checkpoint as ocp
@@ -30,13 +31,46 @@ def _meta_path(path: str) -> str:
 
 
 def save_checkpoint(path: str, params, opt_state, meta: Dict[str, Any]) -> None:
-    """Write {params, opt_state} + metadata to ``path`` (a directory)."""
-    os.makedirs(path, exist_ok=True)
+    """Write {params, opt_state} + metadata to ``path`` (a directory).
+
+    CRASH-ATOMIC: the checkpoint is fully written to a sibling ``.tmp`` dir
+    first and swapped in with directory renames. Orbax's ``force=True``
+    overwrite deletes the previous tree BEFORE writing the new one, so a kill
+    mid-save used to leave a stale meta.json with no tree — an unreadable
+    "latest" that broke resume (observed live in round-2 verification). Any
+    kill now leaves either the old complete checkpoint, the new complete one,
+    or old preserved under ``.old`` (which load/resume fall back to)."""
+    path = os.path.abspath(path)
+    tmp, old = path + ".tmp", path + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(_tree_path(path), {"params": params, "opt_state": opt_state},
+        ckptr.save(_tree_path(tmp), {"params": params, "opt_state": opt_state},
                    force=True)
-    with open(_meta_path(path), "w") as f:
+    with open(_meta_path(tmp), "w") as f:
         json.dump(meta, f, indent=2, default=str)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _complete(path: str) -> bool:
+    """A checkpoint is loadable iff both the orbax tree and the meta exist."""
+    return os.path.exists(_tree_path(path)) and os.path.exists(_meta_path(path))
+
+
+def _resolve(path: str) -> str:
+    """Pick the newest COMPLETE variant of a checkpoint dir: the dir itself,
+    else its ``.old`` (a kill between the two swap renames), else itself (so
+    the caller's error names the primary path)."""
+    path = os.path.abspath(path)
+    if _complete(path):
+        return path
+    if _complete(path + ".old"):
+        return path + ".old"
+    return path
 
 
 def load_checkpoint(path: str, template_params=None, template_opt_state=None
@@ -45,6 +79,7 @@ def load_checkpoint(path: str, template_params=None, template_opt_state=None
     arrays) let orbax rebuild exotic containers (optax NamedTuple states) and
     place arrays on the right shardings; without them the raw stored tree
     (nested dicts/lists) is returned — fine for params-only consumers."""
+    path = _resolve(path)
     with ocp.StandardCheckpointer() as ckptr:
         if template_params is not None:
             template = {"params": template_params, "opt_state": template_opt_state}
@@ -65,7 +100,7 @@ def best_path(save_path: str) -> str:
 
 
 def checkpoint_exists(path: str) -> bool:
-    return os.path.exists(_meta_path(path))
+    return _complete(_resolve(path))
 
 
 class CheckpointManager:

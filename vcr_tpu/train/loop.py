@@ -109,7 +109,16 @@ def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0,
 
 def evaluate_checkpoint(cfg: Config, ckpt_path: str = "") -> Dict[str, float]:
     """Eval-only: load a vcr_tpu checkpoint (default <save_path>/model_best)
-    and run the validation pass (metrics incl. METEOR/BLEU-4/CIDEr)."""
+    and run the validation pass (metrics incl. METEOR/BLEU-4/CIDEr).
+
+    The model is rebuilt from the checkpoint's EMBEDDED config — the CLI only
+    supplies I/O knobs (data_dir, bsize, ...), so `--mode eval --save_path X`
+    works without re-specifying every architecture flag."""
+    path = ckpt_path or ckpt.best_path(cfg.save_path)
+    params, _, meta = ckpt.load_checkpoint(path)
+    from vcr_tpu.config import adopt_checkpoint_config
+    cfg = adopt_checkpoint_config(cfg, meta)
+
     mode = cfg.mode if cfg.mode in WORKLOADS else "train"
     model_name_fn, log_keys, feat_type, _ = WORKLOADS[mode]
     model_name = model_name_fn(cfg)
@@ -119,12 +128,7 @@ def evaluate_checkpoint(cfg: Config, ckpt_path: str = "") -> Dict[str, float]:
     spec = model_base.spec_from_config(cfg, vocab)
     _, val_it = make_datasets(cfg, vocab, feat_type)
 
-    init_fn, _ = model_base.build_model(model_name)
-    params = init_fn(jax.random.PRNGKey(cfg.seed), spec, vocab.vectors)
     optimizer = optim.build_optimizer(cfg.optim, cfg.lr, cfg.wd, cfg.max_norm)
-    opt_state = optimizer.init(params)
-    path = ckpt_path or ckpt.best_path(cfg.save_path)
-    params, _, meta = ckpt.load_checkpoint(path, params, opt_state)
     _, eval_step = build_step_fns(model_name, spec, optimizer,
                                   cfg.lambda_brev, cfg.lambda_cont)
 
