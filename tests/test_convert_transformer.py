@@ -12,6 +12,7 @@ same as the real 4096/300 model.
 """
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -253,3 +254,50 @@ def test_transformer_full_parity(tiny_vocab, rng):
     j_greedy = np.asarray(jnp.argmax(
         tr.apply(params, spec, jnp.asarray(vid), train=False), axis=-1))
     np.testing.assert_array_equal(j_greedy, t_tokens)
+
+
+@pytest.mark.skipif(not os.environ.get("VCR_SLOW_TESTS"),
+                    reason="real-width parity is slow; set VCR_SLOW_TESTS=1")
+def test_transformer_full_parity_real_widths(tiny_vocab, rng):
+    """Full-stack parity at the REFERENCE widths — encoder 4096, decoder 300,
+    hidden 512, 6 layers, 8 heads (TransformerNet.py:21-34,95-97) — with NO
+    width patching on the vcr_tpu side. Greedy tokens must match exactly."""
+    global E_W, D_W
+    orig = (E_W, D_W)
+    try:
+        E_W, D_W = 4096, 300
+        vec300 = np.repeat(tiny_vocab.vectors, 19, axis=1)[:, :300] \
+            .astype(np.float32)
+
+        class Voc:  # 300-d stand-in vocab (embed width is structural)
+            vocab_size = tiny_vocab.vocab_size
+            embed_size = 300
+            sos_id = tiny_vocab.sos_id
+            vectors = vec300
+
+        spec = base.ModelSpec(
+            arch="transformer", vocab_size=Voc.vocab_size, embed_size=300,
+            hidden_size=512, vid_feat_size=4096, max_len=5, num_frames=4,
+            dropout_p=0.0, sos_id=Voc.sos_id, compute_dtype="float32",
+            tf_layers=6, tf_heads=8)
+        tm = TTransformer(spec.vocab_size, heads=8, n=6, hidden=512).eval()
+        params = convert.convert_transformer(tm.state_dict(), spec)
+
+        b = 2
+        vid = rng.standard_normal((b, spec.num_frames, 4096)).astype(np.float32)
+        with torch.no_grad():
+            t_src = torch.ones(b, 1, spec.num_frames).unsqueeze(1)
+            t_eout = tm.encode(torch.tensor(vid), t_src)
+            t_tokens = tm.decode_greedy(t_eout, t_src, spec.max_len,
+                                        spec.sos_id)
+
+        src_mask = tr.create_masks_inp(jnp.asarray(vid))
+        j_eout = tr.encode(params, spec, jnp.asarray(vid), src_mask,
+                           jax.random.PRNGKey(0), train=False)
+        np.testing.assert_allclose(np.asarray(j_eout), t_eout.numpy(),
+                                   rtol=2e-4, atol=2e-3)
+        j_greedy = np.asarray(jnp.argmax(
+            tr.apply(params, spec, jnp.asarray(vid), train=False), axis=-1))
+        np.testing.assert_array_equal(j_greedy, t_tokens)
+    finally:
+        E_W, D_W = orig

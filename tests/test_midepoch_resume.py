@@ -65,3 +65,45 @@ def test_epoch_order_is_deterministic_by_absolute_epoch(tmp_path):
     it.epoch = 6
     keys_c = [b["vid_key"] for b in it]
     assert keys_a != keys_c
+
+
+def test_index_level_skip_no_feature_io(tmp_path):
+    """skip_next drops batches BEFORE feature IO (no .npy reads for skipped
+    batches) and leaves every later batch identical to an unskipped epoch
+    (the cap-choice RNG stream is preserved)."""
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.data.pipeline import BatchIterator, CaptionDataset
+    from vcr_tpu.vocab import Vocab
+
+    tmp = str(tmp_path)
+    glove = build_corpus(os.path.join(tmp, "data"), num_videos=12)
+    vocab = Vocab(glove, seed=0)
+    ds = CaptionDataset(os.path.join(tmp, "data"), "msvd_vgg", "train", vocab,
+                        num_frames=4, max_len=6)
+
+    loads = []
+    orig_load = ds.load_features
+    ds.load_features = lambda idx: (loads.append(idx), orig_load(idx))[1]
+
+    def make_it():
+        it = BatchIterator(ds, batch_size=4, shuffle=True, seed=7,
+                           use_native=False)
+        it.epoch = 3  # arbitrary fixed epoch -> deterministic order
+        return it
+
+    full = list(make_it())           # 3 batches
+    full_loads = len(loads)
+    assert full_loads == 12
+
+    loads.clear()
+    it = make_it()
+    it.skip_next = 2
+    tail = list(it)
+    assert len(tail) == 1
+    assert len(loads) == 4           # ONLY the unskipped batch's features
+    np.testing.assert_array_equal(tail[0]["sent"], full[2]["sent"])
+    assert tail[0]["vid_key"] == full[2]["vid_key"]
+    np.testing.assert_array_equal(tail[0]["vid_feats"], full[2]["vid_feats"])
+    # skip_next is one-shot: the next epoch iterates everything
+    loads.clear()
+    assert len(list(it)) == 3 and len(loads) == 12

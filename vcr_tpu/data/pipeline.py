@@ -142,6 +142,7 @@ class BatchIterator:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.epoch = 0
+        self.skip_next = 0  # mid-epoch resume: batches to skip, consumed once
         self.drop_remainder = drop_remainder
         self.num_threads = num_threads
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
@@ -166,12 +167,19 @@ class BatchIterator:
             rng.shuffle(order)
         order = order[self.shard_index::self.num_shards]
         b = self.batch_size
+        skip = self.skip_next  # consumed once (first epoch of a mid-epoch resume)
+        self.skip_next = 0
 
         for start in range(0, len(order), b):
             idxs = order[start:start + b]
             if len(idxs) < b and self.drop_remainder:
                 break
+            # cap_choices are drawn even for skipped batches so the RNG stream
+            # (and thus every later batch) is identical to an unskipped epoch
             cap_choices = rng.integers(0, 2 ** 31, size=len(idxs))
+            if skip > 0:
+                skip -= 1
+                continue  # index-level skip: NO feature IO for this batch
             if self._feat_shape is not None:
                 yield self._native_batch(idxs, cap_choices, b)
             else:

@@ -328,9 +328,11 @@ def transformer_beam_decode_fast(params, spec: model_base.ModelSpec,
 
 
 def decode_tokens(params, spec: model_base.ModelSpec, vid_feats, eos_id: int,
-                  beam_size: int = 1):
+                  beam_size: int = 1, rng=None):
     """Unified entry for the captioners: beam_size=1's best row equals the
-    greedy rollout token-for-token."""
+    greedy rollout token-for-token. ``rng`` seeds eval-time stochasticity
+    (only RationaleNet's hard-Gumbel frame selection uses it; torch draws
+    fresh noise per eval forward, F.gumbel_softmax in RationaleNet.py:50)."""
     if spec.arch == "s2vt":
         return s2vt_beam_decode(params, spec, vid_feats, beam_size, eos_id)
     if spec.arch == "s2vt-att":
@@ -338,7 +340,8 @@ def decode_tokens(params, spec: model_base.ModelSpec, vid_feats, eos_id: int,
     if spec.arch == "transformer":
         return transformer_beam_decode(params, spec, vid_feats, beam_size, eos_id)
     if spec.arch == "rationale":
-        return rationale_beam_decode(params, spec, vid_feats, beam_size, eos_id)
+        return rationale_beam_decode(params, spec, vid_feats, beam_size, eos_id,
+                                     rng=rng)
     if spec.arch == "spatial":
         return spatial_beam_decode(params, spec, vid_feats, beam_size, eos_id)
     raise NotImplementedError(f"beam decode for {spec.arch}")

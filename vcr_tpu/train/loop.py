@@ -73,20 +73,24 @@ def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0,
     over batches, per-sample METEOR, sampled (hyp, ref, vid) triples. Adds
     corpus BLEU-4 and CIDEr-D over the whole split.
 
-    beam_fn: optional jitted (params, vid_feats) -> (tokens (B,K,L), scores);
-    when given, caption metrics score the beam-best hypotheses while loss/acc
-    stay on the greedy eval logits."""
+    beam_fn: optional jitted (params, vid_feats, rng) -> (tokens (B,K,L),
+    scores); when given, caption metrics score the beam-best hypotheses while
+    loss/acc stay on the greedy eval logits. The rng (fresh per batch, folded
+    from ``seed``) seeds eval stochasticity — RationaleNet's torch eval draws
+    fresh Gumbel noise per forward (RationaleNet.py:50)."""
     t0 = time.time()
     sums: Dict[str, float] = {k: 0.0 for k in log_keys}
     meteor_sum, num_batches = 0.0, 0
     sampler = StreamSampler(n_sample_sent, seed=seed)
     all_hyps, all_refs = [], []
     rnd = np.random.default_rng(seed)
+    eval_key = jax.random.PRNGKey(seed)
 
     for batch in prefetch(_staged(val_it, place)):
         m, pred = eval_step(params, batch["_device"])
         if beam_fn is not None:
-            tokens, _scores = beam_fn(params, batch["_device"]["vid_feats"])
+            tokens, _scores = beam_fn(params, batch["_device"]["vid_feats"],
+                                      jax.random.fold_in(eval_key, num_batches))
             pred = tokens[:, 0]  # beam-best
         m, pred = jax.device_get((m, pred))  # one bulk transfer per batch
         n_valid = int(batch["valid"].sum())
@@ -197,7 +201,8 @@ def train(cfg: Config) -> Dict[str, float]:
         # dispatch on the registry model (rationale/spatial wrap cfg.arch)
         beam_spec = spec.with_(arch=model_name)
         beam_fn = jax.jit(partial(
-            lambda p, v, spec_, k_: decode_tokens(p, spec_, v, vocab.eos_id, k_),
+            lambda p, v, r, spec_, k_: decode_tokens(p, spec_, v, vocab.eos_id,
+                                                     k_, rng=r),
             spec_=beam_spec, k_=cfg.beam_size))
 
     tf_probs = schedule.teacher_force_schedule(
@@ -239,12 +244,12 @@ def train(cfg: Config) -> Dict[str, float]:
             # deterministic shuffle per absolute epoch (also makes mid-epoch
             # resume land on the exact same batch order)
             train_it.epoch = epoch
-            batch_in_epoch = 0
+            # index-level skip: the iterator drops already-trained batches
+            # BEFORE feature IO (no wasted .npy reads on resume)
+            train_it.skip_next = skip_batches
+            batch_in_epoch = skip_batches
             timer.reset()
             for batch in prefetch(_staged(train_it, place)):
-                if batch_in_epoch < skip_batches:
-                    batch_in_epoch += 1
-                    continue
                 timer.tick()
                 step_key = jax.random.fold_in(root_key, logger.n_iter + 1)
                 params, opt_state, m, pred = train_step(
