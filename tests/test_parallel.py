@@ -90,3 +90,72 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_multihost_shard_index_math(tmp_path):
+    """Per-process shard striding: across shards every sample appears exactly
+    once per epoch, and ALL shards emit the SAME batch count even when shard
+    lengths differ (padded valid=0 batches keep collectives in lockstep)."""
+    import os
+
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.data.pipeline import BatchIterator, CaptionDataset
+    from vcr_tpu.vocab import Vocab
+
+    tmp = str(tmp_path)
+    glove = build_corpus(os.path.join(tmp, "data"), num_videos=13)
+    vocab = Vocab(glove, seed=0)
+    ds = CaptionDataset(os.path.join(tmp, "data"), "msvd_vgg", "train", vocab,
+                        num_frames=4, max_len=6)
+
+    nshards, b = 4, 2
+    all_keys, counts = [], []
+    for pidx in range(nshards):
+        it = BatchIterator(ds, b, shuffle=True, seed=11, num_shards=nshards,
+                           shard_index=pidx, use_native=False)
+        it.epoch = 5
+        batches = list(it)
+        counts.append(len(batches))
+        for batch in batches:
+            n_valid = int(batch["valid"].sum())
+            assert len(batch["vid_key"]) == n_valid
+            assert batch["vid_feats"].shape[0] == b  # fixed global row count
+            all_keys.extend(batch["vid_key"])
+            # padded rows are really zeroed
+            assert not batch["valid"][n_valid:].any()
+
+    assert len(set(counts)) == 1            # lockstep: same batches everywhere
+    assert counts[0] == 2                   # ceil(ceil(13/4)/2)
+    assert sorted(all_keys) == sorted(
+        ds.captions[i]["video_key"] for i in range(len(ds)))  # exactly once
+
+
+def test_multihost_lockstep_padded_batches_finite_loss(tmp_path):
+    """A fully-padded lockstep batch flows through the loss without NaNs."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.data.pipeline import BatchIterator, CaptionDataset
+    from vcr_tpu.train import losses
+    from vcr_tpu.vocab import Vocab
+
+    tmp = str(tmp_path)
+    glove = build_corpus(os.path.join(tmp, "data"), num_videos=5)
+    vocab = Vocab(glove, seed=0)
+    ds = CaptionDataset(os.path.join(tmp, "data"), "msvd_vgg", "train", vocab,
+                        num_frames=4, max_len=6)
+    it = BatchIterator(ds, 2, shuffle=False, seed=0, num_shards=4,
+                       shard_index=3, use_native=False)
+    batches = list(it)
+    assert len(batches) == 1                # ceil(ceil(5/4)/2)
+    batch = batches[-1]
+    assert batch["valid"].sum() < 2         # shard 3 holds a partial batch
+    logits = jnp.zeros((2, 6, vocab.vocab_size))
+    loss = losses.masked_cross_entropy(logits, jnp.asarray(batch["sent"]),
+                                       jnp.asarray(batch["sent_len"]),
+                                       jnp.asarray(batch["valid"]))
+    assert bool(jnp.isfinite(loss))
+    assert jax.process_count() == 1  # single-process harness; math is host-side

@@ -170,6 +170,21 @@ class BatchIterator:
         skip = self.skip_next  # consumed once (first epoch of a mid-epoch resume)
         self.skip_next = 0
 
+        # multi-host lockstep: strided shards differ in length by up to 1, so
+        # naive per-shard iteration would give processes DIFFERENT batch
+        # counts — the shorter ones would exit the epoch early and deadlock
+        # the collectives. Every shard iterates the GLOBAL maximum batch
+        # count; exhausted shards emit fully-padded (valid=0) batches.
+        # Skipped (already-trained) batches count as emitted: every process
+        # resumes with the same skip, so lockstep is preserved.
+        emitted = skip
+        if self.num_shards > 1:
+            max_shard = -(-len(self.ds) // self.num_shards)
+            target = (max_shard // b if self.drop_remainder
+                      else -(-max_shard // b))
+        else:
+            target = None
+
         for start in range(0, len(order), b):
             idxs = order[start:start + b]
             if len(idxs) < b and self.drop_remainder:
@@ -184,7 +199,22 @@ class BatchIterator:
                 yield self._native_batch(idxs, cap_choices, b)
             else:
                 yield self._python_batch(idxs, cap_choices, b)
+            emitted += 1
+        if target is not None:
+            while emitted < target:
+                yield self._empty_batch(b)
+                emitted += 1
         self.epoch += 1
+
+    def _empty_batch(self, b):
+        """All-padding batch (valid=0 everywhere) keeping multi-host epochs in
+        lockstep; the masked loss/metrics are proven finite on these."""
+        if self._feat_shape is not None:
+            fshape = self._feat_shape
+        else:
+            fshape = self.ds.load_features(0).shape[1:]
+        feats = np.zeros((b, self.ds.num_frames, *fshape), np.float32)
+        return self._assemble(b, feats, [], [], [], [], [])
 
     def _text_fields(self, idxs, cap_choices):
         sents, lens, raws, refs, keys = [], [], [], [], []

@@ -72,9 +72,24 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard array fields over dp on the leading (batch) axis."""
+    """Shard array fields over dp on the leading (batch) axis.
+
+    Multi-host aware: with one process a plain device_put suffices, but on a
+    real multi-host slice each process only holds ITS rows of the global
+    batch, and device_put of process-local data with a global NamedSharding
+    is invalid — jax.make_array_from_process_local_data assembles the global
+    array from per-process rows instead (global batch = process_count x
+    per-process rows; the input pipeline gives each process a disjoint sample
+    shard and keeps batch counts in lockstep, data/pipeline.py)."""
+    nproc = jax.process_count()
+
     def place(x):
         x = np.asarray(x)
         spec = P("dp", *([None] * (x.ndim - 1))) if x.ndim >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sh = NamedSharding(mesh, spec)
+        if nproc == 1:
+            return jax.device_put(x, sh)
+        global_shape = (x.shape[0] * nproc, *x.shape[1:])
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
+
     return {k: place(v) for k, v in batch.items()}

@@ -45,8 +45,12 @@ def make_datasets(cfg: Config, vocab: Vocab, feat_type: str
                               cfg.num_frames, cfg.max_len, feat_type)
     val_ds = CaptionDataset(cfg.data_dir, cfg.corpus, "val", vocab,
                             cfg.num_frames, cfg.max_len, feat_type)
-    # multi-host: each process loads its shard of every batch's videos
-    # (the single-GPU reference had no equivalent; SURVEY §2 parallelism plan)
+    # multi-host: each process iterates a disjoint strided sample shard and
+    # contributes cfg.bsize rows per step (global batch = process_count x
+    # bsize, assembled by parallel.mesh.shard_batch via
+    # make_array_from_process_local_data); shards pad to a common batch count
+    # so collectives stay in lockstep (the single-GPU reference had no
+    # equivalent; SURVEY §2 parallelism plan)
     nproc, pidx = jax.process_count(), jax.process_index()
     train_it = BatchIterator(train_ds, cfg.bsize, shuffle=True, seed=cfg.seed,
                              num_threads=cfg.nworkers,
