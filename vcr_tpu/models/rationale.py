@@ -51,7 +51,13 @@ def generator(params, spec: base.ModelSpec, vid_feats: jax.Array,
     """vid_feats (B, N, V) -> (sel_vid_feats (B, N, V), probs (B, N, 2))."""
     k_drop, k_gumbel = jax.random.split(rng)
     xs = jnp.transpose(vid_feats, (1, 0, 2))                       # (N, B, V)
-    out = bilstm_sequence(params["rnn"], xs, compute_dtype=spec.cdtype)  # (N, B, 2H)
+    if spec.use_pallas:
+        from vcr_tpu.ops.pallas_gru import bilstm_sequence_pallas
+
+        out = bilstm_sequence_pallas(params["rnn"], xs,
+                                     compute_dtype=spec.cdtype)    # (N, B, 2H)
+    else:
+        out = bilstm_sequence(params["rnn"], xs, compute_dtype=spec.cdtype)
     out = dropout(k_drop, out, spec.dropout_p, train)
     out = jnp.transpose(out, (1, 0, 2))                            # (B, N, 2H)
     logits = dense(params["linear"], out, spec.cdtype)             # (B, N, 2)

@@ -44,7 +44,14 @@ def init_params(key: jax.Array, spec: base.ModelSpec, glove_vectors) -> dict:
 def encode(params, spec: base.ModelSpec, vid_feats: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """(B, N, V) -> (encoder_outs (B, N, H), encoder_final (B, H))."""
     xs = jnp.transpose(vid_feats, (1, 0, 2))
-    outs, final = gru_sequence(params["encoder"]["rnn"], xs, compute_dtype=spec.cdtype)
+    if spec.use_pallas:
+        from vcr_tpu.ops.pallas_gru import gru_sequence_pallas
+
+        outs, final = gru_sequence_pallas(params["encoder"]["rnn"], xs,
+                                          compute_dtype=spec.cdtype)
+    else:
+        outs, final = gru_sequence(params["encoder"]["rnn"], xs,
+                                   compute_dtype=spec.cdtype)
     return jnp.transpose(outs, (1, 0, 2)), final
 
 
