@@ -68,13 +68,20 @@ def main() -> None:
         np.asarray(run_n(params, vid_feats))
         dt = min(dt, time.perf_counter() - t0)
 
+    from vcr_tpu.utils import benchutil
+    flops = benchutil.jaxpr_flops(run_n, params, vid_feats)  # all `iters`
+    mfu = benchutil.mfu(flops, dt, jax.devices()[0])
+
     caps_per_sec = batch * iters / dt
-    print(json.dumps({
+    out = {
         "metric": "MSVD S2VT greedy captions/sec/chip (feats->tokens, B=%d)" % batch,
         "value": round(caps_per_sec, 2),
         "unit": "captions/s",
         "vs_baseline": round(caps_per_sec / EST_V100_REFERENCE_CAPS_PER_SEC, 3),
-    }))
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,11 +1,15 @@
 """Benchmark all five BASELINE.json configs (greedy inference, on-device
-timing loop). Prints one JSON line per config. The driver's headline benchmark
-remains bench.py (config #1); this gives the judge per-family numbers.
+timing loop). Prints one JSON line per config, including MFU (compiled FLOPs
+from XLA's cost model / wall time / chip peak bf16 — see
+vcr_tpu/utils/benchutil.py). The driver's headline benchmark remains bench.py
+(config #1); this gives the judge per-family numbers.
 
 Configs (BASELINE.json):
   1. S2VT greedy on MSVD-VGG 4096-d features
   2. S2VT-att on MSVD (512-d resnet feats)
-  3. Transformer on MSR-VTT (4096-d feats)
+  3. Transformer on MSR-VTT (4096-d feats) — parity greedy + KV-cached fast
+     greedy/beam serving paths (fast paths' PE-scale deviation documented in
+     transformer.make_cached_stepper)
   4. SpatialNet on YOLO bbox feats (1024 x 13 x 13)
   5. RationaleNet (S2VT base)
 """
@@ -24,10 +28,13 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from vcr_tpu.models import base, rationale, s2vt, s2vt_att, spatial, transformer
+    from vcr_tpu import decode as vdecode
+    from vcr_tpu.utils import benchutil
 
     vocab_size, embed = 9000, 300
     rng = np.random.default_rng(0)
     glove = rng.standard_normal((vocab_size, embed)).astype(np.float32)
+    device = jax.devices()[0]
 
     def spec_for(arch, vid_feat, **kw):
         return base.ModelSpec(
@@ -38,45 +45,98 @@ def main() -> None:
 
     iters = int(os.environ.get("VCR_BENCH_ITERS", "10"))
 
-    def run_config(name, module, spec, feats_shape, batch, out_index=0):
+    def time_fn(name, fn, params, x, batch):
+        """fn(params, x) -> any array; timed as `iters` chained on-device runs."""
+
+        @jax.jit
+        def run_n(params, x):
+            def body(c, _):
+                xi = (x * (1.0 + c * 1e-9)).astype(x.dtype)
+                out = fn(params, xi)
+                return out.astype(jnp.float32).ravel()[0] * 1e-12, None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return c
+
+        np.asarray(run_n(params, x))  # compile + warm
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            np.asarray(run_n(params, x))
+            dt = min(dt, time.perf_counter() - t0)
+        flops = benchutil.jaxpr_flops(run_n, params, x)
+        mfu = benchutil.mfu(flops, dt, device)
+        row = {
+            "metric": f"{name} captions/sec/chip (B={batch}, bf16)",
+            "value": round(batch * iters / dt, 2),
+            "unit": "captions/s",
+        }
+        if mfu is not None:
+            row["mfu"] = round(mfu, 4)
+        print(json.dumps(row), flush=True)
+
+    def run_config(name, module, spec, feats_shape, batch):
         params = jax.device_put(
             module.init_params(jax.random.PRNGKey(0), spec, glove))
         x = jax.device_put(
             rng.standard_normal((batch, *feats_shape)).astype(np.float32)
         ).astype(jnp.bfloat16)
 
-        @jax.jit
-        def run_n(params, x):
-            def body(c, _):
-                xi = (x * (1.0 + c * 1e-9)).astype(x.dtype)
-                out = module.apply(params, spec, xi, train=False)
-                logits = out[0] if isinstance(out, tuple) else out
-                return (jnp.argmax(logits, axis=-1).astype(jnp.float32)
-                        .ravel()[0] * 1e-12), None
-            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
-            return c
+        def fwd(params, xi):
+            out = module.apply(params, spec, xi, train=False)
+            logits = out[0] if isinstance(out, tuple) else out
+            return jnp.argmax(logits, axis=-1).astype(jnp.float32)
 
-        np.asarray(run_n(params, x))
-        t0 = time.perf_counter()
-        np.asarray(run_n(params, x))
-        dt = time.perf_counter() - t0
-        print(json.dumps({
-            "metric": f"{name} greedy captions/sec/chip (B={batch}, bf16)",
-            "value": round(batch * iters / dt, 2),
-            "unit": "captions/s",
-        }), flush=True)
+        time_fn(f"{name} greedy", fwd, params, x, batch)
+        return params, x
 
     run_config("S2VT (MSVD-VGG 4096-d)", s2vt,
                spec_for("s2vt", 4096, use_pallas=True), (30, 4096), 2048)
     run_config("S2VT-att (MSVD resnet 512-d)", s2vt_att,
                spec_for("s2vt-att", 512), (30, 512), 1024)
-    run_config("Transformer (MSR-VTT 4096-d)", transformer,
-               spec_for("transformer", 4096), (30, 4096), 128)
+
+    tr_spec = spec_for("transformer", 4096)
+    tr_params, _ = run_config("Transformer (MSR-VTT 4096-d) parity", transformer,
+                              tr_spec, (30, 4096), 128)
+    tr_batch = int(os.environ.get("VCR_BENCH_TR_BATCH", "512"))
+    tr_x = jax.device_put(
+        rng.standard_normal((tr_batch, 30, 4096)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    eos_id = vocab_size - 3
+
+    def tr_fast_greedy(params, xi):
+        src_mask = transformer.create_masks_inp(xi)
+        eo = transformer.encode(params, tr_spec, xi, src_mask,
+                                jax.random.PRNGKey(0), train=False)
+        return transformer.decode_greedy_fast(
+            params, tr_spec, eo).astype(jnp.float32)
+
+    time_fn("Transformer fast greedy (KV-cache)", tr_fast_greedy,
+            tr_params, tr_x, tr_batch)
+
+    beam_batch = tr_batch // 4
+
+    def tr_fast_beam(params, xi):
+        tokens, _ = vdecode.transformer_beam_decode_fast(
+            params, tr_spec, xi, beam_size=5, eos_id=eos_id)
+        return tokens.astype(jnp.float32)
+
+    time_fn("Transformer fast beam-5 (KV-cache)", tr_fast_beam,
+            tr_params, tr_x[:beam_batch], beam_batch)
+
+    def tr_parity_beam(params, xi):
+        tokens, _ = vdecode.transformer_beam_decode(
+            params, tr_spec, xi, beam_size=5, eos_id=eos_id)
+        return tokens.astype(jnp.float32)
+
+    time_fn("Transformer parity beam-5", tr_parity_beam,
+            tr_params, tr_x[:32], 32)
+
     run_config("RationaleNet (S2VT base)", rationale,
                spec_for("rationale", 4096, base_arch="s2vt"), (30, 4096), 1024)
+    sp_batch = int(os.environ.get("VCR_BENCH_SP_BATCH", "64"))
     run_config("SpatialNet (YOLO 1024x13x13)", spatial,
                spec_for("spatial", 1024, base_arch="s2vt", grid_size=13),
-               (30, 1024, 13, 13), 16)
+               (30, 1024, 13, 13), sp_batch)
 
 
 if __name__ == "__main__":

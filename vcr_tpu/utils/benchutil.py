@@ -1,0 +1,118 @@
+"""Benchmark helpers: FLOP counting and MFU math.
+
+MFU (model FLOPs utilization) = matmul/conv FLOPs / wall-time / chip peak.
+The FLOP count comes from walking the program's jaxpr (`jaxpr_flops`),
+multiplying `lax.scan` bodies by their trip count — XLA's own
+`compiled.cost_analysis()` counts while-loop bodies ONCE (verified on this
+backend: a 10-step scan of 1024³ matmuls reports 1× the body flops), which
+makes it useless for the recurrent programs benchmarked here. Only
+dot_general and conv_general_dilated are counted, per the usual MFU
+convention (elementwise/gather work rides along for free on the VPU).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+# Peak dense bf16 FLOP/s per chip, from published TPU specs.
+_PEAK_BF16 = {
+    "TPU v5 lite": 197e12,   # v5e: 197 TFLOP/s bf16
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,        # v5p
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,   # v6e (Trillium)
+    "TPU v6e": 918e12,
+}
+
+
+def peak_bf16_flops(device) -> Optional[float]:
+    """Peak bf16 FLOP/s for `device`, or None if unknown (e.g. CPU)."""
+    kind = getattr(device, "device_kind", "")
+    for name, peak in _PEAK_BF16.items():
+        if kind.startswith(name):
+            return peak
+    return None
+
+
+def _prod(xs) -> float:
+    out = 1.0
+    for x in xs:
+        out *= float(x)
+    return out
+
+
+def _dot_general_flops(eqn) -> float:
+    (lc, rc), (lb, _rb) = eqn.params["dimension_numbers"]
+    lhs, rhs = (v.aval.shape for v in eqn.invars[:2])
+    batch = _prod(lhs[d] for d in lb)
+    contract = _prod(lhs[d] for d in lc)
+    lhs_free = _prod(lhs[d] for d in range(len(lhs)) if d not in set(lc) | set(lb))
+    rhs_free = _prod(
+        rhs[d] for d in range(len(rhs))
+        if d not in set(rc) | set(eqn.params["dimension_numbers"][1][1]))
+    return 2.0 * batch * contract * lhs_free * rhs_free
+
+
+def _conv_flops(eqn) -> float:
+    dn = eqn.params["dimension_numbers"]
+    rhs = eqn.invars[1].aval.shape
+    out = eqn.outvars[0].aval.shape
+    # rhs_spec = (out_ch, in_ch/groups, *spatial) axis indices
+    rhs_in_ch = rhs[dn.rhs_spec[1]]
+    kernel_spatial = _prod(rhs[d] for d in dn.rhs_spec[2:])
+    return 2.0 * _prod(out) * kernel_spatial * rhs_in_ch
+
+
+def _jaxpr_flops(jaxpr) -> float:
+    """Matmul+conv FLOPs of a (open) jaxpr, recursing into control flow."""
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "dot_general":
+            total += _dot_general_flops(eqn)
+        elif name == "conv_general_dilated":
+            total += _conv_flops(eqn)
+        elif name == "scan":
+            total += eqn.params["length"] * _jaxpr_flops(eqn.params["jaxpr"].jaxpr)
+        elif name == "while":
+            # Trip count is data-dependent; count the body once (lower bound).
+            total += _jaxpr_flops(eqn.params["body_jaxpr"].jaxpr)
+        elif name == "cond":
+            total += max(_jaxpr_flops(b.jaxpr) for b in eqn.params["branches"])
+        elif name == "pallas_call":
+            # Kernel body runs once per grid point.
+            grid = 1.0
+            gm = eqn.params.get("grid_mapping")
+            if gm is not None:
+                grid = _prod(d for d in gm.grid if isinstance(d, int))
+            total += grid * _jaxpr_flops(eqn.params["jaxpr"])
+        else:
+            for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+                sub = eqn.params.get(key) if eqn.params else None
+                if sub is not None:
+                    total += _jaxpr_flops(getattr(sub, "jaxpr", sub))
+                    break
+    return total
+
+
+def jaxpr_flops(fn, *args, **kwargs) -> Optional[float]:
+    """Total matmul/conv FLOPs of one call `fn(*args)` (trace-time count;
+    scan bodies multiplied by trip count). None if tracing fails (e.g. a
+    pallas_call whose in-kernel matmuls this walker can't see — count those
+    via an arithmetic-identical non-pallas spec instead)."""
+    import jax
+
+    try:
+        closed = jax.make_jaxpr(fn)(*args, **kwargs)
+        return _jaxpr_flops(closed.jaxpr)
+    except Exception:
+        return None
+
+
+def mfu(flops_total: Optional[float], seconds: float, device) -> Optional[float]:
+    """flops_total/seconds as a fraction of the chip's peak bf16 rate."""
+    peak = peak_bf16_flops(device)
+    if flops_total is None or peak is None or seconds <= 0:
+        return None
+    return flops_total / seconds / peak
