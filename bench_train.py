@@ -74,12 +74,19 @@ def main() -> None:
     np.asarray(run_n(params, opt_state, jax.random.PRNGKey(1)))
     dt = time.perf_counter() - t0
 
-    print(json.dumps({
+    from vcr_tpu.utils import benchutil
+    flops = benchutil.jaxpr_flops(run_n, params, opt_state, jax.random.PRNGKey(1))
+    mfu = benchutil.mfu(flops, dt, jax.devices()[0])
+
+    out = {
         "metric": f"S2VT train step videos/sec/chip (B={batch}, bf16)",
         "value": round(batch * iters / dt, 2),
         "unit": "videos/s",
         "step_ms": round(dt / iters * 1e3, 2),
-    }))
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

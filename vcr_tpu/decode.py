@@ -13,7 +13,7 @@ and beam reordering is a gather on the state pytree — no host round trips.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,15 +35,23 @@ def _tile_beam(tree, k: int):
 
 def beam_search(
     step_fn: Callable,      # (state, words (B*K,), i) -> (state, logits (B*K, V))
-    init_state,             # pytree with leading dim B*K
+    init_state,             # pytree with a B*K rows axis (leading by default)
     batch: int,
     beam_size: int,
     max_len: int,
     sos_id: int,
     eos_id: int,
+    reorder_state: Optional[Callable] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """-> (tokens (B, K, L) int32 sorted best-first, scores (B, K))."""
+    """-> (tokens (B, K, L) int32 sorted best-first, scores (B, K)).
+
+    ``reorder_state(state, flat_src)`` gathers the surviving beams' rows; the
+    default indexes axis 0 of every leaf. Steppers whose state keeps rows on
+    another axis (transformer KV caches are layers-leading) pass their own."""
     k = beam_size
+    if reorder_state is None:
+        def reorder_state(state, flat_src):
+            return jax.tree_util.tree_map(lambda x: x[flat_src], state)
 
     words0 = jnp.full((batch * k,), sos_id, dtype=jnp.int32)
     # only beam 0 of each batch row is live at step 0 (all beams are identical
@@ -63,14 +71,22 @@ def beam_search(
         cont = jnp.where(finished[:, None],
                          jnp.full((1, v), NEG_INF).at[0, eos_id].set(0.0),
                          logp)
-        total = scores[:, None] + cont                      # (B*K, V)
-        total = total.reshape(batch, k * v)
+        # Two-stage exact top-k: per-beam top-k over the vocab first, then
+        # top-k over the K*K survivors. A global winner is always in its own
+        # beam's top-k, so this equals top-k over the flat (B, K*V) — and the
+        # flat form is brutally slow on TPU (measured 5.4ms/step vs 0.5ms at
+        # B=128, K=5, V=9088: top_k cost scales with the sorted axis).
+        # Tie-breaking matches too: top_k is index-stable, so equal scores
+        # order by word id within a beam and by beam across beams.
+        s1, i1 = jax.lax.top_k(scores[:, None] + cont, k)    # (B*K, K)
+        total = s1.reshape(batch, k * k)
         top_scores, top_idx = jax.lax.top_k(total, k)        # (B, K)
-        beam_idx = top_idx // v                              # which source beam
-        word_idx = (top_idx % v).astype(jnp.int32)           # which token
+        beam_idx = top_idx // k                              # which source beam
+        word_idx = jnp.take_along_axis(
+            i1.reshape(batch, k * k), top_idx, axis=1).astype(jnp.int32)
 
         flat_src = (jnp.arange(batch)[:, None] * k + beam_idx).reshape(-1)
-        state = jax.tree_util.tree_map(lambda x: x[flat_src], state)
+        state = reorder_state(state, flat_src)
         tokens = tokens[flat_src]
         finished = finished[flat_src]
         words = word_idx.reshape(-1)
@@ -321,8 +337,11 @@ def transformer_beam_decode_fast(params, spec: model_base.ModelSpec,
     e_outputs = tr.encode(params, spec, vid_feats, src_mask,
                           jax.random.PRNGKey(0), train=False)
     b = vid_feats.shape[0]
-    eo = _tile_beam({"eo": e_outputs}, beam_size)["eo"]
-    step_fn, init_state = tr.make_cached_stepper(params, spec, eo)
+    # Untiled e_outputs: the stepper projects cross K/V once per video and
+    # repeats per beam afterwards (beam_size× fewer 4096-wide matmuls). Its
+    # per-layer cache leaves are rows-leading, so the default reorder works.
+    step_fn, init_state = tr.make_cached_stepper(params, spec, e_outputs,
+                                                 beam_tile=beam_size)
     return beam_search(step_fn, init_state, b, beam_size, spec.max_len,
                        spec.sos_id, eos_id)
 
