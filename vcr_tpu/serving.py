@@ -23,7 +23,9 @@ from vcr_tpu.models import (rationale, resnet, s2vt, s2vt_att, spatial,
 def build_captioner(params, spec: model_base.ModelSpec,
                     featurizer: str = "vgg16",
                     feat_params=None,
-                    rng=None) -> Callable:
+                    rng=None,
+                    beam_size: int = 1,
+                    eos_id: int | None = None) -> Callable:
     """-> fn(frames (B, N, 3, S, S) normalized) -> tokens (B, L) int32.
     The returned fn is ALREADY jitted (params passed as a jit argument — see
     the note at the bottom); do not wrap it in jax.jit again or the weights
@@ -42,7 +44,16 @@ def build_captioner(params, spec: model_base.ModelSpec,
     pooled — msvd/msrvtt pipeline), 'yolo' (darknet get_feats grid — spatial
     pipeline; feat_params is the Darknet object), or 'none' (input is already
     features).
+
+    beam_size > 1 switches every family to beam search and returns each
+    item's best beam (the transformer uses its KV-cached fast beam,
+    decode.transformer_beam_decode_fast). ``eos_id`` defaults to
+    ``spec.sos_id + 1`` — the vocab layout appends the specials in the order
+    <sos> <eos> <pad> <unk> (vocab.SPECIAL_TOKENS); pass it explicitly for a
+    non-standard vocabulary.
     """
+    if eos_id is None:
+        eos_id = spec.sos_id + 1
     if featurizer in ("vgg16", "resnet"):
         assert feat_params is not None
         extract = (vgg.extract_fc7 if featurizer == "vgg16"
@@ -71,6 +82,16 @@ def build_captioner(params, spec: model_base.ModelSpec,
 
     def caption(params, frames_or_feats: jax.Array) -> jax.Array:
         feats = featurize(frames_or_feats)
+        if beam_size > 1:
+            from vcr_tpu import decode as vdecode
+            feats = feats.astype(spec.cdtype)
+            if spec.arch == "transformer":
+                tokens, _ = vdecode.transformer_beam_decode_fast(
+                    params, spec, feats, beam_size, eos_id)
+            else:
+                tokens, _ = vdecode.decode_tokens(params, spec, feats, eos_id,
+                                                  beam_size, rng=rng)
+            return tokens[:, 0]                       # best beam per item
         if spec.arch == "s2vt":
             return s2vt.apply(params, spec, feats, train=False, emit="tokens")
         if spec.arch == "s2vt-att":
