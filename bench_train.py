@@ -1,8 +1,18 @@
-"""Secondary benchmark: S2VT training-step throughput on one TPU chip.
+"""Training-step throughput benchmarks on one TPU chip.
 
-(The driver's headline benchmark is bench.py — inference. This measures the
-jitted train step — forward + backward + Adam + clip — at the reference's
-training configuration, reporting videos/sec and step time.)
+Default (no args): the S2VT flagship config — one JSON line, same contract as
+bench.py (the driver's headline bench stays inference; this is the training
+analogue: jitted forward + backward + Adam + global-norm clip at the
+reference's training configuration).
+
+``python bench_train.py all`` benches every model family (S2VT, S2VT-att,
+Transformer, RationaleNet, SpatialNet) with its BASELINE.json feature config,
+one JSON line per family, using the same loss adapters as the real training
+loop (vcr_tpu/train/step.py — masked CE, rationale 3-term loss, spatial BN
+merge).
+
+Timing: N optimization steps chained inside one jit via lax.scan — removes the
+~24ms/call host<->TPU tunnel dispatch from the measurement (see bench.py).
 """
 
 import json
@@ -12,81 +22,108 @@ import time
 
 import numpy as np
 
+FAMILY_DEFAULTS = {
+    # family: (batch, feats_shape, spec_kwargs)
+    "s2vt": (1024, (30, 4096), {}),
+    "s2vt-att": (1024, (30, 512), {}),
+    "transformer": (128, (30, 4096), {}),
+    "rationale": (512, (30, 4096), {"base_arch": "s2vt"}),
+    "spatial": (16, (30, 1024, 13, 13), {"base_arch": "s2vt", "grid_size": 13}),
+}
 
-def main() -> None:
+
+def bench_family(name: str, iters: int) -> None:
     import jax
     import jax.numpy as jnp
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from __graft_entry__ import _make_spec_and_params
-    from vcr_tpu.train import optim
-    from vcr_tpu.train.step import build_step_fns
-
-    batch = int(os.environ.get("VCR_BENCH_BATCH", "512"))
-    spec, params = _make_spec_and_params(
-        vocab_size=9000, embed_size=300, hidden=512, vid_feat=4096,
-        max_len=20, num_frames=30, compute_dtype="bfloat16", vocab_pad_to=128)
-
     import optax
 
-    from vcr_tpu.models import s2vt
-    from vcr_tpu.train import losses
+    from vcr_tpu.models import base
+    from vcr_tpu.train import optim, step as step_mod
+    from vcr_tpu.utils import benchutil
 
-    optimizer = optim.build_optimizer("adam", 2e-3, 4e-5, 1.0)
-    params = jax.device_put(params)
-    opt_state = optimizer.init(params)
-    del build_step_fns  # the loop below inlines the same step math on device
+    batch, feats_shape, spec_kw = FAMILY_DEFAULTS[name]
+    batch = int(os.environ.get("VCR_BENCH_BATCH", batch))
+    use_pallas = os.environ.get("VCR_BENCH_PALLAS", "0") == "1"
 
+    vocab_size, embed = 9000, 300
     rng = np.random.default_rng(0)
+    glove = rng.standard_normal((vocab_size, embed)).astype(np.float32)
+    spec = base.ModelSpec(
+        arch=name, vocab_size=vocab_size, embed_size=embed, hidden_size=512,
+        vid_feat_size=feats_shape[-1] if len(feats_shape) == 2 else feats_shape[1],
+        max_len=20, num_frames=30, dropout_p=0.2, sos_id=vocab_size - 4,
+        compute_dtype="bfloat16", vocab_pad_to=128, use_pallas=use_pallas,
+        **spec_kw)
+
+    init_fn, apply_fn = base.build_model(name)
+    params = jax.device_put(init_fn(jax.random.PRNGKey(0), spec, glove))
+    optimizer = optim.build_optimizer("adam", 2e-3, 4e-5, 1.0)
+    opt_state = optimizer.init(params)
+
     batch_data = {
         "vid_feats": jax.device_put(
-            rng.standard_normal((batch, 30, 4096)).astype(np.float32)
+            rng.standard_normal((batch, *feats_shape)).astype(np.float32)
         ).astype(jnp.bfloat16),
-        "sent": jax.device_put(rng.integers(0, 9000, (batch, 20)).astype(np.int32)),
+        "sent": jax.device_put(rng.integers(0, vocab_size, (batch, 20)).astype(np.int32)),
         "sent_len": jax.device_put(np.full((batch,), 12, np.int32)),
         "valid": jax.device_put(np.ones((batch,), np.float32)),
     }
 
-    iters = int(os.environ.get("VCR_BENCH_ITERS", "10"))
+    def fwd(p, vid_feats, sent, sent_len, key, tf_prob):
+        return apply_fn(p, spec, vid_feats, sent, sent_len, rng=key,
+                        train=True, teacher_force_prob=tf_prob)
 
     def loss_fn(p, key):
-        logits = s2vt.apply(p, spec, batch_data["vid_feats"], batch_data["sent"],
-                            batch_data["sent_len"], rng=key, train=True,
-                            teacher_force_prob=1.0)
-        return losses.masked_cross_entropy(logits, batch_data["sent"],
-                                           batch_data["sent_len"],
-                                           batch_data["valid"])
+        loss, _metrics, _pred, aux = step_mod._forward(
+            name, fwd, p, batch_data, key, 1.0, 1.0, 1.0)
+        return loss, aux
 
-    # N optimization steps chained inside one jit — removes the ~24ms/call
-    # host<->TPU tunnel dispatch from the measurement (see bench.py)
     @jax.jit
     def run_n(params, opt_state, key):
         def body(carry, i):
             p, o = carry
-            grads = jax.grad(loss_fn)(p, jax.random.fold_in(key, i))
+            grads, aux = jax.grad(loss_fn, has_aux=True)(
+                p, jax.random.fold_in(key, i))
             updates, o = optimizer.update(grads, o, p)
-            return (optax.apply_updates(p, updates), o), None
+            p = optax.apply_updates(p, updates)
+            if "bn_state" in aux:
+                p = step_mod._merge_bn(p, aux["bn_state"])
+            return (p, o), None
         (p, _), _ = jax.lax.scan(body, (params, opt_state), jnp.arange(iters))
-        return p["linear"]["b"][0]
+        leaf = jax.tree_util.tree_leaves(p)[0]
+        return leaf.astype(jnp.float32).ravel()[0]
 
-    np.asarray(run_n(params, opt_state, jax.random.PRNGKey(0)))  # compile
-    t0 = time.perf_counter()
-    np.asarray(run_n(params, opt_state, jax.random.PRNGKey(1)))
-    dt = time.perf_counter() - t0
+    # typed rbg key = the training loop's default (Config.rng_impl): the TPU
+    # hardware RNG makes dropout mask generation ~free vs threefry
+    key = lambda s: jax.random.key(s, impl="rbg")  # noqa: E731
+    np.asarray(run_n(params, opt_state, key(0)))  # compile
+    dt = float("inf")
+    for rep in range(2):
+        t0 = time.perf_counter()
+        np.asarray(run_n(params, opt_state, key(1 + rep)))
+        dt = min(dt, time.perf_counter() - t0)
 
-    from vcr_tpu.utils import benchutil
-    flops = benchutil.jaxpr_flops(run_n, params, opt_state, jax.random.PRNGKey(1))
+    flops = benchutil.jaxpr_flops(run_n, params, opt_state, key(1))
     mfu = benchutil.mfu(flops, dt, jax.devices()[0])
 
     out = {
-        "metric": f"S2VT train step videos/sec/chip (B={batch}, bf16)",
+        "metric": f"{name} train step videos/sec/chip (B={batch}, bf16)",
         "value": round(batch * iters / dt, 2),
         "unit": "videos/s",
         "step_ms": round(dt / iters * 1e3, 2),
     }
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    iters = int(os.environ.get("VCR_BENCH_ITERS", "10"))
+    which = sys.argv[1] if len(sys.argv) > 1 else "s2vt"
+    families = list(FAMILY_DEFAULTS) if which == "all" else [which]
+    for name in families:
+        bench_family(name, iters)
 
 
 if __name__ == "__main__":

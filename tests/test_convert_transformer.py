@@ -6,9 +6,9 @@ hard-coded .cuda()), convert the state_dict, and compare:
 * train-mode decoder logits (unshifted input + length∧causal mask)
 * greedy decode tokens (growing-prefix loop)
 
-Small widths are used (patched width table) so the test runs quickly; the
-width *structure* (separate encoder/decoder widths, hidden projection) is the
-same as the real 4096/300 model.
+Small widths are used (spec vid_feat_size/embed_size) so the test runs
+quickly; the width *structure* (separate encoder/decoder widths, hidden
+projection) is the same as the real 4096/300 model.
 """
 
 import math
@@ -187,31 +187,9 @@ class TTransformer(nn.Module):
         return np.stack(toks, axis=1)
 
 
-def _patched(fn):
-    def small_mha(key, heads, hidden, flag):
-        table = {"e": (E_W,) * 3, "d": (D_W,) * 3, "ed": (D_W, E_W, E_W)}
-        q_in, k_in, v_in = table[flag]
-        kq, kk, kv, ko = jax.random.split(key, 4)
-        return {"q": dense_init(kq, q_in, hidden), "k": dense_init(kk, k_in, hidden),
-                "v": dense_init(kv, v_in, hidden), "out": dense_init(ko, hidden, q_in)}
-
-    import functools
-
-    @functools.wraps(fn)  # keep the fixture signature visible to pytest
-    def run(*args, **kw):
-        orig = (tr.mha_init, tr._width)
-        try:
-            tr.mha_init = small_mha
-            tr._width = lambda flag: E_W if flag == "e" else D_W
-            return fn(*args, **kw)
-        finally:
-            tr.mha_init, tr._width = orig
-
-    return run
-
-
-@_patched
 def test_transformer_full_parity(tiny_vocab, rng):
+    # model widths follow the spec (vid_feat_size=E_W, embed_size=D_W) — no
+    # width-table patching needed since transformer._width is spec-derived
     spec = base.ModelSpec(
         arch="transformer", vocab_size=tiny_vocab.vocab_size,
         embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=E_W,

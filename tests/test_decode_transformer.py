@@ -1,4 +1,8 @@
-"""Transformer beam decode: width-1 equals the greedy scan token-for-token."""
+"""Transformer beam decode: width-1 equals the greedy scan token-for-token.
+
+Widths follow the spec (transformer._width is spec-derived): these tests use
+vid_feat_size=12 / embed_size=16 as stand-ins for the reference's 4096/300.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -7,18 +11,14 @@ import numpy as np
 from vcr_tpu.decode import decode_tokens
 from vcr_tpu.models import base
 import vcr_tpu.models.transformer as tr
-from vcr_tpu.nn.layers import dense_init
 
 
-def _small_widths():
-    def small_mha(key, heads, hidden, flag):
-        table = {"e": (12, 12, 12), "d": (16, 16, 16), "ed": (16, 12, 12)}
-        q_in, k_in, v_in = table[flag]
-        kq, kk, kv, ko = jax.random.split(key, 4)
-        return {"q": dense_init(kq, q_in, hidden), "k": dense_init(kk, k_in, hidden),
-                "v": dense_init(kv, v_in, hidden), "out": dense_init(ko, hidden, q_in)}
-
-    return small_mha, (lambda flag: 12 if flag == "e" else 16)
+def _spec(tiny_vocab, max_len=6):
+    return base.ModelSpec(
+        arch="transformer", vocab_size=tiny_vocab.vocab_size,
+        embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
+        max_len=max_len, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+        compute_dtype="float32", tf_layers=2, tf_heads=2)
 
 
 def test_fast_decode_equals_parity_modulo_pe_scale(tiny_vocab, rng):
@@ -26,15 +26,10 @@ def test_fast_decode_equals_parity_modulo_pe_scale(tiny_vocab, rng):
     KV-cached fast decode must produce exactly the parity decode's tokens —
     proving the cache machinery itself is correct. (With the scale active the
     two modes differ by design; see decode_greedy_fast docstring.)"""
-    orig = (tr.mha_init, tr._width, tr._pe_scale)
+    orig = tr._pe_scale
     try:
-        tr.mha_init, tr._width = _small_widths()
         tr._pe_scale = lambda n: jnp.float32(1.0)
-        spec = base.ModelSpec(
-            arch="transformer", vocab_size=tiny_vocab.vocab_size,
-            embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
-            max_len=6, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
-            compute_dtype="float32", tf_layers=2, tf_heads=2)
+        spec = _spec(tiny_vocab)
         params = tr.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
         vid = jnp.asarray(rng.standard_normal((3, 4, 12)), dtype=jnp.float32)
 
@@ -46,59 +41,41 @@ def test_fast_decode_equals_parity_modulo_pe_scale(tiny_vocab, rng):
         fast = np.asarray(tr.decode_greedy_fast(params, spec, e_out))
         np.testing.assert_array_equal(fast, parity)
     finally:
-        tr.mha_init, tr._width, tr._pe_scale = orig
+        tr._pe_scale = orig
 
 
 def test_fast_decode_shapes_and_determinism(tiny_vocab, rng):
-    orig = (tr.mha_init, tr._width)
-    try:
-        tr.mha_init, tr._width = _small_widths()
-        spec = base.ModelSpec(
-            arch="transformer", vocab_size=tiny_vocab.vocab_size,
-            embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
-            max_len=5, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
-            compute_dtype="float32", tf_layers=2, tf_heads=2)
-        params = tr.init_params(jax.random.PRNGKey(1), spec, tiny_vocab.vectors)
-        vid = jnp.asarray(rng.standard_normal((2, 4, 12)), dtype=jnp.float32)
-        src_mask = tr.create_masks_inp(vid)
-        e_out = tr.encode(params, spec, vid, src_mask, jax.random.PRNGKey(0),
-                          train=False)
-        t1 = np.asarray(tr.decode_greedy_fast(params, spec, e_out))
-        t2 = np.asarray(tr.decode_greedy_fast(params, spec, e_out))
-        assert t1.shape == (2, spec.max_len) and t1.dtype == np.int32
-        np.testing.assert_array_equal(t1, t2)
-    finally:
-        tr.mha_init, tr._width = orig
+    spec = _spec(tiny_vocab, max_len=5)
+    params = tr.init_params(jax.random.PRNGKey(1), spec, tiny_vocab.vectors)
+    vid = jnp.asarray(rng.standard_normal((2, 4, 12)), dtype=jnp.float32)
+    src_mask = tr.create_masks_inp(vid)
+    e_out = tr.encode(params, spec, vid, src_mask, jax.random.PRNGKey(0),
+                      train=False)
+    t1 = np.asarray(tr.decode_greedy_fast(params, spec, e_out))
+    t2 = np.asarray(tr.decode_greedy_fast(params, spec, e_out))
+    assert t1.shape == (2, spec.max_len) and t1.dtype == np.int32
+    np.testing.assert_array_equal(t1, t2)
 
 
 def test_transformer_beam1_equals_greedy(tiny_vocab, rng):
-    orig = (tr.mha_init, tr._width)
-    try:
-        tr.mha_init, tr._width = _small_widths()
-        spec = base.ModelSpec(
-            arch="transformer", vocab_size=tiny_vocab.vocab_size,
-            embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
-            max_len=5, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
-            compute_dtype="float32", tf_layers=2, tf_heads=2)
-        params = tr.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
-        vid = jnp.asarray(rng.standard_normal((2, 4, 12)), dtype=jnp.float32)
+    spec = _spec(tiny_vocab, max_len=5)
+    params = tr.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+    vid = jnp.asarray(rng.standard_normal((2, 4, 12)), dtype=jnp.float32)
 
-        greedy = np.asarray(jnp.argmax(
-            tr.apply(params, spec, vid, train=False), axis=-1))
-        tokens, scores = decode_tokens(params, spec, vid, tiny_vocab.eos_id,
-                                       beam_size=1)
-        t = np.asarray(tokens)
-        for b in range(2):
-            for i in range(spec.max_len):
-                assert t[b, 0, i] == greedy[b, i]
-                if greedy[b, i] == tiny_vocab.eos_id:
-                    break
+    greedy = np.asarray(jnp.argmax(
+        tr.apply(params, spec, vid, train=False), axis=-1))
+    tokens, scores = decode_tokens(params, spec, vid, tiny_vocab.eos_id,
+                                   beam_size=1)
+    t = np.asarray(tokens)
+    for b in range(2):
+        for i in range(spec.max_len):
+            assert t[b, 0, i] == greedy[b, i]
+            if greedy[b, i] == tiny_vocab.eos_id:
+                break
 
-        # wider beam never scores worse
-        _, s3 = decode_tokens(params, spec, vid, tiny_vocab.eos_id, beam_size=3)
-        assert np.all(np.asarray(s3)[:, 0] >= np.asarray(scores)[:, 0] - 1e-5)
-    finally:
-        tr.mha_init, tr._width = orig
+    # wider beam never scores worse
+    _, s3 = decode_tokens(params, spec, vid, tiny_vocab.eos_id, beam_size=3)
+    assert np.all(np.asarray(s3)[:, 0] >= np.asarray(scores)[:, 0] - 1e-5)
 
 
 def test_transformer_fast_beam1_equals_fast_greedy(tiny_vocab, rng):
@@ -107,32 +84,23 @@ def test_transformer_fast_beam1_equals_fast_greedy(tiny_vocab, rng):
     scores worse."""
     from vcr_tpu.decode import transformer_beam_decode_fast
 
-    orig = (tr.mha_init, tr._width)
-    try:
-        tr.mha_init, tr._width = _small_widths()
-        spec = base.ModelSpec(
-            arch="transformer", vocab_size=tiny_vocab.vocab_size,
-            embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
-            max_len=5, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
-            compute_dtype="float32", tf_layers=2, tf_heads=2)
-        params = tr.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
-        vid = jnp.asarray(rng.standard_normal((3, 4, 12)), dtype=jnp.float32)
+    spec = _spec(tiny_vocab, max_len=5)
+    params = tr.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+    vid = jnp.asarray(rng.standard_normal((3, 4, 12)), dtype=jnp.float32)
 
-        src_mask = tr.create_masks_inp(vid)
-        e_out = tr.encode(params, spec, vid, src_mask, jax.random.PRNGKey(0),
-                          train=False)
-        greedy = np.asarray(tr.decode_greedy_fast(params, spec, e_out))
-        tokens, scores = transformer_beam_decode_fast(
-            params, spec, vid, 1, tiny_vocab.eos_id)
-        t = np.asarray(tokens)
-        for b in range(3):
-            for i in range(spec.max_len):
-                assert t[b, 0, i] == greedy[b, i]
-                if greedy[b, i] == tiny_vocab.eos_id:
-                    break
+    src_mask = tr.create_masks_inp(vid)
+    e_out = tr.encode(params, spec, vid, src_mask, jax.random.PRNGKey(0),
+                      train=False)
+    greedy = np.asarray(tr.decode_greedy_fast(params, spec, e_out))
+    tokens, scores = transformer_beam_decode_fast(
+        params, spec, vid, 1, tiny_vocab.eos_id)
+    t = np.asarray(tokens)
+    for b in range(3):
+        for i in range(spec.max_len):
+            assert t[b, 0, i] == greedy[b, i]
+            if greedy[b, i] == tiny_vocab.eos_id:
+                break
 
-        _, s3 = transformer_beam_decode_fast(params, spec, vid, 3,
-                                             tiny_vocab.eos_id)
-        assert np.all(np.asarray(s3)[:, 0] >= np.asarray(scores)[:, 0] - 1e-5)
-    finally:
-        tr.mha_init, tr._width = orig
+    _, s3 = transformer_beam_decode_fast(params, spec, vid, 3,
+                                         tiny_vocab.eos_id)
+    assert np.all(np.asarray(s3)[:, 0] >= np.asarray(scores)[:, 0] - 1e-5)

