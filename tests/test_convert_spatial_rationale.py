@@ -6,8 +6,8 @@ item 3) — the same treatment S2VT / S2VT-att / Transformer got in round 1.
   (reference model/SpatialNet.py:87-142). Token-for-token + alpha parity.
 * RationaleNet eval draws FRESH hard Gumbel noise (RationaleNet.py:49-50);
   parity is tested by injecting the SAME pre-drawn Gumbel(0,1) noise into both
-  frameworks (gumbel_softmax(noise=...)) — selection probs AND greedy tokens
-  must then agree exactly.
+  frameworks (rationale.apply's gumbel_noise hook) — selection probs AND
+  greedy tokens must then agree exactly.
 """
 
 import jax
@@ -18,7 +18,7 @@ import pytest
 import test_convert as tc
 from vcr_tpu import convert
 from vcr_tpu.models import rationale, s2vt, spatial
-from vcr_tpu.nn import gumbel as gumbel_mod
+
 
 torch = pytest.importorskip("torch")
 import torch.nn as nn  # noqa: E402
@@ -167,7 +167,7 @@ def torch_rationale_greedy(m: TorchRationale, vid, noise, tau, max_len,
     return toks, probs.numpy()
 
 
-def test_rationale_full_token_parity_shared_noise(tiny_vocab, rng, monkeypatch):
+def test_rationale_full_token_parity_shared_noise(tiny_vocab, rng):
     spec = tc.make_spec(tiny_vocab, arch="rationale", base_arch="s2vt", tau=1.0)
     tm = TorchRationale(spec.vocab_size, spec.embed_size, spec.hidden_size,
                         spec.vid_feat_size).eval()
@@ -183,14 +183,8 @@ def test_rationale_full_token_parity_shared_noise(tiny_vocab, rng, monkeypatch):
         tm, torch.tensor(vid), torch.tensor(noise), spec.tau,
         spec.max_len, spec.sos_id, spec)
 
-    fixed = jnp.asarray(noise)
-    orig = gumbel_mod.gumbel_softmax
-    monkeypatch.setattr(
-        rationale, "gumbel_softmax",
-        lambda key, logits, tau=1.0, hard=False: orig(
-            key, logits, tau=tau, hard=hard, noise=fixed))
-
-    logits, probs = rationale.apply(params, spec, jnp.asarray(vid), train=False)
+    logits, probs = rationale.apply(params, spec, jnp.asarray(vid), train=False,
+                                    gumbel_noise=jnp.asarray(noise))
     got = np.asarray(jnp.argmax(logits, axis=-1))
     np.testing.assert_allclose(np.asarray(probs), want_probs, atol=1e-6)
     np.testing.assert_array_equal(got, want_toks)

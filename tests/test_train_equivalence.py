@@ -204,7 +204,7 @@ def test_transformer_training_equivalence(tiny_vocab, rng, monkeypatch):
     as a buffer (TransformerNet.py:110-123) so Adam/wd never touch it; our
     optimizer must exclude it via optim.trainable_labels or params diverge."""
     monkeypatch.setattr(tr, "INTERNAL_DROPOUT", 0.0)
-    # small widths via the width-table patch from the transformer parity test
+    # small widths via the spec (transformer._width is spec-derived)
     spec = base.ModelSpec(
         arch="transformer", vocab_size=tiny_vocab.vocab_size,
         embed_size=tiny_vocab.embed_size, hidden_size=8,
@@ -212,20 +212,169 @@ def test_transformer_training_equivalence(tiny_vocab, rng, monkeypatch):
         sos_id=tiny_vocab.sos_id, compute_dtype="float32",
         tf_layers=2, tf_heads=2)
 
-    @tct._patched
-    def run():
-        tm = tct.TTransformer(spec.vocab_size, heads=2, n=2, hidden=8)
-        params = convert.convert_transformer(tm.state_dict(), spec)
-        batches = make_batches(rng, 25, 3, spec)
-        t_loss, j_loss, final = run_lockstep(
-            tm, fwd_transformer, "transformer", spec, params, batches)
-        np.testing.assert_allclose(j_loss, t_loss, rtol=5e-5, atol=5e-5)
-        final_t = convert.convert_transformer(tm.state_dict(), spec)
-        # 1e-3: a handful of near-zero-grad coordinates (rarely-hit embedding
-        # rows, ReLU-boundary ff units) sit in Adam's ±lr·sign(m̂) regime
-        # (v̂≈0), where 1e-8 fp grad noise deflects whole update steps — an
-        # inherent fp property, not a semantics gap (losses match to 5e-5;
-        # >99.8% of coordinates agree to <2e-5).
-        assert_params_match(final, final_t, atol=1e-3)
+    tm = tct.TTransformer(spec.vocab_size, heads=2, n=2, hidden=8)
+    params = convert.convert_transformer(tm.state_dict(), spec)
+    batches = make_batches(rng, 25, 3, spec)
+    t_loss, j_loss, final = run_lockstep(
+        tm, fwd_transformer, "transformer", spec, params, batches)
+    np.testing.assert_allclose(j_loss, t_loss, rtol=5e-5, atol=5e-5)
+    final_t = convert.convert_transformer(tm.state_dict(), spec)
+    # 1e-3: a handful of near-zero-grad coordinates (rarely-hit embedding
+    # rows, ReLU-boundary ff units) sit in Adam's ±lr·sign(m̂) regime
+    # (v̂≈0), where 1e-8 fp grad noise deflects whole update steps — an
+    # inherent fp property, not a semantics gap (losses match to 5e-5;
+    # >99.8% of coordinates agree to <2e-5).
+    assert_params_match(final, final_t, atol=1e-3)
 
-    run()
+
+# ------------------------- rationale + spatial (completes the family matrix)
+
+def fwd_spatial(m, vid, s, s_len, spec):
+    """Reference SpatialNet TRAIN forward (SpatialNet.py:87-142 with the
+    wrapped S2VT decode at tf=1): conv+BN(batch stats)+ReLU trunk, per-frame
+    spatial attention spliced into rnn1, teacher-forced decode."""
+    b, n, f, k, _ = vid.shape
+    h = spec.hidden_size
+    conv_feats = m.conv(vid.reshape(-1, f, k, k)).view(b, n, -1, k * k)
+    conv_feats = conv_feats.transpose(2, 3)               # B x N x K² x H
+    raw = vid.view(b, n, f, k * k).transpose(2, 3)        # B x N x K² x F
+    state = torch.zeros(1, b, h)
+    outs = []
+    for i in range(n):
+        ctx, _ = m.attention(state.squeeze(0), conv_feats[:, i], raw[:, i])
+        out, state = m.caption_net.rnn1(ctx.unsqueeze(0), state)
+        outs.append(out)
+    output1 = torch.cat(outs, dim=0)                      # N x B x H
+    cap = m.caption_net
+    pad = torch.zeros(n, b, spec.embed_size)
+    _, state2 = cap.rnn2(torch.cat([output1, pad], dim=2))
+    vid_zero = torch.zeros(1, b, spec.vid_feat_size)
+    s_cat = torch.cat(
+        [torch.full((b, 1), spec.sos_id, dtype=torch.long), s], dim=1)
+    state1 = state
+    logits = []
+    for i in range(spec.max_len):
+        o1, state1 = cap.rnn1(vid_zero, state1)
+        emb = cap.embedding(s_cat[:, i].unsqueeze(0))
+        o2, state2 = cap.rnn2(torch.cat([o1, emb], dim=2), state2)
+        logits.append(cap.linear(o2.squeeze(0)))
+    return torch.stack(logits, dim=1)
+
+
+def test_spatial_training_equivalence(tiny_vocab, rng):
+    """Adds BatchNorm semantics to the proven set: batch-stat normalization
+    in the train forward, torch-momentum running-stat updates merged back
+    into params (train/step.py _merge_bn) — final BN running stats must match
+    torch's to fp tolerance along with every trained weight."""
+    import test_convert_spatial_rationale as tsr
+
+    spec = tc.make_spec(tiny_vocab, arch="spatial", base_arch="s2vt",
+                        vid_feat_size=6)
+    tm = tsr.TorchSpatial(spec.vocab_size, spec.embed_size, spec.hidden_size,
+                          spec.vid_feat_size)
+    params = convert.convert_spatial(tm.state_dict(), spec)
+
+    batches = []
+    for _ in range(20):
+        vid = rng.standard_normal(
+            (4, spec.num_frames, spec.vid_feat_size, 4, 4)).astype(np.float32)
+        s = rng.integers(0, spec.vocab_size, (4, spec.max_len)).astype(np.int64)
+        s_len = rng.integers(1, spec.max_len + 1, (4,)).astype(np.int64)
+        batches.append((vid, s, s_len))
+
+    t_loss, j_loss, params = run_lockstep(tm, fwd_spatial, "spatial", spec,
+                                          params, batches)
+    np.testing.assert_allclose(j_loss, t_loss, rtol=2e-5, atol=2e-5)
+    final_t = convert.convert_spatial(tm.state_dict(), spec)
+    assert_params_match(params, final_t, atol=1e-5)
+
+
+def fwd_rationale(m, vid, noise, s, spec):
+    """Reference RationaleNet TRAIN forward (RationaleNet.py:32-54,86-106):
+    BiLSTM generator -> SOFT gumbel-softmax with injected noise -> frame
+    scaling -> teacher-forced S2VT. Returns (logits, probs)."""
+    b, n, _ = vid.shape
+    out, _ = m.gen.rnn(vid.transpose(0, 1))
+    out = out.transpose(0, 1).contiguous()
+    g_logits = m.gen.linear(out.view(b * n, -1)).view(b, n, 2)
+    probs = torch.softmax((g_logits + noise) / spec.tau, dim=-1)  # soft: train
+    sel = vid * probs[:, :, 1].unsqueeze(-1)
+    logits = fwd_s2vt(m.caption_net, sel, s, None, spec)
+    return logits, probs
+
+
+def test_rationale_training_equivalence(tiny_vocab, rng):
+    """3-term loss lockstep (masked CE + brevity + continuity,
+    train_rationale.py:34-40) with IDENTICAL pre-drawn Gumbel noise injected
+    into both frameworks per step (torch's F.gumbel_softmax stream cannot be
+    seed-matched; the rationale.apply gumbel_noise hook exists for this)."""
+    import optax
+
+    from vcr_tpu.models import rationale
+    from vcr_tpu.train import losses
+
+    spec = tc.make_spec(tiny_vocab, arch="rationale", base_arch="s2vt", tau=1.0)
+    tm = tsr_module().TorchRationale(
+        spec.vocab_size, spec.embed_size, spec.hidden_size, spec.vid_feat_size)
+    params = convert.convert_rationale(tm.state_dict(), spec)
+
+    lr, wd, max_norm = 1e-3, 1e-4, 1.0
+    lam_b, lam_c = 0.3, 0.2
+    opt_t = torch.optim.Adam(tm.parameters(), lr=lr, weight_decay=wd)
+    optimizer = build_optimizer("adam", lr, wd, max_norm)
+    opt_state = optimizer.init(params)
+
+    def j_loss_fn(p, vid, s, s_len, noise):
+        logits, probs = rationale.apply(
+            p, spec, vid, s, s_len, rng=jax.random.PRNGKey(0), train=True,
+            teacher_force_prob=1.0, gumbel_noise=noise)
+        valid = jnp.ones((vid.shape[0],), jnp.float32)
+        ce = losses.masked_cross_entropy(logits, s, s_len, valid)
+        return (ce + lam_b * losses.brevity_loss(probs, valid)
+                + lam_c * losses.continuity_loss(probs, valid))
+
+    @jax.jit
+    def j_step(p, o, vid, s, s_len, noise):
+        loss, grads = jax.value_and_grad(j_loss_fn)(p, vid, s, s_len, noise)
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    tm.train()
+    t_losses, j_losses = [], []
+    for step in range(25):
+        b = 4
+        vid = rng.standard_normal(
+            (b, spec.num_frames, spec.vid_feat_size)).astype(np.float32)
+        s = rng.integers(0, spec.vocab_size, (b, spec.max_len)).astype(np.int64)
+        s_len = rng.integers(1, spec.max_len + 1, (b,)).astype(np.int64)
+        u = rng.uniform(1e-6, 1.0, (b, spec.num_frames, 2))
+        noise = (-np.log(-np.log(u))).astype(np.float32)
+
+        logits, probs = fwd_rationale(tm, torch.tensor(vid),
+                                      torch.tensor(noise), torch.tensor(s),
+                                      spec)
+        zsel = probs[:, :, 1]
+        loss = (torch_masked_loss(logits, torch.tensor(s), torch.tensor(s_len))
+                + lam_b * torch.mean(torch.sum(zsel, dim=1))
+                + lam_c * torch.mean(torch.abs(zsel[:, 1:] - zsel[:, :-1])))
+        opt_t.zero_grad()
+        loss.backward()
+        nn.utils.clip_grad_norm_(tm.parameters(), max_norm)
+        opt_t.step()
+        t_losses.append(loss.item())
+
+        params_new, opt_state, j_l = j_step(
+            params, opt_state, jnp.asarray(vid), jnp.asarray(s.astype(np.int32)),
+            jnp.asarray(s_len.astype(np.int32)), jnp.asarray(noise))
+        params = params_new
+        j_losses.append(float(j_l))
+
+    np.testing.assert_allclose(np.array(j_losses), np.array(t_losses),
+                               rtol=2e-5, atol=2e-5)
+    final_t = convert.convert_rationale(tm.state_dict(), spec)
+    assert_params_match(params, final_t, atol=1e-5)
+
+
+def tsr_module():
+    import test_convert_spatial_rationale as tsr
+    return tsr

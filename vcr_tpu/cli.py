@@ -72,6 +72,11 @@ def dispatch(cfg: Config) -> None:
         from vcr_tpu.evals.attention_export import run_export
 
         run_export(cfg)
+    elif cfg.mode == "bench":
+        # repo-root benchmark harnesses (bench.py / bench_all.py / bench_train.py)
+        import bench
+
+        bench.main()
     elif cfg.mode == "verify_parity":
         from vcr_tpu.tools import verify_parity
 

@@ -47,8 +47,15 @@ def init_params(key: jax.Array, spec: base.ModelSpec, glove_vectors) -> dict:
 
 
 def generator(params, spec: base.ModelSpec, vid_feats: jax.Array,
-              rng: jax.Array, train: bool) -> Tuple[jax.Array, jax.Array]:
-    """vid_feats (B, N, V) -> (sel_vid_feats (B, N, V), probs (B, N, 2))."""
+              rng: jax.Array, train: bool,
+              gumbel_noise: Optional[jax.Array] = None,
+              ) -> Tuple[jax.Array, jax.Array]:
+    """vid_feats (B, N, V) -> (sel_vid_feats (B, N, V), probs (B, N, 2)).
+
+    ``gumbel_noise``: optional pre-drawn Gumbel(0,1) noise (B, N, 2) replacing
+    the internal draw — the cross-framework parity hook (torch's
+    F.gumbel_softmax stream cannot be seed-matched; injecting identical noise
+    into both sides makes forward AND training lockstep-testable)."""
     k_drop, k_gumbel = jax.random.split(rng)
     xs = jnp.transpose(vid_feats, (1, 0, 2))                       # (N, B, V)
     if spec.use_pallas:
@@ -62,7 +69,8 @@ def generator(params, spec: base.ModelSpec, vid_feats: jax.Array,
     out = jnp.transpose(out, (1, 0, 2))                            # (B, N, 2H)
     logits = dense(params["linear"], out, spec.cdtype)             # (B, N, 2)
     hard = not train  # RationaleNet.py:49: soft in train, hard at eval
-    probs = gumbel_softmax(k_gumbel, logits, tau=spec.tau, hard=hard)
+    probs = gumbel_softmax(k_gumbel, logits, tau=spec.tau, hard=hard,
+                           noise=gumbel_noise)
     sel = vid_feats * probs[:, :, 1][..., None]
     return sel, probs
 
@@ -76,13 +84,16 @@ def apply(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     teacher_force_prob: jax.Array | float = 1.0,
+    gumbel_noise: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """-> (logits (B, L, vocab), probs (B, N, 2)) (RationaleNet.py:86-106)."""
+    """-> (logits (B, L, vocab), probs (B, N, 2)) (RationaleNet.py:86-106).
+    ``gumbel_noise``: see generator() — cross-framework parity hook."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     k_gen, k_cap = jax.random.split(rng)
     vid_feats = vid_feats.astype(spec.cdtype)  # bf16 feed (fp32-mode no-op)
-    sel, probs = generator(params["gen"], spec, vid_feats, k_gen, train)
+    sel, probs = generator(params["gen"], spec, vid_feats, k_gen, train,
+                           gumbel_noise=gumbel_noise)
     logits = _base_module(spec).apply(
         params["caption_net"], spec, sel, s, s_len,
         rng=k_cap, train=train, teacher_force_prob=teacher_force_prob)
