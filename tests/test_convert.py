@@ -246,3 +246,48 @@ def test_rationale_and_spatial_conversion_run(tiny_vocab, rng):
     logits_sp, alphas, _ = spatial.apply(params_sp, spec_sp, vid_sp, train=False)
     assert logits_sp.shape == (2, spec_sp.max_len, spec_sp.vocab_size)
     assert alphas.shape == (2, spec_sp.num_frames, 4, 4)
+
+
+def test_export_roundtrip_transformer_rationale_spatial(tiny_vocab, rng):
+    """Inverse converters for the remaining three families: params ->
+    reference state_dict -> params round-trips exactly, and each exported
+    dict strict-loads into the reference-layout torch skeleton."""
+    import test_convert_spatial_rationale as tsr
+    import test_convert_transformer as tct
+    import vcr_tpu.models.rationale as rationale_mod
+    import vcr_tpu.models.spatial as spatial_mod
+    import vcr_tpu.models.transformer as transformer_mod
+
+    def roundtrip(arch, module, spec, torch_model):
+        params = module.init_params(jax.random.PRNGKey(7), spec,
+                                    tiny_vocab.vectors)
+        sd = convert.export_state_dict(params, spec, arch)
+        back = convert.convert_state_dict(sd, spec, arch)
+        fa = jax.tree_util.tree_flatten_with_path(params)[0]
+        fb = jax.tree_util.tree_flatten_with_path(back)[0]
+        assert [p for p, _ in fa] == [p for p, _ in fb]
+        for (path, a), (_, b) in zip(fa, fb):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=0,
+                err_msg=f"{arch}: {jax.tree_util.keystr(path)}")
+        torch_model.load_state_dict(
+            {k: torch.tensor(v) for k, v in sd.items()})  # layout OK (strict)
+
+    spec_tr = base.ModelSpec(
+        arch="transformer", vocab_size=tiny_vocab.vocab_size,
+        embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
+        max_len=5, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+        compute_dtype="float32", tf_layers=2, tf_heads=2)
+    roundtrip("transformer", transformer_mod, spec_tr,
+              tct.TTransformer(spec_tr.vocab_size, heads=2, n=2, hidden=8))
+
+    spec_r = make_spec(tiny_vocab, arch="rationale", base_arch="s2vt", tau=1.0)
+    roundtrip("rationale", rationale_mod, spec_r,
+              tsr.TorchRationale(spec_r.vocab_size, spec_r.embed_size,
+                                 spec_r.hidden_size, spec_r.vid_feat_size))
+
+    spec_sp = make_spec(tiny_vocab, arch="spatial", base_arch="s2vt",
+                        vid_feat_size=6)
+    roundtrip("spatial", spatial_mod, spec_sp,
+              tsr.TorchSpatial(spec_sp.vocab_size, spec_sp.embed_size,
+                               spec_sp.hidden_size, spec_sp.vid_feat_size))

@@ -260,7 +260,108 @@ def export_s2vt_att(params: Dict, spec: ModelSpec) -> Dict:
     return out
 
 
-EXPORTERS = {"s2vt": export_s2vt, "s2vt-att": export_s2vt_att}
+def _norm_out(p, prefix: str, out: Dict) -> None:
+    out[prefix + ".alpha"] = np.asarray(p["alpha"])
+    out[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def _mha_out(p, prefix: str, out: Dict) -> None:
+    _lin_out(p["q"], prefix + ".q_linear", out)
+    _lin_out(p["k"], prefix + ".k_linear", out)
+    _lin_out(p["v"], prefix + ".v_linear", out)
+    _lin_out(p["out"], prefix + ".out", out)
+
+
+def _ff_out(p, prefix: str, out: Dict) -> None:
+    _lin_out(p["linear_1"], prefix + ".linear_1", out)
+    _lin_out(p["linear_2"], prefix + ".linear_2", out)
+
+
+def export_transformer(params: Dict, spec: ModelSpec) -> Dict:
+    """Inverse of convert_transformer: unstack the scanned layer pytrees back
+    into per-layer reference keys (TransformerNet.py naming); the PE buffers
+    are emitted with torch's (1, L, d) buffer shape."""
+    import jax
+
+    out: Dict = {}
+    enc, dec = params["encoder"], params["decoder"]
+
+    def unstack(stacked, i):
+        return jax.tree_util.tree_map(lambda a: a[i], stacked)
+
+    for i in range(spec.tf_layers):
+        lp = unstack(enc["layers"], i)
+        _norm_out(lp["norm_1"], f"encoder.layers.{i}.norm_1", out)
+        _norm_out(lp["norm_2"], f"encoder.layers.{i}.norm_2", out)
+        _mha_out(lp["attn"], f"encoder.layers.{i}.attn", out)
+        _ff_out(lp["ff"], f"encoder.layers.{i}.ff", out)
+        lp = unstack(dec["layers"], i)
+        _norm_out(lp["norm_1"], f"decoder.layers.{i}.norm_1", out)
+        _norm_out(lp["norm_2"], f"decoder.layers.{i}.norm_2", out)
+        _norm_out(lp["norm_3"], f"decoder.layers.{i}.norm_3", out)
+        _mha_out(lp["attn_1"], f"decoder.layers.{i}.attn_1", out)
+        _mha_out(lp["attn_2"], f"decoder.layers.{i}.attn_2", out)
+        _ff_out(lp["ff"], f"decoder.layers.{i}.ff", out)
+    out["encoder.pe.pe"] = np.asarray(enc["pe"])[None]
+    out["decoder.pe.pe"] = np.asarray(dec["pe"])[None]
+    _norm_out(enc["norm"], "encoder.norm", out)
+    out["decoder.embedding.weight"] = np.asarray(
+        dec["embedding"]["table"])[: spec.vocab_size]
+    _norm_out(dec["norm"], "decoder.norm", out)
+    _norm_out(dec["norm_out"], "decoder.norm_out", out)
+    _lin_out(dec["pred_linear"], "decoder.pred_linear.1", out, spec.vocab_size)
+    return out
+
+
+def _bn_out(p, prefix: str, out: Dict) -> None:
+    out[prefix + ".weight"] = np.asarray(p["scale"])
+    out[prefix + ".bias"] = np.asarray(p["bias"])
+    out[prefix + ".running_mean"] = np.asarray(p["mean"])
+    out[prefix + ".running_var"] = np.asarray(p["var"])
+    # torch BatchNorm state_dicts carry this counter; emit 0 for strict loads
+    out[prefix + ".num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+
+def _prefixed(sd: Dict, prefix: str) -> Dict:
+    return {prefix + k: v for k, v in sd.items()}
+
+
+def _export_base(params: Dict, spec: ModelSpec) -> Dict:
+    exp = export_s2vt if spec.base_arch == "s2vt" else export_s2vt_att
+    return _prefixed(exp(params["caption_net"], spec), "caption_net.")
+
+
+def export_rationale(params: Dict, spec: ModelSpec) -> Dict:
+    """Inverse of convert_rationale (reference RationaleNet.py naming)."""
+    out = _export_base(params, spec)
+    _rnn_out(params["gen"]["rnn"]["fwd"], "gen.rnn", out)
+    _rnn_out(params["gen"]["rnn"]["bwd"], "gen.rnn", out, suffix="_reverse")
+    _lin_out(params["gen"]["linear"], "gen.linear", out)
+    return out
+
+
+def export_spatial(params: Dict, spec: ModelSpec) -> Dict:
+    """Inverse of convert_spatial (reference SpatialNet.py nn.Sequential
+    conv-trunk indices: conv.0/conv.3 convs, conv.1/conv.4 BatchNorms)."""
+    out = _export_base(params, spec)
+    out["conv.0.weight"] = np.asarray(params["conv1"]["w"])
+    out["conv.0.bias"] = np.asarray(params["conv1"]["b"])
+    _bn_out(params["bn1"], "conv.1", out)
+    out["conv.3.weight"] = np.asarray(params["conv2"]["w"])
+    out["conv.3.bias"] = np.asarray(params["conv2"]["b"])
+    _bn_out(params["bn2"], "conv.4", out)
+    for name in ("key_layer", "query_layer", "energy_layer"):
+        _lin_out(params["attention"][name], f"attention.{name}", out)
+    return out
+
+
+EXPORTERS = {
+    "s2vt": export_s2vt,
+    "s2vt-att": export_s2vt_att,
+    "transformer": export_transformer,
+    "rationale": export_rationale,
+    "spatial": export_spatial,
+}
 
 
 def export_state_dict(params: Dict, spec: ModelSpec, arch: str) -> Dict:
