@@ -153,3 +153,70 @@ def test_eos_freezes_beam(tiny_vocab, rng):
             if len(hit) and hit[0] < len(seq) - 1:
                 # after first eos, only eos repeats (frozen beam)
                 assert np.all(seq[hit[0]:] == tiny_vocab.eos_id)
+
+
+def test_sample_tokens_topk1_equals_greedy_all_families(tiny_vocab, rng):
+    """sample_tokens with top_k=1 is deterministic argmax: equal (up to eos)
+    to each family's greedy decode — s2vt-att, rationale, spatial vs their
+    greedy rollouts; transformer vs its KV-cached fast greedy (sampling uses
+    the serving stepper by design)."""
+    from vcr_tpu.decode import sample_tokens
+    from vcr_tpu.models import rationale, spatial
+    import vcr_tpu.models.transformer as tr
+
+    eos = tiny_vocab.eos_id
+
+    def check_vs(greedy, tokens):
+        t = np.asarray(tokens)
+        for b in range(t.shape[0]):
+            for i in range(greedy.shape[1]):
+                assert t[b, i] == greedy[b, i]
+                if greedy[b, i] == eos:
+                    break
+
+    # s2vt-att
+    spec = make_spec(tiny_vocab, "s2vt-att")
+    params = s2vt_att.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+    vid = jnp.asarray(rng.standard_normal((3, 4, 12)), dtype=jnp.float32)
+    check_vs(_greedy_tokens(s2vt_att, params, spec, vid),
+             sample_tokens(params, spec, vid, eos, jax.random.PRNGKey(1),
+                           top_k=1))
+
+    # transformer (vs fast greedy: sampling rides the KV-cached stepper)
+    spec_tr = base.ModelSpec(
+        arch="transformer", vocab_size=tiny_vocab.vocab_size,
+        embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
+        max_len=5, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+        compute_dtype="float32", tf_layers=2, tf_heads=2)
+    p_tr = tr.init_params(jax.random.PRNGKey(0), spec_tr, tiny_vocab.vectors)
+    src_mask = tr.create_masks_inp(vid)
+    e_out = tr.encode(p_tr, spec_tr, vid, src_mask, jax.random.PRNGKey(0),
+                      train=False)
+    fast = np.asarray(tr.decode_greedy_fast(p_tr, spec_tr, e_out))
+    check_vs(fast, sample_tokens(p_tr, spec_tr, vid, eos,
+                                 jax.random.PRNGKey(1), top_k=1))
+
+    # rationale: same generator key as the sampling path uses internally
+    spec_r = make_spec(tiny_vocab, "rationale").with_(base_arch="s2vt",
+                                                      tau=1.0)
+    p_r = rationale.init_params(jax.random.PRNGKey(0), spec_r,
+                                tiny_vocab.vectors)
+    key = jax.random.PRNGKey(4)
+    k_gen, _ = jax.random.split(key)
+    sel, _probs = rationale.generator(p_r["gen"], spec_r, vid, k_gen,
+                                      train=False)
+    greedy_r = _greedy_tokens(s2vt, p_r["caption_net"],
+                              spec_r.with_(arch="s2vt"), sel)
+    check_vs(greedy_r, sample_tokens(p_r, spec_r, vid, eos, key, top_k=1))
+
+    # spatial
+    spec_sp = make_spec(tiny_vocab, "spatial").with_(base_arch="s2vt",
+                                                     vid_feat_size=6)
+    p_sp = spatial.init_params(jax.random.PRNGKey(0), spec_sp,
+                               tiny_vocab.vectors)
+    vid_sp = jnp.asarray(rng.standard_normal((2, 4, 6, 4, 4)),
+                         dtype=jnp.float32)
+    logits_sp, _, _ = spatial.apply(p_sp, spec_sp, vid_sp, train=False)
+    greedy_sp = np.asarray(jnp.argmax(logits_sp, axis=-1))
+    check_vs(greedy_sp, sample_tokens(p_sp, spec_sp, vid_sp, eos,
+                                      jax.random.PRNGKey(5), top_k=1))

@@ -21,8 +21,8 @@ the step functions.
 __version__ = "0.1.0"
 
 # Public API (lazy — importing vcr_tpu must not pull in jax et al.)
-__all__ = ["Config", "Vocab", "train", "decode_tokens", "build_model",
-           "ModelSpec"]
+__all__ = ["Config", "Vocab", "train", "decode_tokens", "sample_tokens",
+           "build_model", "ModelSpec"]
 
 
 def __getattr__(name):
@@ -35,9 +35,9 @@ def __getattr__(name):
     if name == "train":
         from vcr_tpu.train.loop import train
         return train
-    if name == "decode_tokens":
-        from vcr_tpu.decode import decode_tokens
-        return decode_tokens
+    if name in ("decode_tokens", "sample_tokens"):
+        from vcr_tpu import decode
+        return getattr(decode, name)
     if name in ("build_model", "ModelSpec"):
         from vcr_tpu.models import base
         return getattr(base, name)

@@ -172,18 +172,29 @@ def s2vt_beam_from_states(params, spec: model_base.ModelSpec,
                        spec.sos_id, eos_id)
 
 
+def s2vt_sample_from_states(params, spec: model_base.ModelSpec,
+                            enc_outs: jax.Array, state1: jax.Array,
+                            rng: jax.Array, eos_id: int,
+                            temperature: float = 1.0, top_k: int = 0
+                            ) -> jax.Array:
+    """Sampling decode from S2VT encoder states — shared by S2VT proper and
+    SpatialNet (same splice as s2vt_beam_from_states)."""
+    state2 = s2vt._prime_state2(params, spec, enc_outs)
+    b = enc_outs.shape[1]
+    step_fn = _s2vt_stepper(params, spec, b)
+    return sample_search(step_fn, {"s1": state1, "s2": state2}, b,
+                         spec.max_len, spec.sos_id, eos_id, rng,
+                         temperature, top_k)
+
+
 def s2vt_sample_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
                        rng: jax.Array, eos_id: int, temperature: float = 1.0,
                        top_k: int = 0) -> jax.Array:
     """Temperature/top-k sampling decode for S2VT -> tokens (B, L)."""
     enc_outs, state1 = s2vt.encode(params, spec,
                                    vid_feats.astype(spec.cdtype))
-    state2 = s2vt._prime_state2(params, spec, enc_outs)
-    b = vid_feats.shape[0]
-    step_fn = _s2vt_stepper(params, spec, b)
-    return sample_search(step_fn, {"s1": state1, "s2": state2}, b,
-                         spec.max_len, spec.sos_id, eos_id, rng,
-                         temperature, top_k)
+    return s2vt_sample_from_states(params, spec, enc_outs, state1, rng,
+                                   eos_id, temperature, top_k)
 
 
 def s2vt_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
@@ -195,18 +206,11 @@ def s2vt_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
 
 # ---------------------------------------------------------------- S2VT-att
 
-def s2vt_att_beam_from_states(params, spec: model_base.ModelSpec,
-                              encoder_outs: jax.Array, encoder_final: jax.Array,
-                              beam_size: int, eos_id: int
-                              ) -> Tuple[jax.Array, jax.Array]:
+def _s2vt_att_stepper(params, spec: model_base.ModelSpec, pk: jax.Array,
+                      eo: jax.Array):
+    """The S2VT-att decode cell closed over (possibly beam-tiled) projected
+    keys pk and encoder outputs eo."""
     dec = params["decoder"]
-    proj_key = bahdanau_project_keys(dec["attention"], encoder_outs, spec.cdtype)
-    b = encoder_outs.shape[0]
-
-    tiled = _tile_beam({"h": encoder_final, "pk": proj_key, "eo": encoder_outs},
-                       beam_size)
-    init_state = {"h": tiled["h"]}
-    pk, eo = tiled["pk"], tiled["eo"]
 
     def step_fn(state, words, i):
         del i
@@ -220,8 +224,35 @@ def s2vt_att_beam_from_states(params, spec: model_base.ModelSpec,
                                 spec.vocab_size)
         return {"h": h}, logits
 
-    return beam_search(step_fn, init_state, b, beam_size, spec.max_len,
+    return step_fn
+
+
+def s2vt_att_beam_from_states(params, spec: model_base.ModelSpec,
+                              encoder_outs: jax.Array, encoder_final: jax.Array,
+                              beam_size: int, eos_id: int
+                              ) -> Tuple[jax.Array, jax.Array]:
+    dec = params["decoder"]
+    proj_key = bahdanau_project_keys(dec["attention"], encoder_outs, spec.cdtype)
+    b = encoder_outs.shape[0]
+
+    tiled = _tile_beam({"h": encoder_final, "pk": proj_key, "eo": encoder_outs},
+                       beam_size)
+    step_fn = _s2vt_att_stepper(params, spec, tiled["pk"], tiled["eo"])
+    return beam_search(step_fn, {"h": tiled["h"]}, b, beam_size, spec.max_len,
                        spec.sos_id, eos_id)
+
+
+def s2vt_att_sample_from_states(params, spec: model_base.ModelSpec,
+                                encoder_outs: jax.Array,
+                                encoder_final: jax.Array, rng: jax.Array,
+                                eos_id: int, temperature: float = 1.0,
+                                top_k: int = 0) -> jax.Array:
+    proj_key = bahdanau_project_keys(params["decoder"]["attention"],
+                                     encoder_outs, spec.cdtype)
+    step_fn = _s2vt_att_stepper(params, spec, proj_key, encoder_outs)
+    return sample_search(step_fn, {"h": encoder_final}, encoder_outs.shape[0],
+                         spec.max_len, spec.sos_id, eos_id, rng,
+                         temperature, top_k)
 
 
 def s2vt_att_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
@@ -344,6 +375,69 @@ def transformer_beam_decode_fast(params, spec: model_base.ModelSpec,
                                                  beam_tile=beam_size)
     return beam_search(step_fn, init_state, b, beam_size, spec.max_len,
                        spec.sos_id, eos_id)
+
+
+def transformer_sample_decode(params, spec: model_base.ModelSpec,
+                              vid_feats: jax.Array, rng: jax.Array,
+                              eos_id: int, temperature: float = 1.0,
+                              top_k: int = 0) -> jax.Array:
+    """Sampling decode for the Transformer through the KV-cached serving
+    stepper (sampling is inherently non-parity, so the fast cell — with its
+    documented per-token PE-scale semantics — is the right one; top_k=1
+    reproduces decode_greedy_fast token-for-token)."""
+    from vcr_tpu.models import transformer as tr
+
+    src_mask = tr.create_masks_inp(vid_feats)
+    e_outputs = tr.encode(params, spec, vid_feats, src_mask,
+                          jax.random.PRNGKey(0), train=False)
+    step_fn, init_state = tr.make_cached_stepper(params, spec, e_outputs)
+    return sample_search(step_fn, init_state, vid_feats.shape[0],
+                         spec.max_len, spec.sos_id, eos_id, rng,
+                         temperature, top_k)
+
+
+def sample_tokens(params, spec: model_base.ModelSpec, vid_feats, eos_id: int,
+                  rng, temperature: float = 1.0, top_k: int = 0):
+    """Unified stochastic-decoding entry for ALL FIVE families (beyond the
+    reference's greedy-only surface; the decode_tokens analogue). top_k=1 is
+    deterministic argmax — equal to the family's greedy decode (for the
+    Transformer: to decode_greedy_fast). RationaleNet splits ``rng`` into a
+    frame-selection key and a sampling key."""
+    if spec.arch == "s2vt":
+        return s2vt_sample_decode(params, spec, vid_feats, rng, eos_id,
+                                  temperature, top_k)
+    if spec.arch == "s2vt-att":
+        eo, ef = s2vt_att.encode(params, spec, vid_feats)
+        return s2vt_att_sample_from_states(params, spec, eo, ef, rng, eos_id,
+                                           temperature, top_k)
+    if spec.arch == "transformer":
+        return transformer_sample_decode(params, spec, vid_feats, rng, eos_id,
+                                         temperature, top_k)
+    if spec.arch == "rationale":
+        from vcr_tpu.models import rationale
+
+        k_gen, k_samp = jax.random.split(rng)
+        sel, _probs = rationale.generator(params["gen"], spec,
+                                          vid_feats.astype(spec.cdtype),
+                                          k_gen, train=False)
+        cap = params["caption_net"]
+        base_spec = spec.with_(arch=spec.base_arch)
+        return sample_tokens(cap, base_spec, sel, eos_id, k_samp,
+                             temperature, top_k)
+    if spec.arch == "spatial":
+        from vcr_tpu.models import spatial
+
+        output1, rnn_state, _alphas, _bn = spatial.encode_spatial(
+            params, spec, vid_feats, train=False)
+        cap = params["caption_net"]
+        if spec.base_arch == "s2vt":
+            return s2vt_sample_from_states(cap, spec, output1, rnn_state, rng,
+                                           eos_id, temperature, top_k)
+        return s2vt_att_sample_from_states(cap, spec,
+                                           jnp.transpose(output1, (1, 0, 2)),
+                                           rnn_state, rng, eos_id,
+                                           temperature, top_k)
+    raise NotImplementedError(f"sampling decode for {spec.arch}")
 
 
 def decode_tokens(params, spec: model_base.ModelSpec, vid_feats, eos_id: int,
