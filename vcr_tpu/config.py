@@ -94,6 +94,11 @@ class Config:
     rng_impl: str = "rbg"
     # Beam width for decode (1 = greedy, matching the reference's only mode).
     beam_size: int = 1
+    # Stochastic decode for --mode decode: temperature > 0 switches from
+    # greedy/beam to per-step categorical sampling (optionally top-k
+    # restricted; decode.sample_tokens). 0 = off.
+    sample_temperature: float = 0.0
+    sample_top_k: int = 0
     # Save a mid-epoch checkpoint every N train iterations (0 = off). Resume
     # restarts from the exact batch (preemption tolerance; the reference only
     # checkpointed per epoch).
@@ -135,7 +140,8 @@ class Config:
 # weights (reference resume adopts opts wholesale, train.py:133).
 _CLI_OVERRIDE_FIELDS = (
     "data_dir", "corpus", "glove_emb_file", "save_path", "bsize", "nworkers",
-    "n_sample_sent", "beam_size", "seed", "out_dir", "vid_file", "export_all",
+    "n_sample_sent", "beam_size", "sample_temperature", "sample_top_k",
+    "seed", "out_dir", "vid_file", "export_all",
     "pretrained_base", "spatial_net_file", "log_dir", "log_iter",
     "mesh_dp", "mesh_mp",
 )

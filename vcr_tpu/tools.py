@@ -66,7 +66,16 @@ def decode_corpus(cfg: Config, checkpoint_path: str = "",
     feats = np.stack([ds.load_features(i) for i in range(len(ds))])
     keys = [ds.captions[i][ds.key_field] for i in range(len(ds))]
 
-    if beam_size > 1:
+    if cfg.sample_temperature > 0:
+        from vcr_tpu.decode import sample_tokens
+
+        key = jax.random.PRNGKey(cfg.seed)
+        tokens = np.asarray(jax.jit(
+            lambda p, v, k: sample_tokens(p, spec, v, vocab.eos_id, k,
+                                          cfg.sample_temperature,
+                                          cfg.sample_top_k)
+        )(params, jnp.asarray(feats), key))
+    elif beam_size > 1:
         from vcr_tpu.decode import decode_tokens
 
         tokens, _ = jax.jit(

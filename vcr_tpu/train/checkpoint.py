@@ -80,12 +80,26 @@ def load_checkpoint(path: str, template_params=None, template_opt_state=None
     place arrays on the right shardings; without them the raw stored tree
     (nested dicts/lists) is returned — fine for params-only consumers."""
     path = _resolve(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        if template_params is not None:
+    if template_params is not None:
+        with ocp.StandardCheckpointer() as ckptr:
             template = {"params": template_params, "opt_state": template_opt_state}
             tree = ckptr.restore(_tree_path(path), template)
-        else:
-            tree = ckptr.restore(_tree_path(path))
+    else:
+        # Device-agnostic raw restore: without a template orbax replays the
+        # SAVED shardings, which fails when the checkpoint was written on a
+        # different device type (e.g. trained on TPU, decoded on a CPU-only
+        # host). Restoring as numpy sidesteps device placement entirely;
+        # consumers device_put as needed.
+        import jax
+        import numpy as _np
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            meta_tree = ckptr.metadata(_tree_path(path)).item_metadata.tree
+            restore_args = jax.tree_util.tree_map(
+                lambda _m: ocp.RestoreArgs(restore_type=_np.ndarray), meta_tree)
+            tree = ckptr.restore(
+                _tree_path(path),
+                args=ocp.args.PyTreeRestore(restore_args=restore_args))
     with open(_meta_path(path)) as f:
         meta = json.load(f)
     return tree["params"], tree["opt_state"], meta
