@@ -72,3 +72,24 @@ def test_verify_parity_tool(tmp_path, tiny_vocab):
                              vocab.sos_id, cfg.vid_feat_size, vocab.embed_size)
     got = np.asarray([r["tokens"] for r in results])
     np.testing.assert_array_equal(got, want)
+
+
+def test_decode_corpus_mesh_equals_single_device(tmp_path):
+    """SPMD batch decode: a (dp=4, mp=2) mesh over the 8 virtual CPU devices
+    produces token-for-token the single-device greedy decode (corpus rows are
+    padded to a dp multiple and the padding dropped)."""
+    from tests.test_train_loop import tiny_config
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.tools import decode_corpus
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    build_corpus(os.path.join(tmp, "data"))
+    cfg = tiny_config(tmp, epochs=1)
+    train(cfg)
+
+    single = decode_corpus(cfg)
+    meshed = decode_corpus(cfg.replace(mesh_dp=4, mesh_mp=2))
+    assert [r["vid_key"] for r in meshed] == [r["vid_key"] for r in single]
+    for a, b in zip(meshed, single):
+        assert a["tokens"] == b["tokens"]

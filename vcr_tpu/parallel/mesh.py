@@ -42,11 +42,15 @@ def make_mesh(dp: int, mp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(arr, axis_names=("dp", "mp"))
 
 
-def _param_spec(path, leaf, vocab_size: int) -> P:
+def _param_spec(path, leaf, vocab_size: int, mp: int = 1) -> P:
     """Sharding rule for one param leaf. Vocab-sized output projections and the
     embedding table split over mp; everything else is replicated (these models
     are small — H=512 — so replication is the right call for all non-vocab
-    weights)."""
+    weights). A vocab axis not divisible by mp (e.g. an unpadded vocab loaded
+    from a checkpoint) falls back to replication rather than erroring — set
+    vocab_pad_to to a multiple of mp to actually shard."""
+    if vocab_size % max(mp, 1) != 0:
+        return P()
     names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
     if len(names) >= 2 and names[-2] in _VOCAB_PROJ_MODULES:
         if names[-1] == "w" and leaf.ndim == 2 and leaf.shape[-1] == vocab_size:
@@ -60,9 +64,12 @@ def _param_spec(path, leaf, vocab_size: int) -> P:
 
 def shard_params(params, mesh: Mesh, vocab_size: int):
     """device_put each param leaf with its NamedSharding."""
+    mp = mesh.shape.get("mp", 1)
+
     def place(path, leaf):
         return jax.device_put(leaf, NamedSharding(mesh, _param_spec(path, leaf,
-                                                                    vocab_size)))
+                                                                    vocab_size,
+                                                                    mp)))
     return jax.tree_util.tree_map_with_path(place, params)
 
 

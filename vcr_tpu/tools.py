@@ -65,6 +65,25 @@ def decode_corpus(cfg: Config, checkpoint_path: str = "",
                         cfg.num_frames, cfg.max_len, feat_type)
     feats = np.stack([ds.load_features(i) for i in range(len(ds))])
     keys = [ds.captions[i][ds.key_field] for i in range(len(ds))]
+    n_real = feats.shape[0]
+
+    # SPMD batch decode: shard the corpus over the dp axis of a (dp x mp)
+    # mesh (pad rows to a dp multiple; padded rows are dropped after decode).
+    # The jitted decoders inherit the shardings from their inputs, exactly as
+    # the train step does (parallel/mesh.py).
+    if cfg.mesh_dp * cfg.mesh_mp > 1:
+        from vcr_tpu.parallel import make_mesh, shard_batch, shard_params
+
+        mesh = make_mesh(cfg.mesh_dp, cfg.mesh_mp)
+        pad = (-n_real) % cfg.mesh_dp
+        if pad:
+            feats = np.concatenate([feats, np.zeros((pad, *feats.shape[1:]),
+                                                    feats.dtype)])
+        params = shard_params(params, mesh, spec.padded_vocab_size)
+        feats = shard_batch({"vid_feats": feats}, mesh)["vid_feats"]
+    else:
+        feats = jnp.asarray(feats)
+        params = jax.device_put(params)
 
     if cfg.sample_temperature > 0:
         from vcr_tpu.decode import sample_tokens
@@ -74,18 +93,19 @@ def decode_corpus(cfg: Config, checkpoint_path: str = "",
             lambda p, v, k: sample_tokens(p, spec, v, vocab.eos_id, k,
                                           cfg.sample_temperature,
                                           cfg.sample_top_k)
-        )(params, jnp.asarray(feats), key))
+        )(params, feats, key))
     elif beam_size > 1:
         from vcr_tpu.decode import decode_tokens
 
         tokens, _ = jax.jit(
             lambda p, v: decode_tokens(p, spec, v, vocab.eos_id, beam_size)
-        )(params, jnp.asarray(feats))
+        )(params, feats)
         tokens = np.asarray(tokens[:, 0])
     else:
         tokens = np.asarray(jax.jit(
-            lambda p, v: _greedy(p, spec, v))(params, jnp.asarray(feats)))
+            lambda p, v: _greedy(p, spec, v))(params, feats))
 
+    tokens = tokens[:n_real]  # drop mesh padding rows
     results = [{"vid_key": k, "tokens": t.tolist(),
                 "caption": vocab.get_sent_from_index(t)}
                for k, t in zip(keys, tokens)]
