@@ -140,8 +140,22 @@ def evaluate_checkpoint(cfg: Config, ckpt_path: str = "") -> Dict[str, float]:
     _, eval_step = build_step_fns(model_name, spec, optimizer,
                                   cfg.lambda_brev, cfg.lambda_cont)
 
+    # --beam_size > 1: beam-search validation decode, same wiring as train()
+    beam_fn = None
+    if cfg.beam_size > 1:
+        from functools import partial
+
+        from vcr_tpu.decode import decode_tokens
+
+        beam_spec = spec.with_(arch=model_name)
+        beam_fn = jax.jit(partial(
+            lambda p, v, r, spec_, k_: decode_tokens(p, spec_, v, vocab.eos_id,
+                                                     k_, rng=r),
+            spec_=beam_spec, k_=cfg.beam_size))
+
     metrics, samples, time_taken = evaluate(
-        eval_step, params, val_it, vocab, log_keys, cfg.n_sample_sent, cfg.seed)
+        eval_step, params, val_it, vocab, log_keys, cfg.n_sample_sent, cfg.seed,
+        beam_fn=beam_fn)
     print(f"Eval of {path} (epoch {meta.get('epoch')}): "
           + ", ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
     print_sample_sents(samples)
