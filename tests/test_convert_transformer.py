@@ -22,7 +22,6 @@ import pytest
 import vcr_tpu.models.transformer as tr
 from vcr_tpu import convert
 from vcr_tpu.models import base
-from vcr_tpu.nn.layers import dense_init
 
 torch = pytest.importorskip("torch")
 import torch.nn as nn  # noqa: E402

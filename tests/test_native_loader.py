@@ -1,7 +1,6 @@
 """Native C++ .npy batch loader: parity with numpy, padding/truncation, f8
 conversion, and pipeline integration."""
 
-import os
 
 import numpy as np
 import pytest

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from vcr_tpu.models import base, s2vt
-from vcr_tpu.parallel import make_mesh, replicate, shard_batch, shard_params
+from vcr_tpu.parallel import make_mesh, shard_batch, shard_params
 from vcr_tpu.train import optim
 from vcr_tpu.train.step import build_step_fns
 

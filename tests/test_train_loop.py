@@ -99,9 +99,7 @@ def test_resume_restores_iteration(tmp_path, capsys):
 
 def test_train_transformer_end_to_end(tmp_path):
     """Transformer through the full loop (train pass uses s_len masks; eval
-    uses the greedy scan). Reference widths patched down for CI speed."""
-    import jax
-
+    uses the greedy scan)."""
     from vcr_tpu.train.loop import train
 
     # widths follow the spec (transformer._width is spec-derived): the tiny

@@ -1,7 +1,6 @@
 """Unit tests for the logging window, StepTimer, StreamSampler, and config
 serialization round-trips."""
 
-import numpy as np
 
 from vcr_tpu.config import Config
 from vcr_tpu.utils.logging import TrainLogger

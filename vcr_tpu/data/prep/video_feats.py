@@ -17,7 +17,6 @@ import glob
 import os
 import re
 import shutil
-from typing import Optional
 
 import numpy as np
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import List, Tuple
+from typing import List
 
 import jax
 import numpy as np

@@ -19,7 +19,7 @@ probability 0 and dropout off — bitwise deterministic.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

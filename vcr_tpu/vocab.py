@@ -101,7 +101,7 @@ class Vocab:
 
 def tiny_vocab(words: Sequence[str], dim: int = 8, seed: int = 0) -> Vocab:
     """Build an in-memory Vocab without a GloVe file (for tests)."""
-    import io, tempfile
+    import tempfile
 
     rng = np.random.default_rng(seed)
     path = os.path.join(tempfile.mkdtemp(), "glove_tiny.txt")
