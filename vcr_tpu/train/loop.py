@@ -252,6 +252,24 @@ def train(cfg: Config) -> Dict[str, float]:
     logger.set(log_keys)
     logger.n_iter = start_n_iter
 
+    # Graceful preemption (beyond reference: Condor could only kill + restart
+    # from the last EPOCH checkpoint): SIGTERM/SIGINT set a flag; the loop
+    # saves a mid-epoch checkpoint at the next step boundary and exits
+    # cleanly, so `--resume true` continues from the exact batch.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_preempt(signum, frame):
+        preempted["flag"] = True
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_preempt)
+        except ValueError:  # non-main thread (tests): leave handlers alone
+            pass
+
     final_metrics: Dict[str, float] = {}
     timer = StepTimer()
     with trace():  # XLA trace when VCR_TRACE_DIR is set (SURVEY.md §5)
@@ -282,6 +300,19 @@ def train(cfg: Config) -> Dict[str, float]:
                          "config": cfg.to_dict(),
                          "best_val_meteor_score": best_val_meteor,
                          "batch_in_epoch": batch_in_epoch})
+                if preempted["flag"]:
+                    ckpt.save_checkpoint(
+                        ckpt.latest_path(cfg.save_path), params, opt_state,
+                        {"epoch": epoch, "n_iter": logger.n_iter + 1,
+                         "config": cfg.to_dict(),
+                         "best_val_meteor_score": best_val_meteor,
+                         "batch_in_epoch": batch_in_epoch})
+                    print("====> Preemption signal: saved mid-epoch "
+                          f"checkpoint (epoch {epoch}, batch {batch_in_epoch})"
+                          " — exiting; resume with --resume true")
+                    for sig, h in prev_handlers.items():
+                        signal.signal(sig, h)
+                    return final_metrics
                 # lazy reservoir: only the few winning rows are fetched to
                 # host, keeping the step loop free of per-batch device syncs
                 # (unlike reference train.py:151)
@@ -324,4 +355,6 @@ def train(cfg: Config) -> Dict[str, float]:
                                    best_val_meteor, is_best)
             final_metrics = val_metrics
 
+    for sig, h in prev_handlers.items():
+        signal.signal(sig, h)
     return final_metrics
