@@ -54,3 +54,16 @@ def test_config_roundtrip():
     d = cfg.to_dict()
     d["legacy_flag"] = 1
     assert Config.from_dict(d) == cfg
+
+
+def test_logger_raises_on_nonfinite_loss():
+    import numpy as np
+    import pytest
+
+    from vcr_tpu.utils.logging import TrainLogger
+
+    lg = TrainLogger(start_epoch=0, log_iter=2, log_dir=None)
+    lg.set(["loss"])
+    lg.update({"loss": np.float32(1.0)})
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        lg.update({"loss": np.float32("nan")})

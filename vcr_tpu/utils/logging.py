@@ -65,6 +65,14 @@ class TrainLogger:
         window = jax.device_get(self._window)
         means = {k: float(np.mean([_to_float(m[k]) for m in window]))
                  for k in self.log_keys}
+        # divergence guard, piggybacked on the window's existing device->host
+        # transfer (zero extra syncs): a non-finite windowed loss means the
+        # run is unrecoverable — fail loudly instead of burning chips
+        if not np.isfinite(means.get("loss", 0.0)):
+            raise FloatingPointError(
+                f"non-finite train loss at update {self.n_iter} "
+                f"(window means: {means}) — diverged; lower lr / raise "
+                "max_norm clip, or resume from the last finite checkpoint")
         if self.writer:
             for k, v in means.items():
                 self.writer.add_scalar("train/" + k, v, self.n_iter)
