@@ -15,6 +15,8 @@ frameworks; everything else is live). A clipping-active case (tiny max_norm)
 exercises the torch clip formula min(max_norm/(norm+1e-6), 1).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -378,3 +380,29 @@ def test_rationale_training_equivalence(tiny_vocab, rng):
 def tsr_module():
     import test_convert_spatial_rationale as tsr
     return tsr
+
+
+@pytest.mark.skipif(not os.environ.get("VCR_SLOW_TESTS"),
+                    reason="real-width lockstep is slow; set VCR_SLOW_TESTS=1")
+def test_transformer_training_equivalence_real_widths(tiny_vocab, rng,
+                                                      monkeypatch):
+    """Opt-in: the training lockstep at the REFERENCE's real widths (4096/300,
+    hidden 512, 6 layers, 8 heads) — a few Adam steps, losses to fp tolerance."""
+    monkeypatch.setattr(tr, "INTERNAL_DROPOUT", 0.0)
+    monkeypatch.setattr(tct, "E_W", 4096)
+    monkeypatch.setattr(tct, "D_W", 300)
+    vec300 = np.repeat(tiny_vocab.vectors, 19, axis=1)[:, :300].astype(np.float32)
+
+    spec = base.ModelSpec(
+        arch="transformer", vocab_size=tiny_vocab.vocab_size, embed_size=300,
+        hidden_size=512, vid_feat_size=4096, max_len=5, num_frames=4,
+        dropout_p=0.0, sos_id=tiny_vocab.sos_id, compute_dtype="float32",
+        tf_layers=6, tf_heads=8)
+    del vec300  # params come from the converted torch init, not GloVe
+
+    tm = tct.TTransformer(spec.vocab_size, heads=8, n=6, hidden=512)
+    params = convert.convert_transformer(tm.state_dict(), spec)
+    batches = make_batches(rng, 3, 2, spec)
+    t_loss, j_loss, _final = run_lockstep(
+        tm, fwd_transformer, "transformer", spec, params, batches)
+    np.testing.assert_allclose(j_loss, t_loss, rtol=5e-4, atol=5e-4)
