@@ -93,3 +93,52 @@ def test_decode_corpus_mesh_equals_single_device(tmp_path):
     assert [r["vid_key"] for r in meshed] == [r["vid_key"] for r in single]
     for a, b in zip(meshed, single):
         assert a["tokens"] == b["tokens"]
+
+
+def test_export_reference_checkpoint_roundtrip(tmp_path, tiny_vocab):
+    """CLI-level inverse conversion: a vcr_tpu training checkpoint exports to
+    a reference-format .net blob that torch.loads, strict-loads into the
+    reference-layout module, and reimports with identical greedy tokens."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_convert import TorchS2VT, torch_s2vt_greedy
+    from tests.test_train_loop import tiny_config
+    from tests.util_corpus import build_corpus
+    from vcr_tpu import convert
+    from vcr_tpu.models import base, s2vt
+    from vcr_tpu.tools import export_reference_checkpoint
+    from vcr_tpu.train.loop import train
+    from vcr_tpu.vocab import Vocab
+
+    tmp = str(tmp_path)
+    glove = build_corpus(os.path.join(tmp, "data"))
+    cfg = tiny_config(tmp, epochs=1)
+    train(cfg)
+
+    out = export_reference_checkpoint(cfg)
+    blob = torch.load(out, map_location="cpu", weights_only=False)
+    assert {"epoch", "state_dict", "n_iter", "opts",
+            "val_meteor_score", "best_val_meteor_score"} <= set(blob)
+
+    vocab = Vocab(glove)
+    spec = base.ModelSpec(
+        arch="s2vt", vocab_size=vocab.vocab_size, embed_size=vocab.embed_size,
+        hidden_size=blob["opts"].hidden_size,
+        vid_feat_size=blob["opts"].vid_feat_size,
+        max_len=blob["opts"].max_len, num_frames=blob["opts"].num_frames,
+        dropout_p=0.0, sos_id=vocab.sos_id, compute_dtype="float32")
+    tm = TorchS2VT(spec.vocab_size, spec.embed_size, spec.hidden_size,
+                   spec.vid_feat_size).eval()
+    tm.load_state_dict(blob["state_dict"])  # strict
+
+    rng = np.random.default_rng(0)
+    vid = rng.standard_normal(
+        (2, spec.num_frames, spec.vid_feat_size)).astype(np.float32)
+    t_tokens = torch_s2vt_greedy(tm, torch.tensor(vid), spec.max_len,
+                                 spec.sos_id, spec.vid_feat_size,
+                                 spec.embed_size)
+    params = convert.convert_s2vt(
+        {k: v for k, v in blob["state_dict"].items()}, spec)
+    logits = s2vt.apply(params, spec, jnp.asarray(vid), train=False)
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(logits, -1)), t_tokens)

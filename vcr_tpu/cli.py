@@ -72,6 +72,11 @@ def dispatch(cfg: Config) -> None:
         from vcr_tpu.evals.attention_export import run_export
 
         run_export(cfg)
+    elif cfg.mode == "export_reference":
+        from vcr_tpu.tools import export_reference_checkpoint
+
+        out = export_reference_checkpoint(cfg, cfg.pretrained_base or "")
+        print(f"reference-format checkpoint written to {out}")
     elif cfg.mode == "bench":
         # repo-root benchmark harnesses (bench.py / bench_all.py / bench_train.py)
         import bench

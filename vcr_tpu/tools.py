@@ -145,3 +145,43 @@ def verify_parity(cfg: Config, checkpoint_path: str,
         with open(out_file, "w") as f:
             json.dump(results, f, indent=2)
     return results
+
+
+def export_reference_checkpoint(cfg: Config, checkpoint_path: str = "",
+                                out_file: Optional[str] = None) -> str:
+    """Convert a vcr_tpu checkpoint into a reference-format ``.net`` file
+    (torch.save blob {'state_dict', 'opts', 'epoch', 'n_iter',
+    'val_meteor_score', 'best_val_meteor_score'} — reference train.py:195-205)
+    so models trained here load straight into the PyTorch reference. The
+    optimizer state is omitted (the reference saves but never restores it,
+    train.py:126-134)."""
+    import argparse
+
+    import torch
+
+    from vcr_tpu.config import adopt_checkpoint_config
+    from vcr_tpu.convert import export_state_dict
+    from vcr_tpu.models.base import spec_from_config
+    from vcr_tpu.train import checkpoint as ckpt
+
+    path = checkpoint_path or ckpt.best_path(cfg.save_path)
+    params, _, meta = ckpt.load_checkpoint(path)
+    cfg = adopt_checkpoint_config(cfg, meta)
+    vocab = Vocab(os.path.join(cfg.data_dir, cfg.corpus, "glove",
+                               cfg.glove_emb_file), seed=cfg.seed)
+    spec = spec_from_config(cfg, vocab)
+    arch = ("rationale" if cfg.mode == "train_rationale"
+            else "spatial" if cfg.mode == "train_spatial" else cfg.arch)
+    sd = export_state_dict(params, spec, arch)
+    out = out_file or os.path.join(cfg.save_path, "model_export.net")
+    blob = {
+        "epoch": meta.get("epoch", 0),
+        "state_dict": {k: torch.tensor(v) for k, v in sd.items()},
+        "n_iter": meta.get("n_iter", 0),
+        # reference code reads checkpoint['opts'] as an argparse.Namespace
+        "opts": argparse.Namespace(**meta.get("config", {})),
+        "val_meteor_score": meta.get("val_meteor_score", 0.0),
+        "best_val_meteor_score": meta.get("best_val_meteor_score", 0.0),
+    }
+    torch.save(blob, out)
+    return out
