@@ -130,10 +130,17 @@ def verify_parity(cfg: Config, checkpoint_path: str,
                                cfg.glove_emb_file), seed=cfg.seed)
     spec = model_base.spec_from_config(cfg, vocab)
     params, meta = load_reference_checkpoint(checkpoint_path, spec, cfg.arch)
+    # wrapped families are auto-detected from the state-dict keys; the decode
+    # spec must dispatch to the detected registry model, not the base arch
+    # (cfg.arch stays the BASE captioner for rationale/spatial, matching the
+    # reference's --arch semantics)
+    detected = meta.get("detected_arch", cfg.arch)
+    if detected in ("rationale", "spatial"):
+        spec = spec.with_(arch=detected)
 
     from vcr_tpu.data.pipeline import CaptionDataset
 
-    feat_type = "yolo" if cfg.arch == "spatial" else "cnn"
+    feat_type = "yolo" if detected == "spatial" else "cnn"
     ds = CaptionDataset(cfg.data_dir, cfg.corpus, "val", vocab,
                         cfg.num_frames, cfg.max_len, feat_type)
     feats = np.stack([ds.load_features(i) for i in range(len(ds))])
