@@ -160,3 +160,23 @@ def test_serving_beam_s2vt_and_transformer(tiny_vocab, rng):
     assert tokens2.shape == beam1_tokens.shape
     # default eos_id derivation (sos+1) matches the vocab layout
     assert tiny_vocab.eos_id == spec_tr.sos_id + 1
+
+
+def test_serving_sampled_topk1_equals_greedy(tiny_vocab, rng):
+    """build_captioner(sample_temperature>0, top_k=1) is deterministic argmax
+    — equal (up to eos) to the greedy serving captioner."""
+    spec = base.ModelSpec(arch="s2vt", vocab_size=tiny_vocab.vocab_size,
+                          embed_size=tiny_vocab.embed_size, hidden_size=8,
+                          vid_feat_size=12, max_len=5, num_frames=4,
+                          dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+                          compute_dtype="float32")
+    params = s2vt.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+    feats = jnp.asarray(rng.standard_normal((2, 4, 12)), jnp.float32)
+    greedy = np.asarray(build_captioner(params, spec, "none")(feats))
+    sampled = np.asarray(build_captioner(
+        params, spec, "none", sample_temperature=1.0, sample_top_k=1)(feats))
+    for b in range(2):
+        for i in range(spec.max_len):
+            assert sampled[b, i] == greedy[b, i]
+            if greedy[b, i] == tiny_vocab.eos_id:
+                break

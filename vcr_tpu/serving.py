@@ -25,7 +25,9 @@ def build_captioner(params, spec: model_base.ModelSpec,
                     feat_params=None,
                     rng=None,
                     beam_size: int = 1,
-                    eos_id: int | None = None) -> Callable:
+                    eos_id: int | None = None,
+                    sample_temperature: float = 0.0,
+                    sample_top_k: int = 0) -> Callable:
     """-> fn(frames (B, N, 3, S, S) normalized) -> tokens (B, L) int32.
     The returned fn is ALREADY jitted (params passed as a jit argument — see
     the note at the bottom); do not wrap it in jax.jit again or the weights
@@ -47,7 +49,8 @@ def build_captioner(params, spec: model_base.ModelSpec,
 
     beam_size > 1 switches every family to beam search and returns each
     item's best beam (the transformer uses its KV-cached fast beam,
-    decode.transformer_beam_decode_fast). ``eos_id`` defaults to
+    decode.transformer_beam_decode_fast); sample_temperature > 0 switches to
+    temperature/top-k sampling (decode.sample_tokens) instead. ``eos_id`` defaults to
     ``spec.sos_id + 1`` — the vocab layout appends the specials in the order
     <sos> <eos> <pad> <unk> (vocab.SPECIAL_TOKENS); pass it explicitly for a
     non-standard vocabulary.
@@ -82,6 +85,14 @@ def build_captioner(params, spec: model_base.ModelSpec,
 
     def caption(params, frames_or_feats: jax.Array) -> jax.Array:
         feats = featurize(frames_or_feats)
+        if sample_temperature > 0:
+            # stochastic serving (decode.sample_tokens; fixed rng => the
+            # returned fn stays deterministic per input, re-build with a new
+            # rng to re-roll)
+            from vcr_tpu import decode as vdecode
+            return vdecode.sample_tokens(params, spec, feats.astype(spec.cdtype),
+                                         eos_id, rng, sample_temperature,
+                                         sample_top_k)
         if beam_size > 1:
             from vcr_tpu import decode as vdecode
             feats = feats.astype(spec.cdtype)
