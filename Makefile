@@ -1,5 +1,5 @@
 # vcr_tpu developer targets
-.PHONY: test test-fast bench bench-train bench-all native entry dryrun clean
+.PHONY: test test-fast smoke bench bench-train bench-all native entry dryrun clean
 
 test:            ## full suite on the 8-virtual-device CPU mesh
 	python -m pytest tests/ -q
@@ -7,6 +7,9 @@ test:            ## full suite on the 8-virtual-device CPU mesh
 test-fast:       ## unit tests only (skip the slow end-to-end loops)
 	python -m pytest tests/ -q --ignore=tests/test_train_loop.py \
 	    --ignore=tests/test_mesh_training.py --ignore=tests/test_cli_prep.py
+
+smoke:           ## end-to-end CLI smoke over every mode (CPU, ~2 min)
+	python scripts/smoke.py
 
 bench:           ## headline benchmark (one JSON line, real TPU)
 	python bench.py
