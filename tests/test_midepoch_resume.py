@@ -153,7 +153,9 @@ def test_preemption_signal_saves_and_resumes(tmp_path):
     from vcr_tpu.train import checkpoint as ckpt
     assert ckpt.checkpoint_exists(os.path.join(save, "model_latest"))
     _, _, meta = ckpt.load_checkpoint(os.path.join(save, "model_latest"))
-    assert meta.get("batch_in_epoch") is not None  # mid-epoch marker
+    # signal in the batch loop -> mid-epoch checkpoint (batch_in_epoch set);
+    # signal during validation/epoch save -> clean epoch checkpoint. Both are
+    # valid preemption outcomes; either must resume.
 
     # resume in-process picks up from the preemption point. train() adopts
     # the checkpointed config (reference train.py:133), so cap the embedded
@@ -162,7 +164,10 @@ def test_preemption_signal_saves_and_resumes(tmp_path):
 
     meta_path = os.path.join(save, "model_latest", "meta.json")
     meta = _json.load(open(meta_path))
-    meta["config"]["epochs"] = meta["epoch"] + 1
+    # +2 when the preemption checkpoint already closed its epoch, so the
+    # resumed run still trains at least one step either way
+    extra = 1 if meta.get("batch_in_epoch") is not None else 2
+    meta["config"]["epochs"] = meta["epoch"] + extra
     _json.dump(meta, open(meta_path, "w"))
 
     from vcr_tpu.config import Config

@@ -176,3 +176,28 @@ def test_verify_parity_tool_wrapped_family(tmp_path, tiny_vocab):
     # just pin shape/validity here; full shared-noise token parity is covered
     # by test_convert_spatial_rationale.py
     assert all(len(r["tokens"]) == cfg.max_len for r in results)
+
+
+def test_decode_corpus_wrapped_family_checkpoint(tmp_path):
+    """Regression: --mode decode on a train_rationale checkpoint must
+    dispatch the rationale module (the adopted config's arch names the BASE
+    captioner — previously this KeyError'd on the wrapped param tree) across
+    the greedy, beam, and sampled paths."""
+    from tests.test_train_loop import tiny_config
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.tools import decode_corpus
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    build_corpus(os.path.join(tmp, "data"))
+    cfg = tiny_config(tmp, mode="train_rationale", epochs=1, tau=1.0)
+    train(cfg)
+
+    greedy = decode_corpus(cfg)
+    assert len(greedy) >= 2 and all(len(r["tokens"]) == cfg.max_len
+                                    for r in greedy)
+    beam = decode_corpus(cfg, beam_size=2)
+    assert len(beam) == len(greedy)
+    sampled = decode_corpus(cfg.replace(sample_temperature=1.3,
+                                        sample_top_k=3))
+    assert len(sampled) == len(greedy)

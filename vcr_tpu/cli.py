@@ -78,9 +78,18 @@ def dispatch(cfg: Config) -> None:
         out = export_reference_checkpoint(cfg, cfg.pretrained_base or "")
         print(f"reference-format checkpoint written to {out}")
     elif cfg.mode == "bench":
-        # repo-root benchmark harnesses (bench.py / bench_all.py / bench_train.py)
-        import bench
-
+        # bench.py lives at the repo root (driver contract), not in the
+        # package — resolve it relative to this file so the mode works from
+        # any cwd
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        try:
+            import bench
+        except ImportError as e:
+            raise NotImplementedError(
+                "--mode bench needs the repo checkout (bench.py at the repo "
+                "root); it is not shipped in the installed package") from e
         bench.main()
     elif cfg.mode == "verify_parity":
         from vcr_tpu.tools import verify_parity

@@ -65,6 +65,14 @@ def _param_spec(path, leaf, vocab_size: int, mp: int = 1) -> P:
 def shard_params(params, mesh: Mesh, vocab_size: int):
     """device_put each param leaf with its NamedSharding."""
     mp = mesh.shape.get("mp", 1)
+    if mp > 1 and vocab_size % mp != 0:
+        import warnings
+
+        warnings.warn(
+            f"padded vocab {vocab_size} is not divisible by mesh_mp={mp}: "
+            "vocab projection/embedding fall back to REPLICATION (no mp "
+            "sharding, no memory saving). Set vocab_pad_to to a multiple of "
+            "mesh_mp to shard.", stacklevel=2)
 
     def place(path, leaf):
         return jax.device_put(leaf, NamedSharding(mesh, _param_spec(path, leaf,

@@ -59,6 +59,13 @@ def decode_corpus(cfg: Config, checkpoint_path: str = "",
     vocab = Vocab(os.path.join(cfg.data_dir, cfg.corpus, "glove",
                                cfg.glove_emb_file), seed=cfg.seed)
     spec = model_base.spec_from_config(cfg, vocab)
+    # wrapped-family checkpoints: the adopted mode names the workload; the
+    # decode spec must dispatch the registry model that owns the param tree
+    # (cfg.arch stays the BASE captioner, reference --arch semantics)
+    if cfg.mode == "train_rationale":
+        spec = spec.with_(arch="rationale")
+    elif cfg.mode == "train_spatial":
+        spec = spec.with_(arch="spatial")
 
     feat_type = "yolo" if cfg.mode == "train_spatial" else "cnn"
     ds = CaptionDataset(cfg.data_dir, cfg.corpus, split, vocab,
@@ -181,6 +188,7 @@ def export_reference_checkpoint(cfg: Config, checkpoint_path: str = "",
             else "spatial" if cfg.mode == "train_spatial" else cfg.arch)
     sd = export_state_dict(params, spec, arch)
     out = out_file or os.path.join(cfg.save_path, "model_export.net")
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
     blob = {
         "epoch": meta.get("epoch", 0),
         "state_dict": {k: torch.tensor(v) for k, v in sd.items()},

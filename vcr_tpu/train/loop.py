@@ -254,24 +254,61 @@ def train(cfg: Config) -> Dict[str, float]:
 
     # Graceful preemption (beyond reference: Condor could only kill + restart
     # from the last EPOCH checkpoint): SIGTERM/SIGINT set a flag; the loop
-    # saves a mid-epoch checkpoint at the next step boundary and exits
-    # cleanly, so `--resume true` continues from the exact batch.
+    # saves a mid-epoch checkpoint at the next step boundary (or exits at the
+    # epoch boundary if the signal lands during validation/checkpointing) so
+    # `--resume true` continues from the exact batch. A SECOND signal
+    # restores the previous handlers and re-raises, so an impatient Ctrl+C
+    # (or a scheduler's escalation) still kills the process immediately.
     import signal
 
     preempted = {"flag": False}
+    prev_handlers = {}
+
+    def _restore_handlers():
+        while prev_handlers:
+            sig, h = prev_handlers.popitem()
+            signal.signal(sig, h)
 
     def _on_preempt(signum, frame):
+        if preempted["flag"]:          # second signal: stop cooperating
+            _restore_handlers()
+            signal.raise_signal(signum)
+            return
         preempted["flag"] = True
 
-    prev_handlers = {}
     for sig in (signal.SIGTERM, signal.SIGINT):
         try:
             prev_handlers[sig] = signal.signal(sig, _on_preempt)
         except ValueError:  # non-main thread (tests): leave handlers alone
             pass
 
+    def _save_latest(epoch, batch_in_epoch, params, opt_state, best):
+        ckpt.save_checkpoint(
+            ckpt.latest_path(cfg.save_path), params, opt_state,
+            {"epoch": epoch, "n_iter": logger.n_iter,
+             "config": cfg.to_dict(),
+             "best_val_meteor_score": best,
+             "batch_in_epoch": batch_in_epoch})
+
     final_metrics: Dict[str, float] = {}
     timer = StepTimer()
+    try:
+        return _train_epochs(
+            cfg, start_epoch, tf_probs, train_it, val_it, vocab, log_keys,
+            logger, timer, params, opt_state, train_step, eval_step, place,
+            beam_fn, manager, best_val_meteor, skip_batches, root_key,
+            preempted, _save_latest, final_metrics)
+    finally:
+        _restore_handlers()
+
+
+def _train_epochs(cfg, start_epoch, tf_probs, train_it, val_it, vocab,
+                  log_keys, logger, timer, params, opt_state, train_step,
+                  eval_step, place, beam_fn, manager, best_val_meteor,
+                  skip_batches, root_key, preempted, _save_latest,
+                  final_metrics):
+    """Epoch loop body of train() (split out so the signal-handler install/
+    restore wraps it in one try/finally)."""
     with trace():  # XLA trace when VCR_TRACE_DIR is set (SURVEY.md §5)
         for epoch in range(start_epoch, cfg.epochs):
             logger.step()
@@ -293,6 +330,14 @@ def train(cfg: Config) -> Dict[str, float]:
                 params, opt_state, m, pred = train_step(
                     params, opt_state, batch["_device"], step_key, tf_prob)
                 batch_in_epoch += 1
+                if preempted["flag"]:
+                    logger.n_iter += 1  # this step counts (mirrors update())
+                    _save_latest(epoch, batch_in_epoch, params, opt_state,
+                                 best_val_meteor)
+                    print("====> Preemption signal: saved mid-epoch "
+                          f"checkpoint (epoch {epoch}, batch {batch_in_epoch})"
+                          " — exiting; resume with --resume true")
+                    return final_metrics
                 if cfg.ckpt_iter and (logger.n_iter + 1) % cfg.ckpt_iter == 0:
                     ckpt.save_checkpoint(
                         ckpt.latest_path(cfg.save_path), params, opt_state,
@@ -300,19 +345,6 @@ def train(cfg: Config) -> Dict[str, float]:
                          "config": cfg.to_dict(),
                          "best_val_meteor_score": best_val_meteor,
                          "batch_in_epoch": batch_in_epoch})
-                if preempted["flag"]:
-                    ckpt.save_checkpoint(
-                        ckpt.latest_path(cfg.save_path), params, opt_state,
-                        {"epoch": epoch, "n_iter": logger.n_iter + 1,
-                         "config": cfg.to_dict(),
-                         "best_val_meteor_score": best_val_meteor,
-                         "batch_in_epoch": batch_in_epoch})
-                    print("====> Preemption signal: saved mid-epoch "
-                          f"checkpoint (epoch {epoch}, batch {batch_in_epoch})"
-                          " — exiting; resume with --resume true")
-                    for sig, h in prev_handlers.items():
-                        signal.signal(sig, h)
-                    return final_metrics
                 # lazy reservoir: only the few winning rows are fetched to
                 # host, keeping the step loop free of per-batch device syncs
                 # (unlike reference train.py:151)
@@ -355,6 +387,11 @@ def train(cfg: Config) -> Dict[str, float]:
                                    best_val_meteor, is_best)
             final_metrics = val_metrics
 
-    for sig, h in prev_handlers.items():
-        signal.signal(sig, h)
+            # signal landed during validation/checkpointing: the epoch
+            # checkpoint above is already durable — exit cleanly here
+            if preempted["flag"]:
+                print(f"====> Preemption signal: epoch {epoch} checkpoint "
+                      "saved — exiting; resume with --resume true")
+                return final_metrics
+
     return final_metrics
