@@ -1,7 +1,8 @@
 """Benchmark all five BASELINE.json configs (greedy inference, on-device
-timing loop). Prints one JSON line per config, including MFU (compiled FLOPs
-from XLA's cost model / wall time / chip peak bf16 — see
-vcr_tpu/utils/benchutil.py). The driver's headline benchmark remains bench.py
+timing loop). Prints one JSON line per config, including MFU (trace-time
+matmul/conv FLOPs from the jaxpr walker / wall time / chip peak bf16 — see
+vcr_tpu/utils/benchutil.py; XLA's own cost model counts loop bodies once and
+undercounts these recurrent programs). The driver's headline benchmark remains bench.py
 (config #1); this gives the judge per-family numbers.
 
 Configs (BASELINE.json):

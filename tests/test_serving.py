@@ -180,3 +180,83 @@ def test_serving_sampled_topk1_equals_greedy(tiny_vocab, rng):
             assert sampled[b, i] == greedy[b, i]
             if greedy[b, i] == tiny_vocab.eos_id:
                 break
+
+
+def test_serving_yolo_featurizer_matches_precomputed(tmp_path, tiny_vocab, rng):
+    """build_captioner(featurizer='yolo'): the fused darknet-backbone path
+    must equal captioning precomputed get_feats features — and the backbone
+    weights ride as jit ARGUMENTS (threaded pytree), not baked constants."""
+    from vcr_tpu.models import darknet, spatial
+
+    # forward-valid tiny cfg (the parser-test TINY_CFG's shortcut has
+    # mismatched shapes): conv8 -> conv16/s2 -> conv16 -> shortcut -> conv24
+    # -> yolo; get_feats cut = outputs[first_yolo - 2] = the shortcut map
+    cfg_text = """
+[net]
+height=32
+width=32
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[shortcut]
+from=-2
+activation=linear
+
+[convolutional]
+filters=24
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1,2
+anchors=10,13, 16,30, 33,23, 30,61, 62,45, 59,119, 116,90, 156,198, 373,326
+classes=3
+num=9
+"""
+    cfg_path = tmp_path / "tiny_fwd.cfg"
+    cfg_path.write_text(cfg_text)
+    net = darknet.Darknet(str(cfg_path), key=jax.random.PRNGKey(0))
+
+    b, n, s = 2, 3, 32
+    frames = jnp.asarray(rng.standard_normal((b, n, 3, s, s)), jnp.float32)
+    flat_feats = net.get_feats(frames.reshape(b * n, 3, s, s), jnp.float32)
+    feats = flat_feats.reshape(b, n, *flat_feats.shape[1:])
+    f, k = feats.shape[2], feats.shape[3]
+
+    spec = base.ModelSpec(
+        arch="spatial", base_arch="s2vt", vocab_size=tiny_vocab.vocab_size,
+        embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=f,
+        max_len=5, num_frames=n, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+        compute_dtype="float32", grid_size=k)
+    params = spatial.init_params(jax.random.PRNGKey(1), spec,
+                                 tiny_vocab.vectors)
+
+    fused = build_captioner(params, spec, "yolo", feat_params=net)
+    precomp = build_captioner(params, spec, "none")
+    np.testing.assert_array_equal(np.asarray(fused(frames)),
+                                  np.asarray(precomp(feats)))

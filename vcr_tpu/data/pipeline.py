@@ -209,10 +209,12 @@ class BatchIterator:
     def _empty_batch(self, b):
         """All-padding batch (valid=0 everywhere) keeping multi-host epochs in
         lockstep; the masked loss/metrics are proven finite on these."""
-        if self._feat_shape is not None:
-            fshape = self._feat_shape
-        else:
-            fshape = self.ds.load_features(0).shape[1:]
+        fshape = self._feat_shape or getattr(self, "_pad_shape", None)
+        if fshape is None:
+            # probe once and cache — padded batches recur every epoch
+            # (separate from _feat_shape, which doubles as the native-loader-
+            # available flag in __iter__)
+            fshape = self._pad_shape = tuple(self.ds.load_features(0).shape[1:])
         feats = np.zeros((b, self.ds.num_frames, *fshape), np.float32)
         return self._assemble(b, feats, [], [], [], [], [])
 

@@ -13,7 +13,7 @@ and beam reordering is a gather on the state pytree — no host round trips.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,17 +41,16 @@ def beam_search(
     max_len: int,
     sos_id: int,
     eos_id: int,
-    reorder_state: Optional[Callable] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (tokens (B, K, L) int32 sorted best-first, scores (B, K)).
 
-    ``reorder_state(state, flat_src)`` gathers the surviving beams' rows; the
-    default indexes axis 0 of every leaf. Steppers whose state keeps rows on
-    another axis (transformer KV caches are layers-leading) pass their own."""
+    Beam reordering gathers axis 0 of every state leaf — every stepper in
+    this repo keeps its state rows-leading for exactly this (including the
+    transformer KV caches, rebuilt rows-leading in make_cached_stepper)."""
     k = beam_size
-    if reorder_state is None:
-        def reorder_state(state, flat_src):
-            return jax.tree_util.tree_map(lambda x: x[flat_src], state)
+
+    def reorder_state(state, flat_src):
+        return jax.tree_util.tree_map(lambda x: x[flat_src], state)
 
     words0 = jnp.full((batch * k,), sos_id, dtype=jnp.int32)
     # only beam 0 of each batch row is live at step 0 (all beams are identical

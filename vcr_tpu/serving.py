@@ -57,34 +57,45 @@ def build_captioner(params, spec: model_base.ModelSpec,
     """
     if eos_id is None:
         eos_id = spec.sos_id + 1
+    # featurize takes feat_params as an ARGUMENT (threaded through the jit
+    # below) — closing over the backbone weights would bake them into the
+    # compiled program as constants, the same minutes-of-constant-folding
+    # trap documented for the captioner params at the bottom
     if featurizer in ("vgg16", "resnet"):
         assert feat_params is not None
         extract = (vgg.extract_fc7 if featurizer == "vgg16"
                    else resnet.extract_features)
 
-        def featurize(frames):
+        def featurize(fp, frames):
             b, n = frames.shape[:2]
             flat = frames.reshape(b * n, *frames.shape[2:])
-            feats = extract(feat_params, flat, spec.cdtype)
+            feats = extract(fp, flat, spec.cdtype)
             return feats.reshape(b, n, -1)
     elif featurizer == "yolo":
+        # feat_params is a Darknet object: its cfg-derived LAYER STRUCTURE is
+        # static (closed over — it shapes the trace), but its weight pytree is
+        # threaded through the jit as fp so the weights stay arguments
         assert feat_params is not None
+        darknet_obj = feat_params
+        feat_params = darknet_obj.params
 
-        def featurize(frames):
+        def featurize(fp, frames):
             b, n = frames.shape[:2]
             flat = frames.reshape(b * n, *frames.shape[2:])
-            feats = feat_params.get_feats(flat, spec.cdtype)   # (B·N, F, K, K)
+            _, outputs, first_yolo = darknet_obj._trace(fp, flat, spec.cdtype,
+                                                        True)
+            feats = outputs[first_yolo - 2]                    # (B·N, F, K, K)
             return feats.reshape(b, n, *feats.shape[1:])
     elif featurizer == "none":
-        featurize = lambda x: x  # noqa: E731
+        featurize = lambda fp, x: x  # noqa: E731
     else:
         raise NotImplementedError(featurizer)
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def caption(params, frames_or_feats: jax.Array) -> jax.Array:
-        feats = featurize(frames_or_feats)
+    def caption(params, fp, frames_or_feats: jax.Array) -> jax.Array:
+        feats = featurize(fp, frames_or_feats)
         if sample_temperature > 0:
             # stochastic serving (decode.sample_tokens; fixed rng => the
             # returned fn stays deterministic per input, re-build with a new
@@ -134,4 +145,5 @@ def build_captioner(params, spec: model_base.ModelSpec,
     # executable (observed live: a 4096-wide transformer captioner took >8min
     # to compile through the device tunnel as constants vs ~90s as arguments).
     caption_jit = jax.jit(caption)
-    return lambda frames_or_feats: caption_jit(params, frames_or_feats)
+    return lambda frames_or_feats: caption_jit(params, feat_params,
+                                               frames_or_feats)

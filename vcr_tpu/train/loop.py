@@ -90,14 +90,21 @@ def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0,
     rnd = np.random.default_rng(seed)
     eval_key = jax.random.PRNGKey(seed)
 
+    n_seen = 0
     for batch in prefetch(_staged(val_it, place)):
+        # the step must still run on every batch (multi-host lockstep: padded
+        # batches keep the collectives in sync), but all-padding batches must
+        # not dilute the metric averages
         m, pred = eval_step(params, batch["_device"])
         if beam_fn is not None:
             tokens, _scores = beam_fn(params, batch["_device"]["vid_feats"],
-                                      jax.random.fold_in(eval_key, num_batches))
+                                      jax.random.fold_in(eval_key, n_seen))
             pred = tokens[:, 0]  # beam-best
-        m, pred = jax.device_get((m, pred))  # one bulk transfer per batch
+        n_seen += 1
         n_valid = int(batch["valid"].sum())
+        if n_valid == 0:
+            continue
+        m, pred = jax.device_get((m, pred))  # one bulk transfer per batch
         hyps = vocab.get_sents_from_indexes(np.asarray(pred)[:n_valid])
         for hyp, refs, vk in zip(hyps, batch["refs"], batch["vid_key"]):
             sampler.add((hyp, refs[rnd.integers(len(refs))], vk))
