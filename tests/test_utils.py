@@ -67,3 +67,30 @@ def test_logger_raises_on_nonfinite_loss():
     lg.update({"loss": np.float32(1.0)})
     with pytest.raises(FloatingPointError, match="non-finite"):
         lg.update({"loss": np.float32("nan")})
+
+
+def test_step_timer_stats():
+    import time
+
+    from vcr_tpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    assert t.summary() == {}  # no ticks yet
+    for _ in range(4):
+        t.tick()
+        time.sleep(0.002)
+    s = t.summary()
+    assert s["steps"] == 3  # N ticks -> N-1 intervals
+    assert s["step_ms_mean"] >= 2.0
+    assert s["step_ms_p50"] <= s["step_ms_p95"] * 1.0001
+    t.reset()
+    assert t.summary() == {}
+
+
+def test_trace_noop_without_dir(monkeypatch):
+    from vcr_tpu.utils.profiling import annotate, trace
+
+    monkeypatch.delenv("VCR_TRACE_DIR", raising=False)
+    with trace():     # no trace dir: must be a no-op, not an error
+        with annotate("span"):
+            pass
