@@ -26,9 +26,21 @@ EST_V100_REFERENCE_CAPS_PER_SEC = 3000.0
 
 
 def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vcr_tpu.utils import backend_probe
+
+    # Probe the backend in a subprocess BEFORE touching jax here: a dead axon
+    # tunnel hangs rather than errors, and round 2 lost its bench artifact to
+    # a single un-retried init failure (VERDICT.md). 3 attempts, 60s backoff.
+    ok, diag = backend_probe.ensure_backend()
+    if not ok:
+        backend_probe.emit_failure_json(
+            metric="MSVD S2VT greedy captions/sec/chip", unit="captions/s",
+            diag=diag)
+        sys.exit(1)
+
     import jax
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from vcr_tpu.models import s2vt
     from __graft_entry__ import _make_spec_and_params
 

@@ -24,10 +24,19 @@ import numpy as np
 
 
 def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vcr_tpu.utils import backend_probe
+
+    ok, diag = backend_probe.ensure_backend()
+    if not ok:
+        backend_probe.emit_failure_json(
+            metric="per-family greedy captions/sec/chip", unit="captions/s",
+            diag=diag)
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from vcr_tpu.models import base, rationale, s2vt, s2vt_att, spatial, transformer
     from vcr_tpu import decode as vdecode
     from vcr_tpu.utils import benchutil

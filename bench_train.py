@@ -119,6 +119,14 @@ def bench_family(name: str, iters: int) -> None:
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vcr_tpu.utils import backend_probe
+
+    ok, diag = backend_probe.ensure_backend()
+    if not ok:
+        backend_probe.emit_failure_json(
+            metric="train videos/sec/chip", unit="videos/s", diag=diag)
+        sys.exit(1)
+
     iters = int(os.environ.get("VCR_BENCH_ITERS", "10"))
     which = sys.argv[1] if len(sys.argv) > 1 else "s2vt"
     families = list(FAMILY_DEFAULTS) if which == "all" else [which]

@@ -12,6 +12,15 @@ the pure-JAX scan at fp32 and exits nonzero on any mismatch.
 
 import sys
 
+from vcr_tpu.utils import backend_probe
+
+# Probe before importing jax: a dead axon tunnel hangs on first device use
+# (VERDICT.md round-2 post-mortem), so fail fast with a diagnostic instead.
+_ok, _diag = backend_probe.ensure_backend()
+if not _ok:
+    print(f"TPU backend unavailable after retries: {_diag}", file=sys.stderr)
+    sys.exit(2)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
