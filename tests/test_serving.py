@@ -50,6 +50,37 @@ def test_serving_resnet_end_to_end(tiny_vocab, rng):
     assert tokens.shape == (1, spec.max_len)
 
 
+def test_serving_eos_id_vocab_validation(tiny_vocab):
+    """eos_id resolution (round-3 polish): a passed vocab supplies eos_id and
+    cross-checks sos; mismatches raise instead of silently mis-decoding."""
+    import pytest
+
+    spec = base.ModelSpec(arch="s2vt", vocab_size=tiny_vocab.vocab_size,
+                          embed_size=tiny_vocab.embed_size, hidden_size=8,
+                          vid_feat_size=12, max_len=5, num_frames=2,
+                          dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+                          compute_dtype="float32")
+    params = s2vt.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+
+    # vocab path works and agrees with an explicit matching eos_id
+    build_captioner(params, spec, "none", vocab=tiny_vocab)
+    build_captioner(params, spec, "none", vocab=tiny_vocab,
+                    eos_id=tiny_vocab.eos_id)
+
+    # explicit eos_id contradicting the vocab raises
+    with pytest.raises(ValueError, match="contradicts"):
+        build_captioner(params, spec, "none", vocab=tiny_vocab,
+                        eos_id=tiny_vocab.eos_id + 1)
+
+    # a spec whose sos doesn't match the vocab raises
+    bad_spec = base.ModelSpec(arch="s2vt", vocab_size=tiny_vocab.vocab_size,
+                              embed_size=tiny_vocab.embed_size, hidden_size=8,
+                              vid_feat_size=12, max_len=5, num_frames=2,
+                              dropout_p=0.0, sos_id=0, compute_dtype="float32")
+    with pytest.raises(ValueError, match="does not match"):
+        build_captioner(params, bad_spec, "none", vocab=tiny_vocab)
+
+
 def test_eval_only_mode(tmp_path):
     from tests.test_train_loop import tiny_config
     from tests.util_corpus import build_corpus

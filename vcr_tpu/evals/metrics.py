@@ -9,11 +9,12 @@ environment, so:
 * :func:`meteor15_single` implements the METEOR 1.5 scoring formula
   (Denkowski & Lavie 2014): exact + Porter-stem matcher stages with the
   official stage weights (1.0, 0.6), content/function-word weighting
-  (delta=0.75 over an embedded closed-class function list), and the English
-  'rank' parameters alpha=0.85 beta=0.2 gamma=0.6. Deviations from the jar,
-  all documented in PARITY.md: no WordNet-synonym/paraphrase stages (their
-  data is unavailable offline), greedy rather than beam-search alignment,
-  approximated function-word list. This is the model-selection metric
+  (delta=0.75 over an embedded closed-class function list), the English
+  'rank' parameters alpha=0.85 beta=0.2 gamma=0.6, and the jar's
+  chunk-minimizing beam-search alignment (width 40). Deviations from the
+  jar, all documented in PARITY.md: no WordNet-synonym/paraphrase stages
+  (their data is unavailable offline) and an approximated function-word
+  list. This is the model-selection metric
   (:func:`batch_meteor`), used per-sample / max-over-refs / batch-averaged
   exactly like the reference (train_utils.py:97-111).
 * :func:`meteor_score` is the simpler METEOR-1.0-parameter scorer
@@ -50,11 +51,71 @@ def tokenize(text: str) -> List[str]:
 
 # ---------------------------------------------------------------- METEOR
 
+# Meteor 1.5's Aligner.java beam width (the jar's default). At caption
+# lengths (<=30 tokens) this is effectively an exhaustive search.
+_ALIGN_BEAM_SIZE = 40
+
+
+def _candidate_matches(hyp: List[str], ref: List[str]) -> List[List[Tuple[int, int]]]:
+    """Per hyp index, every (ref_idx, stage) candidate. Stage 0 = exact,
+    stage 1 = Porter stem; a pair matching under both keeps the
+    higher-priority (lower-numbered) stage, as the jar's matchers do."""
+    h_stem = [_stem(w) for w in hyp]
+    r_stem = [_stem(w) for w in ref]
+    cands: List[List[Tuple[int, int]]] = []
+    for i, hw in enumerate(hyp):
+        row = []
+        for j, rw in enumerate(ref):
+            if hw == rw:
+                row.append((j, 0))
+            elif h_stem[i] == r_stem[j]:
+                row.append((j, 1))
+        cands.append(row)
+    return cands
+
+
 def _align_pairs(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, int]]:
-    """Greedy two-stage alignment. Returns [(hyp_idx, ref_idx, stage)] with
-    stage 0 = exact, stage 1 = stem. First-come greedy matching per stage (as
-    in nltk's METEOR); the official jar instead beam-searches the alignment
-    that minimizes chunks — a documented deviation (PARITY.md)."""
+    """Meteor-1.5-faithful alignment (reference scoring jar semantics, see
+    /root/reference/train_utils.py:97-111 which is scored by that jar).
+
+    Beam search (width 40, the jar Aligner's default) over one-to-one match
+    sets, preferring in order: (1) most words matched, (2) fewest chunks,
+    (3) smallest total match distance sum|i - j|, (4) highest-priority match
+    stages (exact over stem). Unlike greedy first-come matching (nltk's
+    METEOR, and this scorer's pre-round-3 behavior — kept as
+    :func:`_align_pairs_greedy` for delta measurement), this finds the
+    chunk-minimizing alignment that feeds the fragmentation penalty.
+    Returns [(hyp_idx, ref_idx, stage)].
+    """
+    cands = _candidate_matches(hyp, ref)
+    if not any(cands):
+        return []
+
+    # Partial-alignment state, extended one hypothesis position at a time
+    # (matches are therefore appended in increasing hyp order, so a chunk
+    # continues iff the previous pair is exactly (i-1, j-1)):
+    #   (used_ref_bitmask, pairs, last_pair, matches, chunks, dist, stage_sum)
+    beam = [(0, (), None, 0, 0, 0, 0)]
+    for i in range(len(hyp)):
+        nxt = []
+        for used, pairs, last, mt, ch, dist, ss in beam:
+            nxt.append((used, pairs, last, mt, ch, dist, ss))  # leave i unmatched
+            for j, st in cands[i]:
+                if used >> j & 1:
+                    continue
+                cont = last == (i - 1, j - 1)
+                nxt.append((used | (1 << j), pairs + ((i, j, st),), (i, j),
+                            mt + 1, ch + (0 if cont else 1),
+                            dist + abs(i - j), ss + st))
+        nxt.sort(key=lambda s: (-s[3], s[4], s[5], s[6]))
+        beam = nxt[:_ALIGN_BEAM_SIZE]
+    return list(beam[0][1])
+
+
+def _align_pairs_greedy(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, int]]:
+    """First-come greedy two-stage matching (nltk-METEOR style). Superseded by
+    the chunk-minimizing :func:`_align_pairs`; kept to measure greedy-vs-jar
+    score deltas (tests/test_metrics.py) and for comparison studies."""
     h_idx = list(range(len(hyp)))
     r_idx = list(range(len(ref)))
     pairs: List[Tuple[int, int, int]] = []
@@ -97,7 +158,7 @@ def _chunks(pairs: List[Tuple[int, int, int]]) -> int:
 
 
 def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
-    """Greedy two-stage alignment (exact, then stem). Returns (matches, chunks)."""
+    """Two-stage alignment (exact, then stem). Returns (matches, chunks)."""
     pairs = _align_pairs(hyp, ref)
     return len(pairs), _chunks(pairs)
 

@@ -27,7 +27,8 @@ def build_captioner(params, spec: model_base.ModelSpec,
                     beam_size: int = 1,
                     eos_id: int | None = None,
                     sample_temperature: float = 0.0,
-                    sample_top_k: int = 0) -> Callable:
+                    sample_top_k: int = 0,
+                    vocab=None) -> Callable:
     """-> fn(frames (B, N, 3, S, S) normalized) -> tokens (B, L) int32.
     The returned fn is ALREADY jitted (params passed as a jit argument — see
     the note at the bottom); do not wrap it in jax.jit again or the weights
@@ -50,11 +51,24 @@ def build_captioner(params, spec: model_base.ModelSpec,
     beam_size > 1 switches every family to beam search and returns each
     item's best beam (the transformer uses its KV-cached fast beam,
     decode.transformer_beam_decode_fast); sample_temperature > 0 switches to
-    temperature/top-k sampling (decode.sample_tokens) instead. ``eos_id`` defaults to
-    ``spec.sos_id + 1`` — the vocab layout appends the specials in the order
-    <sos> <eos> <pad> <unk> (vocab.SPECIAL_TOKENS); pass it explicitly for a
-    non-standard vocabulary.
+    temperature/top-k sampling (decode.sample_tokens) instead.
+
+    ``eos_id`` resolution: pass ``vocab`` (a vcr_tpu.vocab.Vocab) and its
+    ``eos_id`` is used and cross-checked against ``spec.sos_id``; or pass
+    ``eos_id`` explicitly; or (neither) it defaults to ``spec.sos_id + 1``,
+    which is only correct for this repo's standard special layout
+    <sos> <eos> <pad> <unk> (vocab.SPECIAL_TOKENS) — a silent wrong-decode
+    trap for nonstandard vocabularies, hence the vocab path.
     """
+    if vocab is not None:
+        if vocab.sos_id != spec.sos_id:
+            raise ValueError(
+                f"vocab.sos_id={vocab.sos_id} != spec.sos_id={spec.sos_id}: "
+                "this vocab does not match the model spec")
+        if eos_id is not None and eos_id != vocab.eos_id:
+            raise ValueError(
+                f"explicit eos_id={eos_id} contradicts vocab.eos_id={vocab.eos_id}")
+        eos_id = vocab.eos_id
     if eos_id is None:
         eos_id = spec.sos_id + 1
     # featurize takes feat_params as an ARGUMENT (threaded through the jit

@@ -83,10 +83,13 @@ class Vocab:
         return " ".join(out)
 
     def get_sents_from_indexes(self, indexes: np.ndarray) -> List[str]:
+        """Always a list of sentences: a 1-D input is one sentence and comes
+        back as a one-element list (a bare str here would be iterated
+        character-by-character by callers trusting the annotation)."""
         indexes = np.asarray(indexes)
         assert indexes.ndim < 3
         if indexes.ndim == 1:
-            return self.get_sent_from_index(indexes)  # type: ignore[return-value]
+            return [self.get_sent_from_index(indexes)]
         return [self.get_sent_from_index(row) for row in indexes]
 
     # -- encoding used by the data pipeline (reference dataset.py:65-71) --
