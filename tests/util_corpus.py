@@ -20,7 +20,11 @@ WORDS = sorted({w for s in SENTS for w in s.split()})
 
 def build_corpus(root: str, corpus: str = "msvd_vgg", num_videos: int = 6,
                  num_frames: int = 4, feat_dim: int = 12, glove_dim: int = 16,
-                 feat_type: str = "cnn", grid: int = 4, seed: int = 0) -> str:
+                 feat_type: str = "cnn", grid: int = 4, seed: int = 0,
+                 captions_per_video: int = 2) -> str:
+    # captions_per_video=1 makes per-sample caption choice (reference
+    # dataset.py:80 random.choice) deterministic — required by the whole-run
+    # equivalence harness (scripts/run_equivalence.py).
     rng = np.random.default_rng(seed)
     cdir = os.path.join(root, corpus)
     os.makedirs(os.path.join(cdir, "glove"), exist_ok=True)
@@ -38,7 +42,8 @@ def build_corpus(root: str, corpus: str = "msvd_vgg", num_videos: int = 6,
         samples = []
         for i in range(n):
             vid = f"{split}_vid{i}"
-            caps = [{"desc": SENTS[(i + j) % len(SENTS)]} for j in range(2)]
+            caps = [{"desc": SENTS[(i + j) % len(SENTS)]}
+                    for j in range(captions_per_video)]
             samples.append({key_field: vid, "captions": caps})
             if feat_type == "cnn":
                 feats = rng.standard_normal((num_frames, feat_dim)).astype(np.float32)
