@@ -1,0 +1,114 @@
+"""True multi-PROCESS data-parallel training (VERDICT r2 "Next round" #4).
+
+Everything multi-host in the framework (mesh.shard_batch's
+make_array_from_process_local_data branch, BatchIterator's strided shards +
+lockstep padding, the eval-time allgather of token ids, process-0 checkpoint
+writes) is exercised here for real: two OS processes, each with 4 virtual CPU
+devices, joined by jax.distributed.initialize into one 8-device dp mesh — the
+same multi-controller topology as a 2-host TPU pod slice, minus the ICI.
+
+Equality argument vs the single-process comparison run: the shuffled order is
+one seeded permutation; shard p takes order[p::2], so the union of the two
+shards' batch k equals the single-process (2x bsize) batch k as a SET, and the
+masked per-sample-mean loss plus its gradient are permutation-invariant within
+a batch. One caption per video makes caption choice deterministic. Both runs
+therefore produce the same update sequence up to fp reduction order.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = """
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+pid, port, tmp = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, os.path.join({repo!r}, "tests"))
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="localhost:" + port,
+                           num_processes=2, process_id=pid)
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+from test_train_loop import tiny_config
+from vcr_tpu.train.loop import train
+
+cfg = tiny_config(tmp, epochs=2, dropout_p=0.0, bsize=4, nworkers=0,
+                  mesh_dp=8, mesh_mp=1, vocab_pad_to=8,
+                  save_path=os.path.join(tmp, "mp_models"))
+m = train(cfg)
+print("MPRESULT", json.dumps({{k: float(v) for k, v in m.items()}}))
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    from tests.test_train_loop import tiny_config
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    build_corpus(os.path.join(tmp, "data"), num_videos=12,
+                 captions_per_video=1)
+
+    # single-process comparison: same global batch (2 procs x bsize 4), same
+    # 8-device dp mesh (the in-process suite already has 8 virtual devices)
+    ref = train(tiny_config(tmp, epochs=2, dropout_p=0.0, bsize=8, nworkers=0,
+                            mesh_dp=8, mesh_mp=1, vocab_pad_to=8,
+                            save_path=os.path.join(tmp, "sp_models")))
+
+    worker = os.path.join(tmp, "mp_worker.py")
+    with open(worker, "w") as f:
+        f.write(WORKER.format(repo=REPO))
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen([sys.executable, worker, str(i), port, tmp],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+
+    results = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("MPRESULT ")]
+        assert lines, f"no MPRESULT in worker output:\n{out[-4000:]}"
+        results.append(json.loads(lines[-1][len("MPRESULT "):]))
+
+    # both processes computed identical GLOBAL metrics (loss from the jitted
+    # step over the global batch; METEOR/BLEU/CIDEr from the allgathered
+    # global hyp set)
+    for k in results[0]:
+        assert results[0][k] == pytest.approx(results[1][k], abs=1e-12), k
+
+    # and they match the single-process run to fp-reduction tolerance
+    assert results[0]["loss"] == pytest.approx(ref["loss"], abs=1e-4)
+    assert results[0]["acc"] == pytest.approx(ref["acc"], abs=1e-4)
+    assert results[0]["METEOR"] == pytest.approx(ref["METEOR"], abs=1e-3)
+
+    # process-0-only checkpoint write: latest + best exist exactly once
+    assert os.path.exists(os.path.join(tmp, "mp_models", "model_latest",
+                                       "meta.json"))
+    assert os.path.exists(os.path.join(tmp, "mp_models", "model_best",
+                                       "meta.json"))

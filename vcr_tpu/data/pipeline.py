@@ -144,8 +144,11 @@ class BatchIterator:
         self.epoch = 0
         self.skip_next = 0  # mid-epoch resume: batches to skip, consumed once
         self.drop_remainder = drop_remainder
-        self.num_threads = num_threads
-        self._pool = ThreadPoolExecutor(max_workers=num_threads)
+        # num_threads<=0 = fully synchronous loading (reference --nworkers 0,
+        # DataLoader num_workers=0); a 1-thread pool keeps the code path
+        # uniform while serializing loads.
+        self.num_threads = max(1, num_threads)
+        self._pool = ThreadPoolExecutor(max_workers=self.num_threads)
         self._feat_shape = None
         self.use_native = use_native
         if use_native:
@@ -230,19 +233,25 @@ class BatchIterator:
             keys.append(self.ds.captions[int(idx)][self.ds.key_field])
         return sents, lens, raws, refs, keys
 
-    def _assemble(self, b, feats, sents, lens, raws, refs, keys):
+    def _assemble(self, b, feats, sents, lens, raws, refs, keys, idxs=()):
         n = len(sents)
         batch = {
             "vid_feats": feats,
             "sent": np.zeros((b, self.ds.max_len), np.int32),
             "sent_len": np.zeros((b,), np.int32),
             "valid": np.zeros((b,), np.float32),
+            # host-side dataset index per row (-1 = padding): lets multi-host
+            # eval reconstruct any process's references locally after an
+            # allgather of token ids (train/loop.py _gather_global_rows)
+            "sample_idx": np.full((b,), -1, np.int32),
             "refs": refs, "vid_key": keys, "sent_raw": raws,
         }
         for j in range(n):
             batch["sent"][j] = sents[j]
             batch["sent_len"][j] = lens[j]
             batch["valid"][j] = 1.0
+        for j, idx in enumerate(idxs):
+            batch["sample_idx"][j] = int(idx)
         return batch
 
     def _native_batch(self, idxs, cap_choices, b):
@@ -262,7 +271,7 @@ class BatchIterator:
             pad = np.zeros((b - len(idxs), *feats.shape[1:]), np.float32)
             feats = np.concatenate([feats, pad], axis=0)
         sents, lens, raws, refs, keys = self._text_fields(idxs, cap_choices)
-        return self._assemble(b, feats, sents, lens, raws, refs, keys)
+        return self._assemble(b, feats, sents, lens, raws, refs, keys, idxs)
 
     def _python_batch(self, idxs, cap_choices, b):
         items = list(self._pool.map(
@@ -275,4 +284,4 @@ class BatchIterator:
             b, feats,
             [it["sent"] for it in items], [it["sent_len"] for it in items],
             [it["sent_raw"] for it in items], [it["refs"] for it in items],
-            [it["vid_key"] for it in items])
+            [it["vid_key"] for it in items], idxs)

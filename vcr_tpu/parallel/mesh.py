@@ -86,6 +86,35 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def local_rows(garr) -> np.ndarray:
+    """This process's rows of a leading-axis (dp-)sharded global array, in
+    global row order. Pure host-side shard reads — no collective, safe to call
+    from any thread. With mp>1 each row block is replicated across mp shards;
+    duplicates are dropped. On a fully-addressable array this returns the
+    whole array (single-process: identity up to a copy)."""
+    shards = sorted(((s.index[0].start or 0, s.data)
+                     for s in garr.addressable_shards), key=lambda t: t[0])
+    rows, seen = [], set()
+    for start, data in shards:
+        if start in seen:  # mp replica of the same row block
+            continue
+        seen.add(start)
+        rows.append(np.asarray(data))
+    return np.concatenate(rows, axis=0)
+
+
+def gather_global_rows(local: np.ndarray) -> np.ndarray:
+    """Concatenate each process's ``local`` rows into the full global array
+    (process-order blocks), returned on host to EVERY process. Collective —
+    all processes must call in lockstep with identically-shaped inputs.
+    Single-process: identity."""
+    if jax.process_count() == 1:
+        return np.asarray(local)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(local, tiled=True))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Shard array fields over dp on the leading (batch) axis.
 

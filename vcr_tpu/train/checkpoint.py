@@ -42,18 +42,65 @@ def save_checkpoint(path: str, params, opt_state, meta: Dict[str, Any]) -> None:
     or old preserved under ``.old`` (which load/resume fall back to)."""
     path = os.path.abspath(path)
     tmp, old = path + ".tmp", path + ".old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(_tree_path(tmp), {"params": params, "opt_state": opt_state},
-                   force=True)
-    with open(_meta_path(tmp), "w") as f:
-        json.dump(meta, f, indent=2, default=str)
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+
+    # Multi-host: every process calls this in lockstep (the train loop's
+    # save sites are unconditional). Leaves sharded ACROSS processes are
+    # allgathered to full host values; then only process 0 touches the
+    # filesystem, with a device barrier so no peer proceeds (e.g. into a
+    # resume-read) before the swap is durable.
+    import jax
+
+    multihost = jax.process_count() > 1
+    if multihost:
+        tree = _host_tree({"params": params, "opt_state": opt_state})
+    else:
+        tree = {"params": params, "opt_state": opt_state}
+    if not multihost or jax.process_index() == 0:
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        # active_processes={0}: the tree is already full host numpy, so
+        # process 0 writes alone and orbax's internal barriers must not wait
+        # on the peers (they are parked at the sync below, not in orbax).
+        kw = {}
+        if multihost:
+            from orbax.checkpoint.options import MultiprocessingOptions
+
+            kw["multiprocessing_options"] = MultiprocessingOptions(
+                primary_host=0, active_processes={0})
+        with ocp.StandardCheckpointer(**kw) as ckptr:
+            ckptr.save(_tree_path(tmp), tree, force=True)
+        with open(_meta_path(tmp), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    if multihost:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("vcr_ckpt:" + os.path.basename(path))
+
+
+def _host_tree(tree):
+    """Materialize every leaf as a full host numpy array. Cross-process
+    sharded leaves (not fully addressable) are reassembled with an allgather
+    — a collective, so all processes must walk the identical tree."""
+    import jax
+    import numpy as np
+
+    def conv(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.is_fully_replicated:
+                # replicated over the global mesh: any local replica IS the
+                # full value — no collective needed
+                return np.asarray(next(iter(x.addressable_shards)).data)
+            from jax.experimental import multihost_utils
+
+            x = multihost_utils.process_allgather(x, tiled=True)
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(conv, tree)
 
 
 def _complete(path: str) -> bool:

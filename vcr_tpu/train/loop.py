@@ -71,6 +71,31 @@ def _staged(it, place=None):
         yield batch
 
 
+def _gather_global_rows(pred, batch, ds, vocab):
+    """Multi-host eval gather: returns (hyps, refs, vid_keys) for every VALID
+    row of the global batch, identical on every process.
+
+    Token ids travel through an allgather; references never need to — each
+    row's ``sample_idx`` (vcr_tpu/data/pipeline.py batch field) is gathered
+    alongside and resolved against the local captions metadata, which every
+    host loads from the same file. Collective: all processes call per batch
+    (the data pipeline's lockstep padding guarantees equal batch counts)."""
+    from vcr_tpu.parallel.mesh import gather_global_rows, local_rows
+
+    toks = gather_global_rows(local_rows(pred))          # (nproc*b, L)
+    idxs = gather_global_rows(np.asarray(batch["sample_idx"], np.int32))
+    valid = idxs >= 0
+    if not valid.any():
+        return [], [], []
+    hyps = vocab.get_sents_from_indexes(toks[valid])
+    refs, keys = [], []
+    for i in idxs[valid]:
+        caps = ds.captions[int(i)]
+        refs.append([" ".join(c["desc"]).lower() for c in caps["captions"]])
+        keys.append(caps[ds.key_field])
+    return hyps, refs, keys
+
+
 def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0,
              place=None, beam_fn=None):
     """Validation pass (reference train.py:46-76): per-batch metrics averaged
@@ -101,16 +126,33 @@ def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0,
                                       jax.random.fold_in(eval_key, n_seen))
             pred = tokens[:, 0]  # beam-best
         n_seen += 1
-        n_valid = int(batch["valid"].sum())
-        if n_valid == 0:
-            continue
-        m, pred = jax.device_get((m, pred))  # one bulk transfer per batch
-        hyps = vocab.get_sents_from_indexes(np.asarray(pred)[:n_valid])
-        for hyp, refs, vk in zip(hyps, batch["refs"], batch["vid_key"]):
+        if jax.process_count() > 1:
+            # multi-host: pred is a GLOBAL dp-sharded array — this process
+            # can only read its own rows. Allgather every process's token ids
+            # + dataset indexes, then rebuild the other shards' references
+            # locally from the captions file (every host has it). All
+            # processes end with the identical global hyp/ref set, so the
+            # corpus metrics — and therefore the is_best checkpoint decision
+            # — agree across hosts. Skipping this batch must also be a
+            # global decision, hence the gather happens before the
+            # valid-count check.
+            hyps, refs_b, keys_b = _gather_global_rows(pred, batch, val_it.ds,
+                                                       vocab)
+            if not hyps:
+                continue
+            m = jax.device_get(m)
+        else:
+            n_valid = int(batch["valid"].sum())
+            if n_valid == 0:
+                continue
+            m, pred = jax.device_get((m, pred))  # one bulk transfer per batch
+            hyps = vocab.get_sents_from_indexes(np.asarray(pred)[:n_valid])
+            refs_b, keys_b = batch["refs"], batch["vid_key"]
+        for hyp, refs, vk in zip(hyps, refs_b, keys_b):
             sampler.add((hyp, refs[rnd.integers(len(refs))], vk))
-        meteor_sum += qmetrics.batch_meteor(hyps, batch["refs"])
+        meteor_sum += qmetrics.batch_meteor(hyps, refs_b)
         all_hyps.extend(hyps)
-        all_refs.extend(batch["refs"])
+        all_refs.extend(refs_b)
         for k in log_keys:
             sums[k] += float(np.asarray(m[k]))
         num_batches += 1
@@ -202,7 +244,11 @@ def train(cfg: Config) -> Dict[str, float]:
         from vcr_tpu.parallel import make_mesh, shard_params
 
         mesh = make_mesh(cfg.mesh_dp, cfg.mesh_mp)
-        assert cfg.bsize % cfg.mesh_dp == 0, "bsize must divide mesh_dp"
+        # global batch = per-process bsize x process_count (multi-host data
+        # parallelism: each host contributes its own rows, mesh.shard_batch)
+        global_bsize = cfg.bsize * jax.process_count()
+        assert global_bsize % cfg.mesh_dp == 0, \
+            f"global bsize {global_bsize} must divide mesh_dp {cfg.mesh_dp}"
         params = shard_params(params, mesh, spec.padded_vocab_size)
 
     optimizer = optim.build_optimizer(cfg.optim, cfg.lr, cfg.wd, cfg.max_norm,
@@ -354,12 +400,23 @@ def _train_epochs(cfg, start_epoch, tf_probs, train_it, val_it, vocab,
                          "batch_in_epoch": batch_in_epoch})
                 # lazy reservoir: only the few winning rows are fetched to
                 # host, keeping the step loop free of per-batch device syncs
-                # (unlike reference train.py:151)
+                # (unlike reference train.py:151). Multi-host: pred is global
+                # and only this process's rows are addressable — read the
+                # local block (aligned with this process's refs/vid_key) via
+                # shard extraction, no collective.
+                pred_local = None
                 for j, (refs, vk) in enumerate(zip(batch["refs"],
                                                    batch["vid_key"])):
                     key = sampler.draw_key()
                     if sampler.would_accept(key):
-                        hyp = vocab.get_sent_from_index(np.asarray(pred[j]))
+                        if pred_local is None:
+                            if jax.process_count() > 1:
+                                from vcr_tpu.parallel.mesh import local_rows
+                                pred_local = local_rows(pred)
+                            else:
+                                pred_local = pred
+                        hyp = vocab.get_sent_from_index(
+                            np.asarray(pred_local[j]))
                         sampler.add_with_key(
                             key, (hyp, refs[rnd.integers(len(refs))], vk))
                 logger.update(m)
