@@ -104,3 +104,23 @@ def test_transformer_fast_beam1_equals_fast_greedy(tiny_vocab, rng):
     _, s3 = transformer_beam_decode_fast(params, spec, vid, 3,
                                          tiny_vocab.eos_id)
     assert np.all(np.asarray(s3)[:, 0] >= np.asarray(scores)[:, 0] - 1e-5)
+
+def test_lineage_beam_equals_gather_beam(tiny_vocab, rng):
+    """The gather-free lineage beam (ancestry-indexed attention reads, caches
+    never physically reordered) must produce the SAME tokens as the
+    reorder-by-gather beam: the lineage contraction adds exact zeros to the
+    same fp32 score dot products, so only the context reduction order can
+    differ (float-level), never the selected beams."""
+    from vcr_tpu.decode import transformer_beam_decode_fast
+
+    for seed in (0, 1, 2):
+        spec = _spec(tiny_vocab, max_len=8)
+        params = tr.init_params(jax.random.PRNGKey(seed), spec,
+                                tiny_vocab.vectors)
+        vid = jnp.asarray(rng.standard_normal((4, 4, 12)), dtype=jnp.float32)
+        t0, s0 = transformer_beam_decode_fast(params, spec, vid, 4,
+                                              tiny_vocab.eos_id, lineage=False)
+        t1, s1 = transformer_beam_decode_fast(params, spec, vid, 4,
+                                              tiny_vocab.eos_id, lineage=True)
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-5)

@@ -41,15 +41,22 @@ def beam_search(
     max_len: int,
     sos_id: int,
     eos_id: int,
+    reorder_fn: Callable = None,   # (state, flat_src) -> state
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (tokens (B, K, L) int32 sorted best-first, scores (B, K)).
 
     Beam reordering gathers axis 0 of every state leaf — every stepper in
     this repo keeps its state rows-leading for exactly this (including the
-    transformer KV caches, rebuilt rows-leading in make_cached_stepper)."""
+    transformer KV caches, rebuilt rows-leading in make_cached_stepper).
+    A stepper may override with ``reorder_fn`` when part of its state must
+    NOT be physically permuted — the lineage transformer stepper only
+    re-indexes its tiny ancestry matrix and leaves the KV caches in place
+    (transformer.make_cached_stepper(lineage=True))."""
     k = beam_size
 
     def reorder_state(state, flat_src):
+        if reorder_fn is not None:
+            return reorder_fn(state, flat_src)
         return jax.tree_util.tree_map(lambda x: x[flat_src], state)
 
     words0 = jnp.full((batch * k,), sos_id, dtype=jnp.int32)
@@ -353,14 +360,21 @@ def transformer_beam_decode(params, spec: model_base.ModelSpec,
 
 def transformer_beam_decode_fast(params, spec: model_base.ModelSpec,
                                  vid_feats: jax.Array, beam_size: int,
-                                 eos_id: int) -> Tuple[jax.Array, jax.Array]:
+                                 eos_id: int, lineage: bool = True
+                                 ) -> Tuple[jax.Array, jax.Array]:
     """KV-cached beam decode — the SERVING beam path, ~L× fewer decoder FLOPs
     per step than transformer_beam_decode. Beams fold into the batch axis and
-    the per-row self-attention caches ride in the search state, so beam
-    reordering gathers them (transformer.make_cached_stepper keeps caches
-    rows-leading for exactly this). Same documented PE-scale deviation as
-    decode_greedy_fast: each token keeps the sqrt(i+1) scale from its emission
-    step. beam_size=1 reproduces decode_greedy_fast token-for-token."""
+    the per-row self-attention caches ride in the search state. Same
+    documented PE-scale deviation as decode_greedy_fast: each token keeps the
+    sqrt(i+1) scale from its emission step. beam_size=1 reproduces
+    decode_greedy_fast token-for-token.
+
+    lineage=True (default): gather-free beam — caches are written once and
+    never physically permuted; beam reordering re-indexes a (rows, L)
+    ancestry matrix that self-attention reads through (see
+    transformer.make_cached_stepper). Scores match the physical-reorder
+    path bit-for-bit; the context reduction order differs at float level.
+    lineage=False keeps the original reorder-by-gather state machine."""
     from vcr_tpu.models import transformer as tr
 
     src_mask = tr.create_masks_inp(vid_feats)
@@ -370,10 +384,15 @@ def transformer_beam_decode_fast(params, spec: model_base.ModelSpec,
     # Untiled e_outputs: the stepper projects cross K/V once per video and
     # repeats per beam afterwards (beam_size× fewer 4096-wide matmuls). Its
     # per-layer cache leaves are rows-leading, so the default reorder works.
-    step_fn, init_state = tr.make_cached_stepper(params, spec, e_outputs,
-                                                 beam_tile=beam_size)
+    if lineage:
+        step_fn, init_state, reorder_fn = tr.make_cached_stepper(
+            params, spec, e_outputs, beam_tile=beam_size, lineage=True)
+    else:
+        step_fn, init_state = tr.make_cached_stepper(params, spec, e_outputs,
+                                                     beam_tile=beam_size)
+        reorder_fn = None
     return beam_search(step_fn, init_state, b, beam_size, spec.max_len,
-                       spec.sos_id, eos_id)
+                       spec.sos_id, eos_id, reorder_fn=reorder_fn)
 
 
 def transformer_sample_decode(params, spec: model_base.ModelSpec,
