@@ -21,6 +21,7 @@ import socket
 import subprocess
 import sys
 
+import jax
 import numpy as np
 import pytest
 
@@ -31,6 +32,7 @@ import os, sys, json
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 pid, port, tmp = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+dp, mp = int(sys.argv[4]), int(sys.argv[5])
 sys.path.insert(0, {repo!r})
 sys.path.insert(0, os.path.join({repo!r}, "tests"))
 import jax
@@ -42,8 +44,8 @@ from test_train_loop import tiny_config
 from vcr_tpu.train.loop import train
 
 cfg = tiny_config(tmp, epochs=2, dropout_p=0.0, bsize=4, nworkers=0,
-                  mesh_dp=8, mesh_mp=1, vocab_pad_to=8,
-                  save_path=os.path.join(tmp, "mp_models"))
+                  mesh_dp=dp, mesh_mp=mp, vocab_pad_to=8,
+                  save_path=os.path.join(tmp, "mp_models_%dx%d" % (dp, mp)))
 m = train(cfg)
 print("MPRESULT", json.dumps({{k: float(v) for k, v in m.items()}}))
 """
@@ -55,7 +57,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_training_matches_single_process(tmp_path):
+@pytest.mark.parametrize("dp,mp", [(8, 1), (4, 2)])
+def test_two_process_training_matches_single_process(tmp_path, dp, mp):
+    """dp=8: pure data parallel. dp=4,mp=2: the vocab projection/embedding
+    shard ACROSS the two processes — exercising global device_put of
+    cross-host-sharded params and the checkpoint save's allgather of
+    non-addressable leaves."""
     from tests.test_train_loop import tiny_config
     from tests.util_corpus import build_corpus
     from vcr_tpu.train.loop import train
@@ -65,9 +72,9 @@ def test_two_process_training_matches_single_process(tmp_path):
                  captions_per_video=1)
 
     # single-process comparison: same global batch (2 procs x bsize 4), same
-    # 8-device dp mesh (the in-process suite already has 8 virtual devices)
+    # 8-device mesh (the in-process suite already has 8 virtual devices)
     ref = train(tiny_config(tmp, epochs=2, dropout_p=0.0, bsize=8, nworkers=0,
-                            mesh_dp=8, mesh_mp=1, vocab_pad_to=8,
+                            mesh_dp=dp, mesh_mp=mp, vocab_pad_to=8,
                             save_path=os.path.join(tmp, "sp_models")))
 
     worker = os.path.join(tmp, "mp_worker.py")
@@ -76,7 +83,8 @@ def test_two_process_training_matches_single_process(tmp_path):
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["JAX_PLATFORMS"] = "cpu"
-    procs = [subprocess.Popen([sys.executable, worker, str(i), port, tmp],
+    procs = [subprocess.Popen([sys.executable, worker, str(i), port, tmp,
+                               str(dp), str(mp)],
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                               text=True, env=env) for i in range(2)]
     outs = []
@@ -107,8 +115,23 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert results[0]["acc"] == pytest.approx(ref["acc"], abs=1e-4)
     assert results[0]["METEOR"] == pytest.approx(ref["METEOR"], abs=1e-3)
 
-    # process-0-only checkpoint write: latest + best exist exactly once
-    assert os.path.exists(os.path.join(tmp, "mp_models", "model_latest",
-                                       "meta.json"))
-    assert os.path.exists(os.path.join(tmp, "mp_models", "model_best",
-                                       "meta.json"))
+    # process-0-only checkpoint write: latest + best exist exactly once, and
+    # (mp=2) sharded-leaf allgather produced a full-value checkpoint that
+    # loads standalone
+    mp_models = os.path.join(tmp, f"mp_models_{dp}x{mp}")
+    assert os.path.exists(os.path.join(mp_models, "model_latest", "meta.json"))
+    assert os.path.exists(os.path.join(mp_models, "model_best", "meta.json"))
+    from vcr_tpu.train import checkpoint as ckpt
+
+    params_mp, _, _ = ckpt.load_checkpoint(os.path.join(mp_models, "model_best"))
+    params_sp, _, _ = ckpt.load_checkpoint(os.path.join(tmp, "sp_models",
+                                                        "model_best"))
+    flat_mp = jax.tree_util.tree_leaves_with_path(params_mp)
+    flat_sp = dict(jax.tree_util.tree_leaves_with_path(params_sp))
+    assert flat_mp and len(flat_mp) == len(flat_sp)
+    for path, leaf in flat_mp:
+        ref_leaf = flat_sp[path]
+        assert leaf.shape == ref_leaf.shape, path
+        np.testing.assert_allclose(np.asarray(leaf, np.float32),
+                                   np.asarray(ref_leaf, np.float32),
+                                   atol=5e-4, err_msg=str(path))
