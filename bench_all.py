@@ -130,8 +130,19 @@ def main() -> None:
             params, tr_spec, xi, beam_size=5, eos_id=eos_id)
         return tokens.astype(jnp.float32)
 
-    time_fn("Transformer fast beam-5 (KV-cache)", tr_fast_beam,
+    time_fn("Transformer fast beam-5 (KV-cache, lineage)", tr_fast_beam,
             tr_params, tr_x[:beam_batch], beam_batch)
+
+    # A/B: the original physically-reordering beam (VERDICT r2 #5 baseline).
+    # The lineage path above never gathers the KV caches; this row quantifies
+    # what that removal buys on-chip.
+    def tr_fast_beam_gather(params, xi):
+        tokens, _ = vdecode.transformer_beam_decode_fast(
+            params, tr_spec, xi, beam_size=5, eos_id=eos_id, lineage=False)
+        return tokens.astype(jnp.float32)
+
+    time_fn("Transformer fast beam-5 (KV-cache, gather reorder)",
+            tr_fast_beam_gather, tr_params, tr_x[:beam_batch], beam_batch)
 
     def tr_parity_beam(params, xi):
         tokens, _ = vdecode.transformer_beam_decode(

@@ -135,6 +135,11 @@ glove_loader = GloveLoader(os.path.join(opts.data_dir, opts.corpus, "glove",
                                         opts.glove_emb_file))
 
 def build_model():
+    if opts.mode == "train_spatial":
+        # SpatialNet wraps the base captioner (train_spatial.py:89)
+        from model.SpatialNet import SpatialNet
+        return SpatialNet(glove_loader, opts.dropout_p, opts.hidden_size,
+                          opts.vid_feat_size, opts.max_len, opts.arch)
     if opts.arch == "s2vt":
         from model.S2VTModel import S2VTModel
         return S2VTModel(glove_loader, opts.dropout_p, opts.hidden_size,
@@ -165,8 +170,12 @@ torch.save({{"epoch": -1, "state_dict": model.state_dict(), "optimizer": {{}},
 # driver.py's --mode train path is exactly set_random_seeds(opts.seed) then
 # train(opts) (driver.py:19-20,40-41) — but importing driver pulls the feature
 # -extraction modules (skimage/cv2, absent offline), so call train() directly.
+# train_spatial follows the same driver pattern (driver.py train_spatial).
 set_random_seeds(opts.seed)
-from train import train
+if opts.mode == "train_spatial":
+    from train_spatial import train_spatial as train
+else:
+    from train import train
 train(opts)
 '''
 
@@ -178,12 +187,18 @@ REF_EVAL = SHIMS + '''\
 import json
 import torch.nn as nn
 from torch.utils.data import DataLoader
-import train as ref_train
 from dataset import MSVideoDescriptionDataset, collate_fn
+
+if opts.mode == "train_spatial":
+    import train_spatial as ref_train   # run_iter: model(vid_feats, s) pair
+    feat_type = "yolo"                  # dataset.py:57 -> bbox_feats/
+else:
+    import train as ref_train
+    feat_type = "cnn"
 
 valid_loader = DataLoader(
     MSVideoDescriptionDataset(opts.data_dir, opts.corpus, "val", glove_loader,
-                              opts.num_frames, opts.max_len),
+                              opts.num_frames, opts.max_len, feat_type),
     batch_size=opts.bsize, shuffle=False, num_workers=0, collate_fn=collate_fn)
 criterion = nn.CrossEntropyLoss(reduction="none")
 
@@ -226,7 +241,8 @@ vocab = Vocab(os.path.join(cfg.data_dir, cfg.corpus, "glove",
                            cfg.glove_emb_file), seed=cfg.seed)
 spec = spec_from_config(cfg, vocab)
 sd = torch.load({init_sd!r}, map_location="cpu", weights_only=True)
-params = convert.convert_state_dict(sd, spec, cfg.arch)
+conv_arch = "spatial" if cfg.mode == "train_spatial" else cfg.arch
+params = convert.convert_state_dict(sd, spec, conv_arch)
 opt = build_optimizer(cfg.optim, cfg.lr, cfg.wd, cfg.max_norm, cfg.momentum)
 opt_state = opt.init(params)
 ckpt.save_checkpoint(ckpt.latest_path(cfg.save_path), params, opt_state,
@@ -303,7 +319,7 @@ def compare_final_params(ref_net: str, ours_net: str):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="s2vt",
-                    choices=["s2vt", "s2vt-att", "transformer"])
+                    choices=["s2vt", "s2vt-att", "transformer", "spatial"])
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--workdir", default="")
     ap.add_argument("--keep", action="store_true")
@@ -335,11 +351,18 @@ def main(argv=None) -> int:
         hidden, feat_dim, glove_dim = 512, 4096, 300
     else:
         hidden, feat_dim, glove_dim = 16, 12, 16
+    # "spatial" = --mode train_spatial over an s2vt base (train_spatial.py:89)
+    # on YOLO grid features (bbox_feats .npy, dataset.py:57)
+    mode, arch, feat_type = "train", args.arch, "cnn"
+    if args.arch == "spatial":
+        mode, arch, feat_type = "train_spatial", "s2vt", "bbox"
+        feat_dim = 8
     data_dir = os.path.join(workdir, "data")
     build_corpus(data_dir, num_videos=6, num_frames=4, feat_dim=feat_dim,
-                 glove_dim=glove_dim, captions_per_video=1)
+                 glove_dim=glove_dim, captions_per_video=1,
+                 feat_type=feat_type, grid=4)
 
-    common = ["--mode", "train", "--arch", args.arch,
+    common = ["--mode", mode, "--arch", arch,
               "--data_dir", data_dir, "--corpus", "msvd_vgg",
               "--glove_emb_file", "glove_tiny.txt",
               "--num_frames", "4", "--vid_feat_size", str(feat_dim),

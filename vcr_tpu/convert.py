@@ -318,7 +318,11 @@ def _bn_out(p, prefix: str, out: Dict) -> None:
     out[prefix + ".bias"] = np.asarray(p["bias"])
     out[prefix + ".running_mean"] = np.asarray(p["mean"])
     out[prefix + ".running_var"] = np.asarray(p["var"])
-    # torch BatchNorm state_dicts carry this counter; emit 0 for strict loads
+    # torch BatchNorm state_dicts carry this counter (one increment per train
+    # forward; only consulted when momentum=None, which the reference never
+    # uses). Emit 0 for strict loads; tools.export_reference_checkpoint
+    # overwrites it with the checkpoint's n_iter so whole-run exports match
+    # the reference's counter exactly.
     out[prefix + ".num_batches_tracked"] = np.asarray(0, dtype=np.int64)
 
 

@@ -187,6 +187,13 @@ def export_reference_checkpoint(cfg: Config, checkpoint_path: str = "",
     arch = ("rationale" if cfg.mode == "train_rationale"
             else "spatial" if cfg.mode == "train_spatial" else cfg.arch)
     sd = export_state_dict(params, spec, arch)
+    # torch BN counters increment once per train forward == once per
+    # optimizer step; the checkpoint's n_iter is exactly that count (the
+    # counter itself is only consulted under momentum=None, never used by
+    # the reference — this just makes exports byte-faithful)
+    for k in sd:
+        if k.endswith("num_batches_tracked"):
+            sd[k] = np.asarray(meta.get("n_iter", 0), dtype=np.int64)
     out = out_file or os.path.join(cfg.save_path, "model_export.net")
     os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
     blob = {
