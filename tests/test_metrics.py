@@ -200,3 +200,55 @@ def test_cider_d_hand_golden_partial():
     want = (10.0 * (1.0 / _math.sqrt(2.0)) / 4.0 + 5.0) / 2.0
     score = m.cider_d(["a b", "c d"], [["a c"], ["c d"]])
     assert abs(score - want) < 1e-12
+
+
+def test_meteor_formula_vs_nltk_external_anchor():
+    """EXTERNAL cross-check of the METEOR scoring formula (P/R, fmean,
+    chunk fragmentation penalty) against nltk's independent implementation.
+
+    nltk's synonym stage needs the WordNet corpus (absent offline), so it is
+    stubbed to empty synsets; sentences are built from words with pairwise
+    DISTINCT Porter stems, which (a) makes the synonym stage irrelevant and
+    (b) forces a unique alignment — nltk's stage-sequential matcher and our
+    chunk-minimizing beam aligner must then produce the identical matching,
+    isolating the formula for comparison. meteor_single uses the classic
+    alpha=0.9/beta=3/gamma=0.5 parameters nltk also defaults to."""
+    import random
+
+    from nltk.stem.porter import PorterStemmer
+
+    from vcr_tpu.evals.metrics import meteor_single
+
+    try:
+        from nltk.translate.meteor_score import single_meteor_score
+    except ImportError:  # pragma: no cover - nltk always in this image
+        import pytest
+
+        pytest.skip("nltk meteor_score unavailable")
+
+    class _NoWordnet:
+        @staticmethod
+        def synsets(word):
+            return []
+
+    stemmer = PorterStemmer()
+    pool, seen = [], set()
+    for w in ("cat dog house tree river guitar window garden mountain blue "
+              "green seven table chair cloud stone music paper bottle king "
+              "ocean forest candle mirror lamp engine planet shadow").split():
+        s = stemmer.stem(w)
+        if s not in seen:
+            seen.add(s)
+            pool.append(w)
+
+    rng = random.Random(7)
+    checked = 0
+    for _ in range(300):
+        n_h, n_r = rng.randint(1, 10), rng.randint(1, 10)
+        hyp = rng.sample(pool, n_h)
+        ref = rng.sample(pool, n_r)
+        ours = meteor_single(" ".join(hyp), " ".join(ref))
+        theirs = single_meteor_score(ref, hyp, wordnet=_NoWordnet())
+        assert abs(ours - theirs) < 1e-12, (hyp, ref, ours, theirs)
+        checked += 1
+    assert checked == 300
