@@ -159,3 +159,34 @@ def test_multihost_lockstep_padded_batches_finite_loss(tmp_path):
                                        jnp.asarray(batch["valid"]))
     assert bool(jnp.isfinite(loss))
     assert jax.process_count() == 1  # single-process harness; math is host-side
+
+
+def test_sharded_lineage_beam_matches_single_device(tiny_vocab, rng):
+    """The serving fast beam (lineage mode) under a dp x mp mesh must produce
+    the single-device tokens exactly — the SPMD batch-decode path
+    (tools.decode_corpus) rides this."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vcr_tpu import decode as dec
+    import vcr_tpu.models.transformer as tr
+
+    spec = base.ModelSpec(
+        arch="transformer", vocab_size=tiny_vocab.vocab_size,
+        embed_size=tiny_vocab.embed_size, hidden_size=16, vid_feat_size=12,
+        max_len=8, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+        compute_dtype="float32", tf_layers=2, tf_heads=2)
+    params = tr.init_params(jax.random.PRNGKey(7), spec, tiny_vocab.vectors)
+    feats = rng.standard_normal((8, 4, 12)).astype(np.float32)
+
+    mesh = make_mesh(4, 2)
+    gf = jax.device_put(feats, NamedSharding(mesh, P("dp", None, None)))
+    gp = jax.device_put(params, NamedSharding(mesh, P()))
+    fn = jax.jit(partial(dec.transformer_beam_decode_fast, spec=spec,
+                         beam_size=4, eos_id=tiny_vocab.eos_id))
+    tok_sh, sc_sh = fn(gp, vid_feats=gf)
+    tok_1, sc_1 = dec.transformer_beam_decode_fast(
+        params, spec, jnp.asarray(feats), 4, tiny_vocab.eos_id)
+    np.testing.assert_array_equal(np.asarray(tok_sh), np.asarray(tok_1))
+    np.testing.assert_allclose(np.asarray(sc_sh), np.asarray(sc_1), atol=1e-5)
