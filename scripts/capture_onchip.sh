@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# One-shot round-3 on-chip evidence capture (VERDICT r2 "Next round" #1).
+# Run the moment the axon tunnel is back:  bash scripts/capture_onchip.sh
+# Writes logs under onchip_r3/ — commit the directory afterwards.
+set -u
+cd "$(dirname "$0")/.."
+OUT=onchip_r3
+mkdir -p "$OUT"
+
+run() {
+  name=$1; shift
+  echo "=== $name: $* ==="
+  timeout 3600 "$@" >"$OUT/$name.log" 2>&1
+  rc=$?
+  echo "rc=$rc"
+  tail -3 "$OUT/$name.log"
+  echo "rc=$rc" >>"$OUT/$name.log"
+}
+
+# 0. probe (flake-robust; fails fast if the tunnel is still down)
+run probe python -c "import jax,numpy as np,jax.numpy as jnp; print('TPU OK', np.asarray(jnp.ones((8,8))@jnp.ones((8,8)))[0,0], jax.devices())" || true
+grep -q "TPU OK" "$OUT/probe.log" || { echo "tunnel still down — aborting"; exit 1; }
+
+# 1. headline + per-family inference + per-family train + compiled Pallas
+run bench          python bench.py
+run bench_train    python bench_train.py all
+run bench_all      python bench_all.py
+run tpu_checks     python tpu_checks.py
+
+# 2. round-3 specifics: lineage-vs-gather beam A/B is inside bench_all;
+#    s2vt-att anomaly diagnosis; SpatialNet B=32 repro (the HTTP-413 question
+#    — our HLO is B-independent, so if this now passes the 413 was data
+#    upload, not program size)
+run diag_s2vt_att  python scripts/diag_s2vt_att.py
+VCR_BENCH_BATCH=32 run bench_train_spatial_b32 python bench_train.py spatial
+
+echo
+echo "All logs in $OUT/ — review, then: git add $OUT && git commit"

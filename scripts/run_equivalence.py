@@ -401,6 +401,11 @@ def main(argv=None) -> int:
     rt, rv, rm = parse_log(ref_out)
     ot, ov, om = parse_log(ours_out)
     failures = []
+    if not (rt and rv and rm and ot and ov and om):
+        failures.append(
+            "log parsing came up empty on some stream "
+            f"(ref t/v/m: {len(rt)}/{len(rv)}/{len(rm)}, "
+            f"ours: {len(ot)}/{len(ov)}/{len(om)}) — regexes vs log format?")
     epochs = sorted(rt)
     if sorted(ot) != epochs:
         failures.append(f"epoch sets differ: ref {sorted(rt)} vs ours {sorted(ot)}")
@@ -415,7 +420,9 @@ def main(argv=None) -> int:
         for tag, a, b, tol in [("train_loss", rt.get(e), ot.get(e), args.loss_tol),
                                ("val_loss", rv.get(e), ov.get(e), args.loss_tol),
                                ("METEOR", tm, o_tm, args.meteor_tol)]:
-            if a is None or b is None or abs(a - b) > tol:
+            # `not (<= tol)` rather than `> tol`: a NaN (unparsed METEOR
+            # line) must FAIL, not silently pass the inverted comparison
+            if a is None or b is None or not (abs(a - b) <= tol):
                 failures.append(f"epoch {e} {tag}: ref {a} vs ours {b}")
 
     worst, worst_key = compare_final_params(ref_final, ours_final)

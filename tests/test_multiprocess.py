@@ -135,3 +135,77 @@ def test_two_process_training_matches_single_process(tmp_path, dp, mp):
         np.testing.assert_allclose(np.asarray(leaf, np.float32),
                                    np.asarray(ref_leaf, np.float32),
                                    atol=5e-4, err_msg=str(path))
+
+
+PREEMPT_WORKER = """
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+pid, port, tmp = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, os.path.join({repo!r}, "tests"))
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="localhost:" + port,
+                           num_processes=2, process_id=pid)
+from test_train_loop import tiny_config
+from vcr_tpu.train.loop import train
+
+print("WORKER_READY", flush=True)
+cfg = tiny_config(tmp, epochs=500, dropout_p=0.0, bsize=4, nworkers=0,
+                  mesh_dp=8, mesh_mp=1, vocab_pad_to=8,
+                  save_path=os.path.join(tmp, "pre_models"))
+train(cfg)
+print("WORKER_EXIT_CLEAN", flush=True)
+"""
+
+
+def test_preemption_signal_on_one_host_stops_both(tmp_path):
+    """A SIGTERM delivered to ONE host must stop the whole 2-process job
+    cleanly: the signaled host's flag reaches the peer through the per-step
+    preemption consensus (train loop _global_preempted), both exit at the
+    same step boundary, and process 0 writes a resumable checkpoint —
+    instead of the peer hanging in the next gradient all-reduce while the
+    signaled host parks in the checkpoint collective."""
+    import signal
+    import time
+
+    from tests.util_corpus import build_corpus
+
+    tmp = str(tmp_path)
+    build_corpus(os.path.join(tmp, "data"), num_videos=12,
+                 captions_per_video=1)
+    worker = os.path.join(tmp, "pre_worker.py")
+    with open(worker, "w") as f:
+        f.write(PREEMPT_WORKER.format(repo=REPO))
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen([sys.executable, "-u", worker, str(i), port, tmp],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env) for i in range(2)]
+    try:
+        # let both processes get well into training, then SIGTERM ONLY proc 0
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            meta = os.path.join(tmp, "pre_models", "model_latest", "meta.json")
+            if os.path.exists(meta):   # first epoch checkpoint written
+                break
+            if any(p.poll() is not None for p in procs):
+                break
+            time.sleep(1)
+        procs[0].send_signal(signal.SIGTERM)
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+    finally:
+        for p in procs:
+            p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        assert "Preemption signal" in out, f"worker {i}:\n{out[-2000:]}"
+    # the checkpoint written at the preemption boundary must be resumable
+    from vcr_tpu.train import checkpoint as ckpt
+
+    path = os.path.join(tmp, "pre_models", "model_latest")
+    assert ckpt.checkpoint_exists(path)
+    _, _, meta = ckpt.load_checkpoint(path)
+    assert meta["n_iter"] > 0

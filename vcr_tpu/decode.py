@@ -372,8 +372,12 @@ def transformer_beam_decode_fast(params, spec: model_base.ModelSpec,
     lineage=True (default): gather-free beam — caches are written once and
     never physically permuted; beam reordering re-indexes a (rows, L)
     ancestry matrix that self-attention reads through (see
-    transformer.make_cached_stepper). Scores match the physical-reorder
-    path bit-for-bit; the context reduction order differs at float level.
+    transformer.make_cached_stepper). Attention SCORES match the
+    physical-reorder path bit-for-bit (the lineage contraction adds exact
+    zeros to the same fp32 dots); the context reduction order differs at
+    float level, so downstream logits agree only to ~ulp — beam selection
+    can in principle flip on an exact logit tie (never observed across the
+    seeded equality tests; anything beyond a tie cannot flip).
     lineage=False keeps the original reorder-by-gather state machine."""
     from vcr_tpu.models import transformer as tr
 

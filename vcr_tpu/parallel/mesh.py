@@ -98,6 +98,12 @@ def local_rows(garr) -> np.ndarray:
     for start, data in shards:
         if start in seen:  # mp replica of the same row block
             continue
+        # the dedup-by-row-start logic is only sound when shards span the
+        # full non-leading extent; a leaf sharded on a trailing axis would
+        # silently lose columns here — make that loud instead
+        assert data.shape[1:] == garr.shape[1:], (
+            f"local_rows needs leading-axis-only sharding; got shard "
+            f"{data.shape} of global {garr.shape}")
         seen.add(start)
         rows.append(np.asarray(data))
     return np.concatenate(rows, axis=0)

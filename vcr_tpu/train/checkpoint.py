@@ -55,31 +55,51 @@ def save_checkpoint(path: str, params, opt_state, meta: Dict[str, Any]) -> None:
         tree = _host_tree({"params": params, "opt_state": opt_state})
     else:
         tree = {"params": params, "opt_state": opt_state}
+    err: Exception | None = None
     if not multihost or jax.process_index() == 0:
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp, exist_ok=True)
-        # active_processes={0}: the tree is already full host numpy, so
-        # process 0 writes alone and orbax's internal barriers must not wait
-        # on the peers (they are parked at the sync below, not in orbax).
-        kw = {}
-        if multihost:
-            from orbax.checkpoint.options import MultiprocessingOptions
+        try:
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp, exist_ok=True)
+            # active_processes={0}: the tree is already full host numpy, so
+            # process 0 writes alone and orbax's internal barriers must not
+            # wait on the peers (they are parked at the broadcast below, not
+            # in orbax).
+            kw = {}
+            if multihost:
+                from orbax.checkpoint.options import MultiprocessingOptions
 
-            kw["multiprocessing_options"] = MultiprocessingOptions(
-                primary_host=0, active_processes={0})
-        with ocp.StandardCheckpointer(**kw) as ckptr:
-            ckptr.save(_tree_path(tmp), tree, force=True)
-        with open(_meta_path(tmp), "w") as f:
-            json.dump(meta, f, indent=2, default=str)
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+                kw["multiprocessing_options"] = MultiprocessingOptions(
+                    primary_host=0, active_processes={0})
+            with ocp.StandardCheckpointer(**kw) as ckptr:
+                ckptr.save(_tree_path(tmp), tree, force=True)
+            with open(_meta_path(tmp), "w") as f:
+                json.dump(meta, f, indent=2, default=str)
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(path):
+                os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+        except Exception as e:  # noqa: BLE001 — must reach the broadcast
+            if not multihost:
+                raise
+            err = e
     if multihost:
+        # Synchronization AND failure propagation in one collective: if the
+        # writer died (disk full, permissions) the peers must raise too, not
+        # park forever in a barrier the writer never reaches — a write error
+        # becomes a coherent job failure instead of a cluster-wide hang.
         from jax.experimental import multihost_utils
 
-        multihost_utils.sync_global_devices("vcr_ckpt:" + os.path.basename(path))
+        import numpy as _np
+
+        ok = multihost_utils.broadcast_one_to_all(
+            _np.asarray(err is None, _np.int32))
+        if err is not None:
+            raise err
+        if not bool(ok):
+            raise RuntimeError(
+                f"checkpoint write failed on process 0 for {path} "
+                "(see its log for the underlying error)")
 
 
 def _host_tree(tree):
@@ -152,6 +172,17 @@ def load_checkpoint(path: str, template_params=None, template_opt_state=None
     return tree["params"], tree["opt_state"], meta
 
 
+def peek_meta(path: str) -> Optional[Dict[str, Any]]:
+    """Read just the JSON sidecar of a checkpoint (no tree IO) — lets resume
+    adopt the embedded config BEFORE building the model, so `--resume true`
+    needs only I/O flags, same as eval/decode."""
+    path = _resolve(path)
+    if not _complete(path):
+        return None
+    with open(_meta_path(path)) as f:
+        return json.load(f)
+
+
 def latest_path(save_path: str) -> str:
     return os.path.join(save_path, "model_latest")
 
@@ -187,6 +218,31 @@ class CheckpointManager:
 
     def try_resume(self, params, opt_state) -> Optional[Tuple[Any, Any, Dict]]:
         p = latest_path(self.save_path)
-        if not checkpoint_exists(p):
+        found = checkpoint_exists(p)
+        import jax
+
+        if jax.process_count() > 1:
+            # Checkpoints are written by process 0 only; resume therefore
+            # REQUIRES save_path on a filesystem all hosts share. If hosts
+            # disagree on existence (or on which step the checkpoint holds),
+            # they would run divergent epoch/step sequences and deadlock in
+            # the first mismatched collective — fail fast with the cause
+            # instead.
+            import numpy as _np
+            from jax.experimental import multihost_utils
+
+            n_iter = -1
+            if found:
+                with open(_meta_path(_resolve(p))) as f:
+                    n_iter = int(json.load(f).get("n_iter", 0))
+            states = multihost_utils.process_allgather(
+                _np.asarray([int(found), n_iter], _np.int64))
+            if len({tuple(s) for s in _np.asarray(states).reshape(-1, 2)}) > 1:
+                raise RuntimeError(
+                    "multi-host resume state differs across processes "
+                    f"(found/n_iter per process: {_np.asarray(states).tolist()}). "
+                    "--save_path must live on a filesystem shared by every "
+                    "host (checkpoints are written by process 0 only).")
+        if not found:
             return None
         return load_checkpoint(p, params, opt_state)

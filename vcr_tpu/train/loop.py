@@ -213,6 +213,17 @@ def evaluate_checkpoint(cfg: Config, ckpt_path: str = "") -> Dict[str, float]:
 
 def train(cfg: Config) -> Dict[str, float]:
     """Entry point for modes train / train_rationale / train_spatial."""
+    # Resume adopts the checkpointed config (reference train.py:133) — do it
+    # BEFORE building the model, so the restore templates match the saved
+    # shapes and `--resume true` needs only I/O flags (same convention as
+    # eval/decode, which rebuild from the embedded config).
+    if cfg.resume:
+        meta_early = ckpt.peek_meta(ckpt.latest_path(cfg.save_path))
+        if meta_early is not None and meta_early.get("config"):
+            # keep resume=True: the SAVED config may predate this resume
+            # request, and try_resume below is gated on it
+            cfg = Config.from_dict(meta_early["config"]).replace(resume=True)
+
     mode = cfg.mode if cfg.mode in WORKLOADS else "train"
     model_name_fn, log_keys, feat_type, use_tf_schedule = WORKLOADS[mode]
     model_name = model_name_fn(cfg)
@@ -355,6 +366,22 @@ def train(cfg: Config) -> Dict[str, float]:
         _restore_handlers()
 
 
+def _global_preempted(preempted) -> bool:
+    """Preemption consensus. A SIGTERM lands on each host at its own time;
+    save_checkpoint is a COLLECTIVE in multi-process runs, so acting on a
+    process-local flag would have one host enter the checkpoint barrier
+    while peers enter the next step's gradient all-reduce — a deadlock.
+    Every step boundary, all hosts agree via a max-reduce of the local flag
+    (one scalar collective; single-process returns the flag directly)."""
+    if jax.process_count() == 1:
+        return preempted["flag"]
+    from jax.experimental import multihost_utils
+
+    agreed = multihost_utils.process_allgather(
+        np.asarray(preempted["flag"], np.int32))
+    return bool(np.max(agreed))
+
+
 def _train_epochs(cfg, start_epoch, tf_probs, train_it, val_it, vocab,
                   log_keys, logger, timer, params, opt_state, train_step,
                   eval_step, place, beam_fn, manager, best_val_meteor,
@@ -383,7 +410,7 @@ def _train_epochs(cfg, start_epoch, tf_probs, train_it, val_it, vocab,
                 params, opt_state, m, pred = train_step(
                     params, opt_state, batch["_device"], step_key, tf_prob)
                 batch_in_epoch += 1
-                if preempted["flag"]:
+                if _global_preempted(preempted):
                     logger.n_iter += 1  # this step counts (mirrors update())
                     _save_latest(epoch, batch_in_epoch, params, opt_state,
                                  best_val_meteor)
@@ -453,7 +480,8 @@ def _train_epochs(cfg, start_epoch, tf_probs, train_it, val_it, vocab,
 
             # signal landed during validation/checkpointing: the epoch
             # checkpoint above is already durable — exit cleanly here
-            if preempted["flag"]:
+            # (consensus again: all hosts must exit or none)
+            if _global_preempted(preempted):
                 print(f"====> Preemption signal: epoch {epoch} checkpoint "
                       "saved — exiting; resume with --resume true")
                 return final_metrics
