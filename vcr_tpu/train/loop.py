@@ -82,8 +82,14 @@ def _gather_global_rows(pred, batch, ds, vocab):
     (the data pipeline's lockstep padding guarantees equal batch counts)."""
     from vcr_tpu.parallel.mesh import gather_global_rows, local_rows
 
-    toks = gather_global_rows(local_rows(pred))          # (nproc*b, L)
-    idxs = gather_global_rows(np.asarray(batch["sample_idx"], np.int32))
+    # one fused allgather per batch: token ids with the row's dataset index
+    # appended as a trailing column (both int32; DCN round-trips are the
+    # multi-host eval cost, not bytes)
+    local = np.concatenate(
+        [local_rows(pred).astype(np.int32),
+         np.asarray(batch["sample_idx"], np.int32)[:, None]], axis=1)
+    packed = gather_global_rows(local)                   # (nproc*b, L+1)
+    toks, idxs = packed[:, :-1], packed[:, -1]
     valid = idxs >= 0
     if not valid.any():
         return [], [], []
