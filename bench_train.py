@@ -87,6 +87,12 @@ def bench_family(name: str, iters: int) -> None:
         return apply_fn(p, spec, vid_feats, sent, sent_len, rng=key,
                         train=True, teacher_force_prob=tf_prob)
 
+    if os.environ.get("VCR_BENCH_REMAT") == "1":
+        # rematerialize the forward in the backward pass: trades FLOPs for
+        # activation memory AND shrinks the emitted backward program (the
+        # other candidate for the tunnel's 413 on big spatial steps)
+        fwd = jax.checkpoint(fwd)
+
     def loss_fn(p, key):
         loss, _metrics, _pred, aux = step_mod._forward(
             name, fwd, p, batch_data, key, 1.0, 1.0, 1.0)

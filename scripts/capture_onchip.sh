@@ -33,11 +33,14 @@ run tpu_checks     python tpu_checks.py
 #    upload, not program size)
 run diag_s2vt_att  python scripts/diag_s2vt_att.py
 VCR_BENCH_BATCH=32 run bench_train_spatial_b32 python bench_train.py spatial
-# if b32 still 413s, retry with the upload sliced into 100 MB requests —
-# distinguishes "program too big" from "data request too big"
-grep -q "rc=0" "$OUT/bench_train_spatial_b32.log" || \
+# if b32 still 413s, A/B the two hypotheses: sliced 100 MB data uploads
+# ("data request too big") vs remat'd backward ("program too big")
+grep -q "rc=0" "$OUT/bench_train_spatial_b32.log" || {
   VCR_BENCH_BATCH=32 VCR_UPLOAD_CHUNK_MB=100 \
-  run bench_train_spatial_b32_chunked python bench_train.py spatial
+    run bench_train_spatial_b32_chunked python bench_train.py spatial
+  VCR_BENCH_BATCH=32 VCR_BENCH_REMAT=1 \
+    run bench_train_spatial_b32_remat python bench_train.py spatial
+}
 
 echo
 echo "All logs in $OUT/ — review, then: git add $OUT && git commit"
