@@ -192,8 +192,8 @@ def test_cider_d_hand_golden_identity():
 def test_cider_d_hand_golden_partial():
     """doc1: hyp 'a b' vs ref 'a c'; doc2: hyp 'c d' vs ref 'c d'.
     df: a->1, c->2, d->1, b->0 over 2 docs.
-    doc1 1-gram: hyp vec {a: .5ln2, b: .5ln2}, ref vec {a: .5ln2, c: 0};
-    min-clipped dot = (.5ln2)^2, norms sqrt(2)*.5ln2 and .5ln2 -> sim 1/sqrt2;
+    doc1 1-gram: hyp vec {a: ln2, b: ln2}, ref vec {a: ln2, c: 0};
+    min-clipped dot = ln2^2, norms sqrt(2)*ln2 and ln2 -> sim 1/sqrt2;
     2-grams share nothing -> doc1 = 10*(1/sqrt2)/4.
     doc2: c has idf 0, d carries it -> 1-gram sim 1; 2-gram sim 1 -> 5."""
     import math as _math
@@ -252,3 +252,16 @@ def test_meteor_formula_vs_nltk_external_anchor():
         assert abs(ours - theirs) < 1e-12, (hyp, ref, ours, theirs)
         checked += 1
     assert checked == 300
+
+
+def test_cider_d_raw_count_tf_golden():
+    """Locks the CANONICAL raw-count tf (pycocoevalcap counts2vec): doc1 has
+    hyp 'a a' (count 2) vs ref 'a' (count 1) — under raw counts the
+    min-clip gives sim = ln2^2/(2ln2*ln2) = 1/2, under a length-normalized
+    tf it would give 1.0. With the bigram side empty and delta=1:
+    doc1 = 10*(0.5*exp(-1/72))/4; doc2 (identical 'b') = 10/4."""
+    import math as _math
+
+    want = (10.0 * 0.5 * _math.exp(-1.0 / 72.0) / 4.0 + 2.5) / 2.0
+    score = m.cider_d(["a a", "b"], [["a"], ["b"]])
+    assert abs(score - want) < 1e-12

@@ -147,3 +147,37 @@ def test_spatial_shapes_and_alphas(tiny_vocab, rng):
     logits2, _, _ = spatial.apply(params2, spec2, vid, s,
                                   rng=jax.random.PRNGKey(1), train=True)
     assert logits2.shape == (b, spec.max_len, spec.vocab_size)
+
+
+def test_rationale_eval_step_uses_fresh_rng(tiny_vocab, rng):
+    """Validation must draw FRESH Gumbel noise per batch (the torch eval
+    draws per forward, RationaleNet.py:50): eval_step's rng argument has to
+    reach the generator — a fixed default key would score every epoch's
+    model selection under one noise draw."""
+    from vcr_tpu.train import optim
+    from vcr_tpu.train.step import build_step_fns
+
+    spec = make_spec(tiny_vocab, arch="rationale", base_arch="s2vt",
+                     dropout_p=0.0)
+    params = rationale.init_params(jax.random.PRNGKey(0), spec,
+                                   tiny_vocab.vectors)
+    opt = optim.build_optimizer("adam", 1e-3, 0.0, 1.0)
+    _, eval_step = build_step_fns("rationale", spec, opt, 1.0, 1.0)
+    b = 4
+    batch = {
+        "vid_feats": jnp.asarray(
+            rng.standard_normal((b, spec.num_frames, spec.vid_feat_size)),
+            dtype=jnp.float32),
+        "sent": jnp.asarray(rng.integers(0, spec.vocab_size,
+                                         (b, spec.max_len)), dtype=jnp.int32),
+        "sent_len": jnp.full((b,), spec.max_len, dtype=jnp.int32),
+        "valid": jnp.ones((b,), dtype=jnp.float32),
+    }
+    m1, p1 = eval_step(params, batch, jax.random.PRNGKey(1))
+    m1b, p1b = eval_step(params, batch, jax.random.PRNGKey(1))
+    m2, p2 = eval_step(params, batch, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p1b))
+    assert float(m1["loss"]) == float(m1b["loss"])
+    # different keys -> different hard frame selections -> different outputs
+    assert (float(m1["loss"]) != float(m2["loss"])
+            or not np.array_equal(np.asarray(p1), np.asarray(p2)))

@@ -47,13 +47,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+        stale = (os.path.exists(_LIB) and os.path.exists(_SRC)
+                 and os.path.getmtime(_SRC) > os.path.getmtime(_LIB))
+        if not os.path.exists(_LIB) or stale:
             if not (os.path.exists(_SRC) and _build()):
-                _build_failed = not os.path.exists(_LIB)
-                if _build_failed:
-                    return None
+                # NEVER load a .so older than its source: a changed ABI
+                # behind the same symbol corrupts batches silently. Fall
+                # back to the numpy path instead.
+                _build_failed = True
+                return None
         try:
             lib = ctypes.CDLL(_LIB)
         except OSError:

@@ -31,28 +31,54 @@ import numpy as np
 def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
     """Run the underlying iterator in a background thread with a bounded
     queue, overlapping host-side batch assembly (and the device upload that
-    jax dispatches asynchronously) with the current step's compute."""
+    jax dispatches asynchronously) with the current step's compute.
+
+    Abandon-safe: if the consumer stops iterating early (preemption return,
+    exception in the step loop), the generator's finally sets a stop event
+    and drains the queue, so the worker — which puts with a timeout and
+    re-checks the event — exits instead of blocking forever on a full queue
+    while pinning device-placed batches."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
     err: List[BaseException] = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # surface loader errors in the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        yield item
-    if err:
-        raise err[0]
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        if err:
+            raise err[0]
+    finally:
+        stop.set()
+        while True:  # unblock a worker mid-put
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 from vcr_tpu.data.captions import read_caption_file
 from vcr_tpu.vocab import Vocab
@@ -80,7 +106,6 @@ class CaptionDataset:
             self.vid_feat_dir = os.path.join(self.corpus_dir, "bbox_feats/")
         else:
             raise NotImplementedError("unknown feat_type")  # dataset.py:59-60
-        self._cache = None
 
     def __len__(self) -> int:
         return len(self.captions)
@@ -88,38 +113,34 @@ class CaptionDataset:
     def load_features(self, idx: int) -> np.ndarray:
         """Load one video's features, zero-pad/truncate to num_frames
         (dataset.py:76-78). Works for (N, V) CNN feats and (N, F, K, K) YOLO."""
-        if self._cache is not None:
-            hit = self._cache.get(idx)
-            if hit is not None:
-                return hit
         key = self.captions[idx][self.key_field]
         feats = np.load(os.path.join(self.vid_feat_dir, key + ".npy"))
-        pad = np.zeros((max(0, self.num_frames - feats.shape[0]), *feats.shape[1:]),
-                       dtype=feats.dtype)
-        out = np.concatenate([feats, pad], axis=0)[: self.num_frames] \
-            .astype(np.float32)
-        if self._cache is not None:
-            self._cache[idx] = out
-        return out
+        return np.concatenate(
+            [feats, np.zeros((max(0, self.num_frames - feats.shape[0]),
+                              *feats.shape[1:]), dtype=feats.dtype)],
+            axis=0)[: self.num_frames].astype(np.float32)
 
-    def enable_cache(self) -> None:
-        """Keep decoded features in RAM across epochs (MSVD's full feature set
-        is ~1 GB; the reference re-read every .npy every epoch)."""
-        self._cache = {}
-
-    def item(self, idx: int, cap_choice: int) -> Dict:
-        """One sample dict (dataset.py:73-89). cap_choice picks the caption
-        (drawn by the caller — np.random.Generator is not thread-safe)."""
+    def text_fields(self, idx: int, cap_choice: int) -> Dict:
+        """The text half of a sample (dataset.py:73-89). The SINGLE home of
+        the caption-encoding semantics — both the python and native batch
+        paths go through here, so sent/sent_len/refs can never diverge
+        between loaders. cap_choice picks the caption (drawn by the caller —
+        np.random.Generator is not thread-safe)."""
         caps = self.captions[idx]["captions"]
         sent_toks = caps[cap_choice % len(caps)]["desc"]
         return {
             "sent": self.vocab.encode(sent_toks, self.max_len),
             "sent_raw": " ".join(sent_toks).lower(),
             "sent_len": min(self.max_len, len(sent_toks) + 1),
-            "vid_feats": self.load_features(idx),
             "refs": [" ".join(c["desc"]).lower() for c in caps],
             "vid_key": self.captions[idx][self.key_field],
         }
+
+    def item(self, idx: int, cap_choice: int) -> Dict:
+        """One full sample dict (dataset.py:73-89)."""
+        out = self.text_fields(idx, cap_choice)
+        out["vid_feats"] = self.load_features(idx)
+        return out
 
 
 class BatchIterator:
@@ -224,13 +245,12 @@ class BatchIterator:
     def _text_fields(self, idxs, cap_choices):
         sents, lens, raws, refs, keys = [], [], [], [], []
         for idx, choice in zip(idxs, cap_choices):
-            caps = self.ds.captions[int(idx)]["captions"]
-            toks = caps[int(choice) % len(caps)]["desc"]
-            sents.append(self.ds.vocab.encode(toks, self.ds.max_len))
-            lens.append(min(self.ds.max_len, len(toks) + 1))
-            raws.append(" ".join(toks).lower())
-            refs.append([" ".join(c["desc"]).lower() for c in caps])
-            keys.append(self.ds.captions[int(idx)][self.ds.key_field])
+            t = self.ds.text_fields(int(idx), int(choice))
+            sents.append(t["sent"])
+            lens.append(t["sent_len"])
+            raws.append(t["sent_raw"])
+            refs.append(t["refs"])
+            keys.append(t["vid_key"])
         return sents, lens, raws, refs, keys
 
     def _assemble(self, b, feats, sents, lens, raws, refs, keys, idxs=()):

@@ -360,14 +360,17 @@ def cider_d(hyps: Sequence[str], refs_list: Sequence[Sequence[str]],
     num_docs = float(len(refs_list))
 
     def tfidf_vec(tokens: List[str], n: int) -> Tuple[Dict[tuple, float], float]:
+        # RAW term counts x idf, exactly pycocoevalcap cider_scorer.py
+        # counts2vec (vec[g] = float(term_freq) * (log N - log df)): CIDEr-D
+        # does NOT length-normalize tf — cosine normalization cancels any
+        # per-vector scale, but the min-clipped numerator does not, so a
+        # tf/|c| variant skews the clip whenever hyp and ref lengths differ.
         counts = _ngrams(tokens, n)
-        length = float(sum(counts.values())) or 1.0
         vec = {}
         norm = 0.0
         for g, c in counts.items():
             df = math.log(max(doc_freq[n - 1].get(g, 0), 1.0))
-            w = (c / length) * (math.log(num_docs) - df)
-            w = max(w, 0.0)
+            w = c * (math.log(num_docs) - df)
             vec[g] = w
             norm += w * w
         return vec, math.sqrt(norm)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -39,10 +39,11 @@ WORKLOADS = {
 }
 
 
-def make_datasets(cfg: Config, vocab: Vocab, feat_type: str
-                  ) -> Tuple[BatchIterator, BatchIterator]:
-    train_ds = CaptionDataset(cfg.data_dir, cfg.corpus, "train", vocab,
-                              cfg.num_frames, cfg.max_len, feat_type)
+def make_datasets(cfg: Config, vocab: Vocab, feat_type: str,
+                  with_train: bool = True
+                  ) -> Tuple[Optional[BatchIterator], BatchIterator]:
+    """with_train=False skips loading/tokenizing the train split entirely —
+    eval-only consumers (evaluate_checkpoint) pay only for val."""
     val_ds = CaptionDataset(cfg.data_dir, cfg.corpus, "val", vocab,
                             cfg.num_frames, cfg.max_len, feat_type)
     # multi-host: each process iterates a disjoint strided sample shard and
@@ -52,9 +53,13 @@ def make_datasets(cfg: Config, vocab: Vocab, feat_type: str
     # so collectives stay in lockstep (the single-GPU reference had no
     # equivalent; SURVEY §2 parallelism plan)
     nproc, pidx = jax.process_count(), jax.process_index()
-    train_it = BatchIterator(train_ds, cfg.bsize, shuffle=True, seed=cfg.seed,
-                             num_threads=cfg.nworkers,
-                             num_shards=nproc, shard_index=pidx)
+    train_it = None
+    if with_train:
+        train_ds = CaptionDataset(cfg.data_dir, cfg.corpus, "train", vocab,
+                                  cfg.num_frames, cfg.max_len, feat_type)
+        train_it = BatchIterator(train_ds, cfg.bsize, shuffle=True,
+                                 seed=cfg.seed, num_threads=cfg.nworkers,
+                                 num_shards=nproc, shard_index=pidx)
     val_it = BatchIterator(val_ds, cfg.bsize, shuffle=False, seed=cfg.seed,
                            num_threads=cfg.nworkers,
                            num_shards=nproc, shard_index=pidx)
@@ -69,6 +74,24 @@ def _staged(it, place=None):
     for batch in it:
         batch["_device"] = place(device_batch(batch))
         yield batch
+
+
+def _build_beam_fn(spec, model_name: str, vocab, beam_size: int):
+    """Jitted (params, vid_feats, rng) -> (tokens (B, K, L), scores) for
+    beam-search validation decode, or None for greedy (beam_size <= 1). One
+    home for this wiring — train() and evaluate_checkpoint() must not drift.
+    Dispatches on the registry model (rationale/spatial wrap cfg.arch)."""
+    if beam_size <= 1:
+        return None
+    from functools import partial
+
+    from vcr_tpu.decode import decode_tokens
+
+    beam_spec = spec.with_(arch=model_name)
+    return jax.jit(partial(
+        lambda p, v, r, spec_, k_: decode_tokens(p, spec_, v, vocab.eos_id,
+                                                 k_, rng=r),
+        spec_=beam_spec, k_=beam_size))
 
 
 def _gather_global_rows(pred, batch, ds, vocab):
@@ -126,10 +149,11 @@ def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0,
         # the step must still run on every batch (multi-host lockstep: padded
         # batches keep the collectives in sync), but all-padding batches must
         # not dilute the metric averages
-        m, pred = eval_step(params, batch["_device"])
+        batch_key = jax.random.fold_in(eval_key, n_seen)
+        m, pred = eval_step(params, batch["_device"], batch_key)
         if beam_fn is not None:
             tokens, _scores = beam_fn(params, batch["_device"]["vid_feats"],
-                                      jax.random.fold_in(eval_key, n_seen))
+                                      batch_key)
             pred = tokens[:, 0]  # beam-best
         n_seen += 1
         if jax.process_count() > 1:
@@ -189,24 +213,13 @@ def evaluate_checkpoint(cfg: Config, ckpt_path: str = "") -> Dict[str, float]:
     vocab = Vocab(os.path.join(cfg.data_dir, cfg.corpus, "glove", cfg.glove_emb_file),
                   seed=cfg.seed)
     spec = model_base.spec_from_config(cfg, vocab)
-    _, val_it = make_datasets(cfg, vocab, feat_type)
+    _, val_it = make_datasets(cfg, vocab, feat_type, with_train=False)
 
     optimizer = optim.build_optimizer(cfg.optim, cfg.lr, cfg.wd, cfg.max_norm)
     _, eval_step = build_step_fns(model_name, spec, optimizer,
                                   cfg.lambda_brev, cfg.lambda_cont)
 
-    # --beam_size > 1: beam-search validation decode, same wiring as train()
-    beam_fn = None
-    if cfg.beam_size > 1:
-        from functools import partial
-
-        from vcr_tpu.decode import decode_tokens
-
-        beam_spec = spec.with_(arch=model_name)
-        beam_fn = jax.jit(partial(
-            lambda p, v, r, spec_, k_: decode_tokens(p, spec_, v, vocab.eos_id,
-                                                     k_, rng=r),
-            spec_=beam_spec, k_=cfg.beam_size))
+    beam_fn = _build_beam_fn(spec, model_name, vocab, cfg.beam_size)
 
     metrics, samples, time_taken = evaluate(
         eval_step, params, val_it, vocab, log_keys, cfg.n_sample_sent, cfg.seed,
@@ -257,9 +270,22 @@ def train(cfg: Config) -> Dict[str, float]:
     # SPMD: place params on the (dp x mp) mesh when configured; the jitted
     # steps inherit shardings from their inputs (vcr_tpu/parallel/mesh.py)
     mesh = None
+    if jax.process_count() > 1 and cfg.mesh_dp * cfg.mesh_mp <= 1:
+        # Without a mesh there is NO gradient synchronization: each process
+        # would train its own model on its own data shard while the
+        # multi-host eval/checkpoint paths blend them — silent corruption.
+        raise RuntimeError(
+            f"multi-process launch ({jax.process_count()} processes) "
+            "requires an SPMD mesh spanning every device: set --mesh_dp "
+            f"(x --mesh_mp) to cover all {len(jax.devices())} global devices.")
     if cfg.mesh_dp * cfg.mesh_mp > 1:
         from vcr_tpu.parallel import make_mesh, shard_params
 
+        if jax.process_count() > 1:
+            assert cfg.mesh_dp * cfg.mesh_mp == len(jax.devices()), (
+                f"multi-process mesh {cfg.mesh_dp}x{cfg.mesh_mp} must span "
+                f"all {len(jax.devices())} global devices — a submesh would "
+                "leave some processes without devices")
         mesh = make_mesh(cfg.mesh_dp, cfg.mesh_mp)
         # global batch = per-process bsize x process_count (multi-host data
         # parallelism: each host contributes its own rows, mesh.shard_batch)
@@ -282,18 +308,7 @@ def train(cfg: Config) -> Dict[str, float]:
         place = None
 
     # beam-search validation decode (cfg.beam_size > 1); greedy otherwise
-    beam_fn = None
-    if cfg.beam_size > 1:
-        from functools import partial
-
-        from vcr_tpu.decode import decode_tokens
-
-        # dispatch on the registry model (rationale/spatial wrap cfg.arch)
-        beam_spec = spec.with_(arch=model_name)
-        beam_fn = jax.jit(partial(
-            lambda p, v, r, spec_, k_: decode_tokens(p, spec_, v, vocab.eos_id,
-                                                     k_, rng=r),
-            spec_=beam_spec, k_=cfg.beam_size))
+    beam_fn = _build_beam_fn(spec, model_name, vocab, cfg.beam_size)
 
     tf_probs = schedule.teacher_force_schedule(
         cfg.epochs, cfg.schedule_sample if use_tf_schedule else False)

@@ -77,7 +77,11 @@ def build_step_fns(
 
     train_step(params, opt_state, batch, rng, tf_prob)
         -> (params, opt_state, metrics, pred)
-    eval_step(params, batch) -> (metrics, pred)   # deterministic greedy
+    eval_step(params, batch, rng=None) -> (metrics, pred)   # greedy
+        rng matters only for stochastic-eval models: RationaleNet's torch
+        eval draws FRESH Gumbel noise per forward (RationaleNet.py:50), so
+        validation passes a per-batch key; None falls back to the model's
+        fixed default key (deterministic families ignore it entirely).
 
     remat: rematerialize the forward under the backward pass (jax.checkpoint)
     — trades ~1 extra forward of FLOPs for not storing per-step activations in
@@ -111,9 +115,9 @@ def build_step_fns(
         return params, opt_state, metrics, pred
 
     @jax.jit
-    def eval_step(params, batch):
+    def eval_step(params, batch, rng=None):
         _, metrics, pred, _ = _forward(
-            model_name, eval_fwd, params, batch, None, 0.0,
+            model_name, eval_fwd, params, batch, rng, 0.0,
             lambda_brev, lambda_cont)
         return metrics, pred
 
