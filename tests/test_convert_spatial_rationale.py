@@ -188,3 +188,37 @@ def test_rationale_full_token_parity_shared_noise(tiny_vocab, rng):
     got = np.asarray(jnp.argmax(logits, axis=-1))
     np.testing.assert_allclose(np.asarray(probs), want_probs, atol=1e-6)
     np.testing.assert_array_equal(got, want_toks)
+
+
+def test_base_arch_detected_from_wrapped_checkpoint(tiny_vocab, tmp_path):
+    """A reference RationaleNet(s2vt-att) checkpoint loaded with a spec whose
+    base_arch defaults to 's2vt' must auto-correct from the caption_net.*
+    keys (convert.detect_base_arch) instead of dying in convert_s2vt with
+    KeyError 'rnn1...'. Round-trip: export our rationale(s2vt-att) params to
+    a reference-format .net, reload with the WRONG base spec."""
+    import torch
+
+    from vcr_tpu import convert
+    from vcr_tpu.models import rationale
+
+    spec_att = tc.make_spec(tiny_vocab, arch="rationale", base_arch="s2vt-att",
+                            tau=1.0)
+    params = rationale.init_params(jax.random.PRNGKey(0), spec_att,
+                                   tiny_vocab.vectors)
+    sd = convert.export_state_dict(params, spec_att, "rationale")
+    assert convert.detect_base_arch(sd) == "s2vt-att"
+    blob = {"state_dict": {k: torch.tensor(np.asarray(v))
+                           for k, v in sd.items()},
+            "opts": None, "epoch": 0, "n_iter": 0}
+    path = str(tmp_path / "rat_att.net")
+    torch.save(blob, path)
+
+    spec_wrong = spec_att.with_(base_arch="s2vt")   # deliberately wrong
+    params2, meta = convert.load_reference_checkpoint(path, spec_wrong,
+                                                      "rationale")
+    assert meta["detected_base_arch"] == "s2vt-att"
+    # converted tree has the att-base structure and round-trips numerically
+    assert "encoder" in params2["caption_net"]
+    a = np.asarray(params["caption_net"]["decoder"]["rnn"]["w_ih"])
+    b = np.asarray(params2["caption_net"]["decoder"]["rnn"]["w_ih"])
+    np.testing.assert_allclose(a, b, atol=1e-6)

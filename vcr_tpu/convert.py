@@ -22,7 +22,7 @@ Weights may be torch tensors or numpy arrays (state_dicts load fine with
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -386,6 +386,17 @@ def detect_arch(sd: Dict) -> str:
     return "s2vt"
 
 
+def detect_base_arch(sd: Dict) -> Optional[str]:
+    """For wrapped families (rationale/spatial): which captioner is inside.
+    The caption_net.* keys are unambiguous — S2VTAttModel has encoder./
+    decoder. submodules, S2VTModel has rnn1/rnn2. None for unwrapped sds."""
+    if not any(k.startswith("caption_net.") for k in sd):
+        return None
+    if any(k.startswith("caption_net.decoder.attention.") for k in sd):
+        return "s2vt-att"
+    return "s2vt"
+
+
 def load_reference_checkpoint(path: str, spec: ModelSpec, arch: str):
     """Load a reference ``model_{latest,best}.net`` torch.save file and
     convert it (the dict layout is {'state_dict', 'opts', 'epoch', 'n_iter',
@@ -398,7 +409,14 @@ def load_reference_checkpoint(path: str, spec: ModelSpec, arch: str):
     detected = detect_arch(sd)
     if detected != arch and detected in ("rationale", "spatial"):
         arch = detected  # wrapped families are unambiguous from the keys
+    base = detect_base_arch(sd)
+    if base is not None and base != spec.base_arch:
+        # the wrapped captioner's family is also unambiguous: a reference
+        # RationaleNet(s2vt-att) checkpoint loaded with a default-s2vt spec
+        # would otherwise die in convert_s2vt with KeyError 'rnn1...'
+        spec = spec.with_(base_arch=base)
     params = convert_state_dict(sd, spec, arch)
     meta = {k: v for k, v in blob.items() if k != "state_dict"}
     meta["detected_arch"] = detected
+    meta["detected_base_arch"] = base
     return params, meta

@@ -4,7 +4,9 @@ on-device beam search.
 The reference only implements greedy argmax rollouts (S2VTModel.py:148-177,
 S2VTAttModel.py:190-191, TransformerNet.py:246-263); beam search is part of the
 rebuild's decode surface (BASELINE.md "greedy/beam decode"). Beam width 1
-reproduces greedy token-for-token.
+reproduces greedy token-for-token up to (and including) the first eos —
+beyond it the search clamps finished rows to eos while the greedy decoders
+keep free-running argmax, so raw tails can differ.
 
 Design: the beam dimension is folded into the batch axis (B*K rows through the
 exact same cell math the greedy path uses), the whole search is one lax.scan,
@@ -367,7 +369,8 @@ def transformer_beam_decode_fast(params, spec: model_base.ModelSpec,
     the per-row self-attention caches ride in the search state. Same
     documented PE-scale deviation as decode_greedy_fast: each token keeps the
     sqrt(i+1) scale from its emission step. beam_size=1 reproduces
-    decode_greedy_fast token-for-token.
+    decode_greedy_fast token-for-token up to the first eos (finished beams
+    clamp to eos; the greedy decoder free-runs past it).
 
     lineage=True (default): gather-free beam — caches are written once and
     never physically permuted; beam reordering re-indexes a (rows, L)
@@ -406,7 +409,8 @@ def transformer_sample_decode(params, spec: model_base.ModelSpec,
     """Sampling decode for the Transformer through the KV-cached serving
     stepper (sampling is inherently non-parity, so the fast cell — with its
     documented per-token PE-scale semantics — is the right one; top_k=1
-    reproduces decode_greedy_fast token-for-token)."""
+    reproduces decode_greedy_fast token-for-token up to the first eos —
+    finished rows clamp to eos afterwards while greedy free-runs)."""
     from vcr_tpu.models import transformer as tr
 
     src_mask = tr.create_masks_inp(vid_feats)
@@ -465,7 +469,7 @@ def sample_tokens(params, spec: model_base.ModelSpec, vid_feats, eos_id: int,
 def decode_tokens(params, spec: model_base.ModelSpec, vid_feats, eos_id: int,
                   beam_size: int = 1, rng=None):
     """Unified entry for the captioners: beam_size=1's best row equals the
-    greedy rollout token-for-token. ``rng`` seeds eval-time stochasticity
+    greedy rollout token-for-token up to the first eos. ``rng`` seeds eval-time stochasticity
     (only RationaleNet's hard-Gumbel frame selection uses it; torch draws
     fresh noise per eval forward, F.gumbel_softmax in RationaleNet.py:50)."""
     if spec.arch == "s2vt":

@@ -72,9 +72,13 @@ def decode(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     teacher_force_prob: jax.Array | float = 1.0,  # accepted for API symmetry; unused
+    emit: str = "logits",      # "logits" (B, L, V) | "tokens" (B, L) int32 —
+                               # tokens-only serving skips materializing the
+                               # B*L*V logits tensor (same option as s2vt)
 ) -> jax.Array:
     """-> logits (B, L, vocab). One scan over decode steps (S2VTAttModel.py:182-191)."""
     del teacher_force_prob
+    assert emit == "logits" or not train, "emit='tokens' is eval-only"
     dec = params["decoder"]
     b = encoder_outs.shape[0]
     proj_key = bahdanau_project_keys(dec["attention"], encoder_outs, spec.cdtype)
@@ -105,13 +109,17 @@ def decode(
             spec.vocab_size)
         if train:
             next_words = s_in[:, i + 1]
+            ys = logits_t               # tokens-emit is a serving-only mode
         else:
             next_words = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
-        return (state, next_words), logits_t
+            ys = next_words if emit == "tokens" else logits_t
+        return (state, next_words), ys
 
     xs = (jnp.arange(spec.max_len), step_keys)
-    _, logits = jax.lax.scan(step, (encoder_final, sos), xs)
-    return jnp.transpose(logits, (1, 0, 2))
+    _, out = jax.lax.scan(step, (encoder_final, sos), xs)
+    if emit == "tokens":
+        return jnp.transpose(out, (1, 0))    # (B, L) int32
+    return jnp.transpose(out, (1, 0, 2))
 
 
 def apply(
@@ -123,11 +131,13 @@ def apply(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     teacher_force_prob: jax.Array | float = 1.0,
+    emit: str = "logits",
 ) -> jax.Array:
     del s_len, teacher_force_prob
     vid_feats = vid_feats.astype(spec.cdtype)  # bf16 feed (fp32-mode no-op)
     encoder_outs, encoder_final = encode(params, spec, vid_feats)
-    return decode(params, spec, encoder_outs, encoder_final, s, rng=rng, train=train)
+    return decode(params, spec, encoder_outs, encoder_final, s, rng=rng,
+                  train=train, emit=emit)
 
 
 base.register("s2vt-att", init_params, apply)

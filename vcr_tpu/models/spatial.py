@@ -104,6 +104,8 @@ def apply(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     teacher_force_prob: jax.Array | float = 1.0,
+    emit: str = "logits",      # "tokens": serving-only (B, L) int32 output,
+                               # skipping the B*L*V logits materialization
 ) -> Tuple[jax.Array, jax.Array, dict]:
     """-> (logits (B, L, vocab), seq_alphas (B, N, K, K), new_bn_state)."""
     if rng is None:
@@ -113,12 +115,13 @@ def apply(
     cap = _base_module(spec)
     if spec.base_arch == "s2vt":
         logits = cap.decode(params["caption_net"], spec, output1, rnn_state, s,
-                            rng=rng, train=train, teacher_force_prob=teacher_force_prob)
+                            rng=rng, train=train,
+                            teacher_force_prob=teacher_force_prob, emit=emit)
     else:
         # s2vt-att decode wants (B, N, H) encoder outs (S2VTAttModel.py:231-243)
         logits = cap.decode(params["caption_net"], spec,
                             jnp.transpose(output1, (1, 0, 2)), rnn_state, s,
-                            rng=rng, train=train)
+                            rng=rng, train=train, emit=emit)
     return logits, seq_alphas, bn_state
 
 

@@ -57,7 +57,9 @@ def make_positional_encoding(d_model: int, max_seq_len: int = 80) -> np.ndarray:
     for pos in range(max_seq_len):
         for i in range(0, d_model, 2):
             pe[pos, i] = math.sin(pos / (10000 ** ((2 * i) / d_model)))
-            pe[pos, i + 1] = math.cos(pos / (10000 ** ((2 * (i + 1)) / d_model)))
+            if i + 1 < d_model:  # odd widths: the last sin has no cos partner
+                pe[pos, i + 1] = math.cos(
+                    pos / (10000 ** ((2 * (i + 1)) / d_model)))
     return pe
 
 

@@ -98,6 +98,8 @@ def build_captioner(params, spec: model_base.ModelSpec,
             flat = frames.reshape(b * n, *frames.shape[2:])
             _, outputs, first_yolo = darknet_obj._trace(fp, flat, spec.cdtype,
                                                         True)
+            assert first_yolo is not None, \
+                "cfg has no yolo block — get_feats cut undefined (darknet.py)"
             feats = outputs[first_yolo - 2]                    # (B·N, F, K, K)
             return feats.reshape(b, n, *feats.shape[1:])
     elif featurizer == "none":
@@ -131,8 +133,8 @@ def build_captioner(params, spec: model_base.ModelSpec,
         if spec.arch == "s2vt":
             return s2vt.apply(params, spec, feats, train=False, emit="tokens")
         if spec.arch == "s2vt-att":
-            logits = s2vt_att.apply(params, spec, feats, train=False)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return s2vt_att.apply(params, spec, feats, train=False,
+                                  emit="tokens")
         if spec.arch == "transformer":
             feats = feats.astype(spec.cdtype)
             src_mask = transformer.create_masks_inp(feats)
@@ -146,11 +148,11 @@ def build_captioner(params, spec: model_base.ModelSpec,
             cap = params["caption_net"]
             if spec.base_arch == "s2vt":
                 return s2vt.apply(cap, spec, sel, train=False, emit="tokens")
-            logits = s2vt_att.apply(cap, spec, sel, train=False)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return s2vt_att.apply(cap, spec, sel, train=False, emit="tokens")
         if spec.arch == "spatial":
-            logits, _, _ = spatial.apply(params, spec, feats, train=False)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tokens, _, _ = spatial.apply(params, spec, feats, train=False,
+                                         emit="tokens")
+            return tokens
         raise NotImplementedError(spec.arch)
 
     # jit with params as an ARGUMENT: closing over them would bake every

@@ -144,6 +144,11 @@ def verify_parity(cfg: Config, checkpoint_path: str,
     detected = meta.get("detected_arch", cfg.arch)
     if detected in ("rationale", "spatial"):
         spec = spec.with_(arch=detected)
+    # the wrapped captioner family is also key-detected (convert.py) — adopt
+    # it so a wrong/default --arch still decodes with the right base model
+    base = meta.get("detected_base_arch")
+    if base is not None and base != spec.base_arch:
+        spec = spec.with_(base_arch=base)
 
     from vcr_tpu.data.pipeline import CaptionDataset
 
