@@ -75,3 +75,31 @@ def test_pipeline_native_matches_python(tmp_path, rng):
         np.testing.assert_array_equal(bn["valid"], bp["valid"])
         assert bn["refs"] == bp["refs"]
         assert bn["vid_key"] == bp["vid_key"]
+
+
+def test_unsupported_npy_layout_falls_back_to_python(tmp_path, rng):
+    """float16 .npy files: the C++ parser rejects them (rc<0) but np.load
+    reads them fine — the pipeline must fall back to the python path with a
+    warning instead of crashing training (the documented transparent
+    fallback)."""
+    import glob
+    import warnings
+
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.data.pipeline import BatchIterator, CaptionDataset
+    from vcr_tpu.vocab import Vocab
+
+    glove = build_corpus(str(tmp_path / "data"))
+    # rewrite every feature file as float16
+    for f in glob.glob(str(tmp_path / "data" / "msvd_vgg" / "feats" / "*.npy")):
+        np.save(f, np.load(f).astype(np.float16))
+    vocab = Vocab(glove)
+    ds = CaptionDataset(str(tmp_path / "data"), "msvd_vgg", "train", vocab, 4, 6)
+    it = BatchIterator(ds, 4, shuffle=False, seed=7, use_native=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the documented fallback warning
+        batches = list(it)
+    it_py = BatchIterator(ds, 4, shuffle=False, seed=7, use_native=False)
+    for bn, bp in zip(batches, it_py):
+        np.testing.assert_array_equal(bn["vid_feats"], bp["vid_feats"])
+        np.testing.assert_array_equal(bn["valid"], bp["valid"])

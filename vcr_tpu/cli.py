@@ -95,6 +95,10 @@ def dispatch(cfg: Config) -> None:
         from vcr_tpu.tools import verify_parity
 
         # pretrained_base carries the reference .net path for this mode
+        if not cfg.pretrained_base:
+            raise SystemExit(
+                "--mode verify_parity needs --pretrained_base "
+                "<reference model_*.net> (the checkpoint to convert)")
         out = os.path.join(cfg.save_path, "parity.json")
         verify_parity(cfg, cfg.pretrained_base, out)
         print(f"parity decode written to {out}")

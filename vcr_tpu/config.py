@@ -112,6 +112,11 @@ class Config:
     def validate(self) -> "Config":
         if self.corpus not in CORPORA:
             raise NotImplementedError(f"Unknown corpus {self.corpus!r}")  # args.py:61-62
+        # catch an --arch typo at parse time, BEFORE the multi-minute GloVe
+        # load (rationale/spatial are modes, not archs: --arch stays the base
+        # captioner there, reference train_rationale.py/train_spatial.py)
+        if self.arch not in ARCHS:
+            raise NotImplementedError(f"Unknown model architecture {self.arch!r}")
         return self
 
     # ---- serialization (checkpoints embed the config) ----

@@ -282,10 +282,21 @@ class BatchIterator:
         paths = [os.path.join(self.ds.vid_feat_dir,
                               self.ds.captions[int(i)][self.ds.key_field] + ".npy")
                  for i in idxs]
-        feats = native.load_feature_batch(paths, self.ds.num_frames,
-                                          self._feat_shape, self.num_threads)
-        if feats is None:  # build failed late — drop to python path for good
-            self._feat_shape = None
+        try:
+            feats = native.load_feature_batch(paths, self.ds.num_frames,
+                                              self._feat_shape,
+                                              self.num_threads)
+        except IOError as e:
+            # the C++ parser supports the common little-endian f4/f8 layouts;
+            # anything else (f2, big-endian, fortran order) is np.load-able —
+            # the documented TRANSPARENT fallback, not a crash
+            import warnings
+
+            warnings.warn(f"native .npy loader failed ({e}); falling back to "
+                          "the numpy path for this dataset", stacklevel=2)
+            feats = None
+        if feats is None:  # build failed late / unsupported layout — python
+            self._feat_shape = None  # path for good
             return self._python_batch(idxs, cap_choices, b)
         if len(idxs) < b:
             pad = np.zeros((b - len(idxs), *feats.shape[1:]), np.float32)

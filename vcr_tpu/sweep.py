@@ -84,6 +84,16 @@ def run_sweep(grid: Dict, base_save: str = "./sweeps") -> None:
     """Run every grid point sequentially in-process (single host/slice)."""
     from vcr_tpu.train.loop import train
 
+    import dataclasses
+
+    known = {f.name for f in dataclasses.fields(Config)}
+    unknown = sorted(set(grid) - known)
+    if unknown:
+        # Config.from_dict silently drops unknown keys — in a sweep that
+        # turns a typo'd axis ('weight_decay' vs 'wd') into N identical runs
+        # whose job names CLAIM the axis varied. Fail like emit_commands'
+        # argparse would.
+        raise ValueError(f"unknown Config field(s) in sweep grid: {unknown}")
     axes = [k for k, v in grid.items() if isinstance(v, list)]
     for point in expand_grid(grid):
         name = job_name(point, axes)
@@ -93,14 +103,16 @@ def run_sweep(grid: Dict, base_save: str = "./sweeps") -> None:
         cfg = Config.from_dict(point).validate()
         print(f"=== sweep point: {name} ===")
         metrics = train(cfg)
+        os.makedirs(os.path.join(base_save, name), exist_ok=True)
         with open(os.path.join(base_save, name, "result.json"), "w") as f:
             json.dump(metrics, f, indent=2)
 
 
 if __name__ == "__main__":
     grid = DEFAULT_GRID
-    if len(sys.argv) > 1:
-        with open(sys.argv[1]) as f:
+    paths = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if paths:
+        with open(paths[0]) as f:
             grid = json.load(f)
     if "--emit" in sys.argv:
         print("\n".join(emit_commands(grid)))

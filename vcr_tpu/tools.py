@@ -25,14 +25,25 @@ from vcr_tpu.vocab import Vocab
 
 def greedy_captions(params, spec, vocab: Vocab, feats: np.ndarray,
                     batch_size: int = 32) -> List[Dict]:
-    """feats (N_vids, num_frames, V) -> list of {tokens, caption}."""
-    _, apply_fn = build_model(spec.arch)
+    """feats (N_vids, num_frames, V) -> list of {tokens, caption}.
+
+    One jitted program for every chunk (the final short chunk zero-pads to
+    batch_size: rows are independent in eval — BN uses running stats — so
+    padding cannot change real rows, and a second compile is avoided). An
+    eager per-op dispatch here costs ~24ms per primitive through the device
+    tunnel (CLAUDE.md) — minutes for a corpus."""
+    import jax
+
+    fn = jax.jit(lambda p, v: _greedy(p, spec, v))
     out = []
     for start in range(0, len(feats), batch_size):
         chunk = feats[start:start + batch_size]
-        result = apply_fn(params, spec, jnp.asarray(chunk), train=False)
-        logits = result[0] if isinstance(result, tuple) else result
-        tokens = np.asarray(jnp.argmax(logits, axis=-1))
+        n = len(chunk)
+        if n < batch_size:
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch_size - n, *chunk.shape[1:]),
+                                 chunk.dtype)])
+        tokens = np.asarray(fn(params, jnp.asarray(chunk)))[:n]
         for row in tokens:
             out.append({"tokens": row.tolist(),
                         "caption": vocab.get_sent_from_index(row)})
@@ -117,6 +128,7 @@ def decode_corpus(cfg: Config, checkpoint_path: str = "",
                 "caption": vocab.get_sent_from_index(t)}
                for k, t in zip(keys, tokens)]
     if out_file:
+        os.makedirs(os.path.dirname(os.path.abspath(out_file)), exist_ok=True)
         with open(out_file, "w") as f:
             json.dump(results, f, indent=2)
     return results
@@ -161,6 +173,7 @@ def verify_parity(cfg: Config, checkpoint_path: str,
     captions = greedy_captions(params, spec, vocab, feats, cfg.bsize)
     results = [{"vid_key": k, **c} for k, c in zip(keys, captions)]
     if out_file:
+        os.makedirs(os.path.dirname(os.path.abspath(out_file)), exist_ok=True)
         with open(out_file, "w") as f:
             json.dump(results, f, indent=2)
     return results
