@@ -53,8 +53,12 @@ def main() -> None:
 
     import jax.numpy as jnp
 
+    from vcr_tpu.utils import benchutil
+
     rng = np.random.default_rng(0)
-    vid_feats = jax.device_put(
+    # chunked upload honors VCR_UPLOAD_CHUNK_MB (B=2048 is ~1 GB of features;
+    # the tunnel 413-rejects very large single requests) — one-shot by default
+    vid_feats = benchutil.chunked_device_put(
         rng.standard_normal((batch, 30, 4096)).astype(np.float32)
     ).astype(jnp.bfloat16)
     params = jax.device_put(params)
@@ -80,7 +84,6 @@ def main() -> None:
         np.asarray(run_n(params, vid_feats))
         dt = min(dt, time.perf_counter() - t0)
 
-    from vcr_tpu.utils import benchutil
     flops = benchutil.jaxpr_flops(run_n, params, vid_feats)  # all `iters`
     mfu = benchutil.mfu(flops, dt, jax.devices()[0])
 

@@ -54,6 +54,12 @@ def main() -> None:
             **kw)
 
     iters = int(os.environ.get("VCR_BENCH_ITERS", "10"))
+    # VCR_BENCH_SCALE=N divides every batch size by N (floor 4) — lets the
+    # whole file smoke-test on CPU in minutes; 1 (default) = real TPU sizes.
+    scale = int(os.environ.get("VCR_BENCH_SCALE", "1"))
+
+    def scaled(b):
+        return max(4, b // scale)
 
     def time_fn(name, fn, params, x, batch):
         """fn(params, x) -> any array; timed as `iters` chained on-device runs."""
@@ -67,14 +73,7 @@ def main() -> None:
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
             return c
 
-        np.asarray(run_n(params, x))  # compile + warm
-        dt = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            np.asarray(run_n(params, x))
-            dt = min(dt, time.perf_counter() - t0)
-        flops = benchutil.jaxpr_flops(run_n, params, x)
-        mfu = benchutil.mfu(flops, dt, device)
+        dt, _flops, mfu = benchutil.time_chained(run_n, (params, x), device)
         row = {
             "metric": f"{name} captions/sec/chip (B={batch}, bf16)",
             "value": round(batch * iters / dt, 2),
@@ -87,7 +86,9 @@ def main() -> None:
     def run_config(name, module, spec, feats_shape, batch):
         params = jax.device_put(
             module.init_params(jax.random.PRNGKey(0), spec, glove))
-        x = jax.device_put(
+        # chunked upload (VCR_UPLOAD_CHUNK_MB): spatial B=64 is ~1.3 GB of
+        # features — a single device_put request the tunnel may 413-reject
+        x = benchutil.chunked_device_put(
             rng.standard_normal((batch, *feats_shape)).astype(np.float32)
         ).astype(jnp.bfloat16)
 
@@ -100,15 +101,15 @@ def main() -> None:
         return params, x
 
     run_config("S2VT (MSVD-VGG 4096-d)", s2vt,
-               spec_for("s2vt", 4096, use_pallas=True), (30, 4096), 2048)
+               spec_for("s2vt", 4096, use_pallas=True), (30, 4096), scaled(2048))
     run_config("S2VT-att (MSVD resnet 512-d)", s2vt_att,
-               spec_for("s2vt-att", 512), (30, 512), 1024)
+               spec_for("s2vt-att", 512), (30, 512), scaled(1024))
 
     tr_spec = spec_for("transformer", 4096)
     tr_params, _ = run_config("Transformer (MSR-VTT 4096-d) parity", transformer,
-                              tr_spec, (30, 4096), 128)
-    tr_batch = int(os.environ.get("VCR_BENCH_TR_BATCH", "512"))
-    tr_x = jax.device_put(
+                              tr_spec, (30, 4096), scaled(128))
+    tr_batch = scaled(int(os.environ.get("VCR_BENCH_TR_BATCH", "512")))
+    tr_x = benchutil.chunked_device_put(
         rng.standard_normal((tr_batch, 30, 4096)).astype(np.float32)
     ).astype(jnp.bfloat16)
     eos_id = vocab_size - 3
@@ -149,12 +150,14 @@ def main() -> None:
             params, tr_spec, xi, beam_size=5, eos_id=eos_id)
         return tokens.astype(jnp.float32)
 
+    parity_beam_batch = min(scaled(32), beam_batch)
     time_fn("Transformer parity beam-5", tr_parity_beam,
-            tr_params, tr_x[:32], 32)
+            tr_params, tr_x[:parity_beam_batch], parity_beam_batch)
 
     run_config("RationaleNet (S2VT base)", rationale,
-               spec_for("rationale", 4096, base_arch="s2vt"), (30, 4096), 1024)
-    sp_batch = int(os.environ.get("VCR_BENCH_SP_BATCH", "64"))
+               spec_for("rationale", 4096, base_arch="s2vt"), (30, 4096),
+               scaled(1024))
+    sp_batch = scaled(int(os.environ.get("VCR_BENCH_SP_BATCH", "64")))
     run_config("SpatialNet (YOLO 1024x13x13)", spatial,
                spec_for("spatial", 1024, base_arch="s2vt", grid_size=13),
                (30, 1024, 13, 13), sp_batch)

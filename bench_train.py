@@ -60,22 +60,8 @@ def bench_family(name: str, iters: int) -> None:
     optimizer = optim.build_optimizer("adam", 2e-3, 4e-5, 1.0)
     opt_state = optimizer.init(params)
 
-    def chunked_put(arr):
-        """Upload in row slices of <= VCR_UPLOAD_CHUNK_MB (0 = one shot).
-        The axon tunnel 413-rejects very large single requests (CLAUDE.md:
-        SpatialNet B=32 = ~665 MB of features); slicing the host->device
-        transfer bounds each request while producing the same device array.
-        Also the right shape for real hosts: bounded-size DMAs pipeline."""
-        limit_mb = float(os.environ.get("VCR_UPLOAD_CHUNK_MB", "0"))
-        if not limit_mb or arr.nbytes <= limit_mb * 1e6:
-            return jax.device_put(arr)
-        rows_per = max(1, int(limit_mb * 1e6 // max(arr[:1].nbytes, 1)))
-        parts = [jax.device_put(arr[i:i + rows_per])
-                 for i in range(0, arr.shape[0], rows_per)]
-        return jnp.concatenate(parts, axis=0)
-
     batch_data = {
-        "vid_feats": chunked_put(
+        "vid_feats": benchutil.chunked_device_put(
             rng.standard_normal((batch, *feats_shape)).astype(np.float32)
         ).astype(jnp.bfloat16),
         "sent": jax.device_put(rng.integers(0, vocab_size, (batch, 20)).astype(np.int32)),

@@ -40,6 +40,8 @@ def main() -> int:
     ap.add_argument("--trace", default="", help="jax.profiler trace dir")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batches", default="512,1024,2048")
+    ap.add_argument("--pad_batches", default="1024,2048",
+                    help="batch sizes for the 512->1024 feature-pad experiment")
     args = ap.parse_args()
 
     from vcr_tpu.utils import backend_probe
@@ -68,20 +70,12 @@ def main() -> int:
         print(json.dumps(row), flush=True)
 
     def timed(label, run_n, *xs, flops_of=None, batch=None):
-        np.asarray(run_n(*xs))  # compile + warm
-        dt = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            np.asarray(run_n(*xs))
-            dt = min(dt, time.perf_counter() - t0)
+        dt, _flops, m = benchutil.time_chained(run_n, xs, device)
         row = {"metric": label, "step_ms": round(dt / iters * 1e3, 3)}
         if batch:
             row["videos_per_s"] = round(batch * iters / dt, 1)
-        if flops_of is not None:
-            flops = benchutil.jaxpr_flops(run_n, *xs)
-            m = benchutil.mfu(flops, dt, device)
-            if m is not None:
-                row["mfu"] = round(m, 4)
+        if flops_of is not None and m is not None:
+            row["mfu"] = round(m, 4)
         emit(**row)
         return dt
 
@@ -162,7 +156,7 @@ def main() -> int:
 
     # 3. feature-width pad 512 -> 1024 (equal batch, same logical work)
     spec2, params2, opt2, opt_state2, train_step2 = build(1024)
-    for b in (1024, 2048):
+    for b in [int(x) for x in args.pad_batches.split(",") if x]:
         batch = {
             "vid_feats": jax.device_put(
                 np.concatenate([

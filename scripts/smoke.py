@@ -21,8 +21,10 @@ sys.path.insert(0, os.path.join(
 
 import jax  # noqa: E402
 
+# CLAUDE.md: CPU runs must set BOTH (the session env pins JAX_PLATFORMS=axon
+# and a sitecustomize force-registers the backend)
+os.environ["JAX_PLATFORMS"] = "cpu"
 jax.config.update("jax_platforms", "cpu")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 
 def main() -> None:

@@ -84,3 +84,35 @@ def test_mfu_none_on_unknown_device():
     class V5e:
         device_kind = "TPU v5 lite"
     assert abs(benchutil.mfu(197e12, 1.0, V5e()) - 1.0) < 1e-9
+
+
+def test_chunked_device_put_matches_one_shot():
+    rng = np.random.default_rng(3)
+    arr = rng.standard_normal((17, 5)).astype(np.float32)  # odd row count
+    # 1 row is 20 bytes; 50e-6 MB => 2 rows/request => 9 uneven slices
+    out = benchutil.chunked_device_put(arr, limit_mb=50e-6)
+    assert isinstance(out, jax.Array)
+    np.testing.assert_array_equal(np.asarray(out), arr)
+    # above-limit size and limit 0 take the single-shot path
+    np.testing.assert_array_equal(
+        np.asarray(benchutil.chunked_device_put(arr, limit_mb=0)), arr)
+    np.testing.assert_array_equal(
+        np.asarray(benchutil.chunked_device_put(arr, limit_mb=10)), arr)
+    # 0-d passthrough must not try to row-slice
+    assert float(benchutil.chunked_device_put(np.float32(4.0), 1e-9)) == 4.0
+
+
+def test_time_chained_returns_timing_flops_mfu():
+    x = jnp.ones((16, 16), jnp.float32)
+
+    @jax.jit
+    def run_n(x):
+        def body(c, _):
+            return c @ x, None
+        c, _ = jax.lax.scan(body, x, None, length=3)
+        return c
+
+    dt, flops, mfu = benchutil.time_chained(run_n, (x,), jax.devices()[0])
+    assert dt > 0
+    assert flops == 3 * 2 * 16 ** 3
+    assert mfu is None  # CPU device kind is unknown to the peak table

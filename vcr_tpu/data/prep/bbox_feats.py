@@ -44,14 +44,24 @@ def extract_bbox_feats(cfg) -> None:
     print("Network successfully loaded")
     assert cfg.img_size % 32 == 0 and cfg.img_size > 32  # extract_bbox_feats.py:82-83
 
+    # params are a jit ARGUMENT (closing over them would bake ~240 MB of
+    # YOLO weights into the lowered program as constants — the documented
+    # constant-folding/upload trap, serving.py bottom note), and the frame
+    # batch is padded to a FIXED num_frames so short clips don't force one
+    # recompile per distinct length (CLAUDE.md: fixed shapes everywhere).
     @jax.jit
-    def featurize(images):
-        return net.get_feats(images, compute_dtype=jnp.bfloat16)
+    def featurize(params, images):
+        return net.get_feats(images, compute_dtype=jnp.bfloat16, params=params)
 
     for video in clips:
         base = os.path.splitext(video)[0]
         raw = F.decode_frames(os.path.join(clips_dir, video))
         idxs = F.subsample_indices(len(raw), cfg.num_frames)
         batch = np.stack([F.prep_image_yolo(raw[i], cfg.img_size)[0] for i in idxs])
-        feats = np.asarray(featurize(batch))
+        n = batch.shape[0]
+        if n < cfg.num_frames:
+            batch = np.concatenate(
+                [batch, np.zeros((cfg.num_frames - n, *batch.shape[1:]),
+                                 batch.dtype)])
+        feats = np.asarray(featurize(net.params, batch))[:n]
         np.save(os.path.join(feats_dir, base + ".npy"), feats)

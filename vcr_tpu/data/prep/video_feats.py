@@ -62,9 +62,12 @@ def extract_video_feats(cfg, resnet_params=None) -> None:
             resnet_params = resnet.init_params(jax.random.PRNGKey(cfg.seed),
                                                cfg.vision_arch)
 
+    # params as a jit ARGUMENT + fixed num_frames batch shape — see the
+    # twin comment in bbox_feats.py (constant-folding trap / per-length
+    # recompiles)
     @jax.jit
-    def featurize(images):
-        return resnet.extract_features(resnet_params, images,
+    def featurize(params, images):
+        return resnet.extract_features(params, images,
                                        compute_dtype=jnp.bfloat16)
 
     for video in clips:
@@ -73,7 +76,12 @@ def extract_video_feats(cfg, resnet_params=None) -> None:
         idxs = F.subsample_indices(len(raw), cfg.num_frames)
         batch = np.stack([F.preprocess_frame_cnn(raw[i], cfg.img_size)
                           for i in idxs])
-        feats = np.asarray(featurize(batch))
+        n = batch.shape[0]
+        if n < cfg.num_frames:
+            batch = np.concatenate(
+                [batch, np.zeros((cfg.num_frames - n, *batch.shape[1:]),
+                                 batch.dtype)])
+        feats = np.asarray(featurize(resnet_params, batch))[:n]
         np.save(os.path.join(feats_dir, base + ".npy"), feats)
 
 

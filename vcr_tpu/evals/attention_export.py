@@ -29,6 +29,18 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
+
+def _load_feats_padded(path: str, num_frames: int) -> np.ndarray:
+    """(1, num_frames, ...) float32 — the runtime pipeline's zero-pad/
+    truncate rule (data/pipeline.py load_features), one home for both
+    exporters so maps always match what the model saw."""
+    feats = np.load(path)[None]
+    if feats.shape[1] < num_frames:
+        pad = np.zeros((1, num_frames - feats.shape[1], *feats.shape[2:]),
+                       feats.dtype)
+        feats = np.concatenate([feats, pad], axis=1)
+    return feats[:, :num_frames].astype(np.float32)
+
 def load_spatial_net(spatial_net_file: str, data_dir: str):
     """Rebuild SpatialNet purely from a checkpoint (eval_attention.py:77-91):
     the embedded config supplies every hyperparameter."""
@@ -57,13 +69,8 @@ def export_video(params, spec, cfg, clips_dir: str, bbox_feats_dir: str,
     frame_list = [raw[i] for i in idxs]
     base = os.path.splitext(os.path.basename(vid_file))[0]
 
-    vid_feats = np.load(os.path.join(bbox_feats_dir, base + ".npy"))[None]
-    # zero-pad/truncate to num_frames like the runtime pipeline
-    if vid_feats.shape[1] < cfg.num_frames:
-        pad = np.zeros((1, cfg.num_frames - vid_feats.shape[1],
-                        *vid_feats.shape[2:]), vid_feats.dtype)
-        vid_feats = np.concatenate([vid_feats, pad], axis=1)
-    vid_feats = vid_feats[:, :cfg.num_frames].astype(np.float32)
+    vid_feats = _load_feats_padded(
+        os.path.join(bbox_feats_dir, base + ".npy"), cfg.num_frames)
 
     seq_alphas = compute_seq_alphas(params, spec, vid_feats)
     grid = seq_alphas.shape[1]
@@ -100,12 +107,8 @@ def export_rationale_video(params, spec, cfg, clips_dir: str, feats_dir: str,
     frame_list = [raw[i] for i in idxs]
     base = os.path.splitext(os.path.basename(vid_file))[0]
 
-    vid_feats = np.load(os.path.join(feats_dir, base + ".npy"))[None]
-    if vid_feats.shape[1] < cfg.num_frames:
-        pad = np.zeros((1, cfg.num_frames - vid_feats.shape[1],
-                        *vid_feats.shape[2:]), vid_feats.dtype)
-        vid_feats = np.concatenate([vid_feats, pad], axis=1)
-    vid_feats = vid_feats[:, :cfg.num_frames].astype(np.float32)
+    vid_feats = _load_feats_padded(
+        os.path.join(feats_dir, base + ".npy"), cfg.num_frames)
 
     _, probs = rationale.apply(params, spec, vid_feats,
                                rng=jax.random.PRNGKey(cfg.seed), train=False)

@@ -337,9 +337,15 @@ class Darknet:
         dets, _, _ = self._trace(self.params, x, compute_dtype, False)
         return jnp.concatenate(dets, axis=1)
 
-    def get_feats(self, x: jax.Array, compute_dtype=jnp.bfloat16) -> jax.Array:
+    def get_feats(self, x: jax.Array, compute_dtype=jnp.bfloat16,
+                  params=None) -> jax.Array:
         """The bbox-feature cut: outputs[first_yolo - 2] — the 13x13 map two
-        layers before the first detection head (darknet.py:362-386)."""
-        _, outputs, first_yolo = self._trace(self.params, x, compute_dtype, True)
+        layers before the first detection head (darknet.py:362-386).
+
+        Pass ``params`` explicitly when calling under jit so the ~240 MB of
+        YOLO weights are a traced ARGUMENT rather than baked-in constants
+        (see data/prep/bbox_feats.py)."""
+        _, outputs, first_yolo = self._trace(
+            self.params if params is None else params, x, compute_dtype, True)
         assert first_yolo is not None, "cfg has no yolo block"
         return outputs[first_yolo - 2]

@@ -75,16 +75,20 @@ def _bn(p, x, eps=1e-5):
         + p["bias"][None, :, None, None]
 
 
-def _basic_block(p, x, stride):
+def _basic_block(p, x, stride, cdtype=jnp.float32):
     # explicit torch-style padding: pad=1 both sides (XLA "SAME" pads
     # asymmetrically for stride 2, which would break torchvision weight parity)
+    # x arrives in cdtype; conv outputs accumulate f32
+    # (preferred_element_type) and _bn keeps f32 — cast back to cdtype before
+    # the NEXT conv so every conv's MXU pass actually runs at compute_dtype
+    # (f32 in, f32 weights = ~half MXU rate; fp32 parity mode is a no-op).
     pad1 = [(1, 1), (1, 1)]
     out = jax.nn.relu(_bn(p["bn1"], _conv(x, p["conv1"], stride, pad1)))
-    out = _bn(p["bn2"], _conv(out, p["conv2"], 1, pad1))
+    out = _bn(p["bn2"], _conv(out.astype(cdtype), p["conv2"], 1, pad1))
     if "downsample" in p:
         x = _bn(p["downsample"]["bn"], _conv(x, p["downsample"]["conv"], stride,
                                              [(0, 0), (0, 0)]))
-    return jax.nn.relu(out + x)
+    return jax.nn.relu(out + x).astype(cdtype)
 
 
 def extract_features(params: Dict, images: jax.Array,
@@ -97,10 +101,11 @@ def extract_features(params: Dict, images: jax.Array,
     # 3x3 max pool stride 2, padding 1
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
                               [(0, 0), (0, 0), (1, 1), (1, 1)])
+    x = x.astype(compute_dtype)
     for stage, stage_params in enumerate(params["layers"]):
         for b, blk in enumerate(stage_params):
             stride = 2 if (stage > 0 and b == 0) else 1
-            x = _basic_block(blk, x, stride)
+            x = _basic_block(blk, x, stride, compute_dtype)
     return jnp.mean(x, axis=(2, 3)).astype(jnp.float32)  # global avg pool
 
 

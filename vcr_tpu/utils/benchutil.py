@@ -116,3 +116,46 @@ def mfu(flops_total: Optional[float], seconds: float, device) -> Optional[float]
     if flops_total is None or peak is None or seconds <= 0:
         return None
     return flops_total / seconds / peak
+
+
+def chunked_device_put(arr, limit_mb: Optional[float] = None):
+    """device_put in row slices of <= limit_mb (default from env
+    VCR_UPLOAD_CHUNK_MB; 0/unset = one shot). Bounds each host->device
+    request — the session's device tunnel 413-rejects very large single
+    transfers, and bounded DMAs pipeline better on real hosts too. Returns
+    the same logical device array either way."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    arr = np.asarray(arr)
+    if limit_mb is None:
+        limit_mb = float(os.environ.get("VCR_UPLOAD_CHUNK_MB", "0"))
+    if not limit_mb or arr.nbytes <= limit_mb * 1e6 or arr.ndim == 0:
+        return jax.device_put(arr)
+    rows_per = max(1, int(limit_mb * 1e6 // max(arr[:1].nbytes, 1)))
+    return jnp.concatenate([jax.device_put(arr[i:i + rows_per])
+                            for i in range(0, arr.shape[0], rows_per)], axis=0)
+
+
+def time_chained(run_n, args, device, reps: int = 2):
+    """The repo's one benchmark timing discipline (CLAUDE.md): the measured
+    fn must already chain its iterations ON DEVICE inside one jit (dispatch
+    through the tunnel costs ~24ms, so per-iteration host loops measure the
+    tunnel). Compiles+warms once, takes the min over ``reps`` timed calls,
+    and returns (seconds, flops, mfu) with flops from the jaxpr walker
+    (XLA's cost model counts scan bodies once).  mfu/flops may be None."""
+    import time
+
+    import numpy as np
+
+    np.asarray(run_n(*args))  # compile + warm
+    dt = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(run_n(*args))
+        dt = min(dt, time.perf_counter() - t0)
+    flops = jaxpr_flops(run_n, *args)
+    return dt, flops, mfu(flops, dt, device)
