@@ -265,3 +265,50 @@ def test_cider_d_raw_count_tf_golden():
     want = (10.0 * 0.5 * _math.exp(-1.0 / 72.0) / 4.0 + 2.5) / 2.0
     score = m.cider_d(["a a", "b"], [["a"], ["b"]])
     assert abs(score - want) < 1e-12
+
+
+# ------------------------------------------- ROUGE-L anchored to rouge_score
+
+def test_rouge_l_matches_rouge_score_package():
+    """LCS precision/recall externally anchored against Google's rouge_score
+    (coco-caption's F uses beta=1.2 where rouge_score fixes beta=1, so F is
+    recomputed from the package's own P/R via the same formula)."""
+    import random
+
+    from rouge_score import rouge_scorer
+
+    class _WhitespaceTok:
+        def tokenize(self, text):
+            return text.lower().split()
+
+    scorer = rouge_scorer.RougeScorer(["rougeL"], tokenizer=_WhitespaceTok())
+    pool = ("cat dog table chair runs jumps sits red blue small the a on "
+            "under over garden river child book tree").split()
+    rng = random.Random(11)
+    beta = 1.2
+    for _ in range(200):
+        hyp = " ".join(rng.choices(pool, k=rng.randint(1, 12)))
+        refs = [" ".join(rng.choices(pool, k=rng.randint(1, 12)))
+                for _ in range(rng.randint(1, 3))]
+        prec = max(scorer.score(r, hyp)["rougeL"].precision for r in refs)
+        rec = max(scorer.score(r, hyp)["rougeL"].recall for r in refs)
+        if prec == 0.0 or rec == 0.0:
+            want = 0.0
+        else:
+            want = (1 + beta ** 2) * prec * rec / (rec + beta ** 2 * prec)
+        got = m.rouge_l(hyp, refs)
+        assert abs(got - want) < 1e-12, (hyp, refs, got, want)
+
+
+def test_rouge_l_identity_and_corpus_mean():
+    assert abs(m.rouge_l("a cat sat", ["a cat sat"]) - 1.0) < 1e-12
+    assert m.rouge_l("x y z", ["a b c"]) == 0.0
+    one = m.rouge_l("a cat", ["a cat sat on the mat"])
+    got = m.corpus_rouge_l(["a cat", "x"], [["a cat sat on the mat"], ["y"]])
+    assert abs(got - one / 2) < 1e-12
+    assert m.corpus_rouge_l([], []) == 0.0
+
+
+def test_rouge_l_empty_hyp_or_ref():
+    assert m.rouge_l("", ["a b"]) == 0.0
+    assert m.rouge_l("a b", [""]) == 0.0

@@ -24,6 +24,11 @@ environment, so:
   corpus BLEU (uniform 4-gram weights, standard brevity penalty).
 * :func:`cider_d` implements CIDEr-D (tf-idf 1..4-gram cosine with length
   penalty, x10), required by the north-star parity target (BASELINE.md).
+* :func:`rouge_l` / :func:`corpus_rouge_l` implement ROUGE-L with
+  coco-caption semantics (beta=1.2, max P/R over refs), externally anchored
+  against the rouge_score package — the reference's nlg-eval harness offers
+  ROUGE_L (train.py:115-119 deliberately omits it; users who re-enable it
+  find it here).
 """
 
 from __future__ import annotations
@@ -333,6 +338,53 @@ def corpus_bleu(hyps: Sequence[str], refs_list: Sequence[Sequence[str]],
         log_p += math.log(clipped[n] / max(totals[n], 1)) / max_n
     bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len / max(hyp_len, 1))
     return bp * math.exp(log_p)
+
+
+# ---------------------------------------------------------------- ROUGE-L
+
+def _lcs_len(a: List[str], b: List[str]) -> int:
+    """Longest-common-subsequence length, O(|a|·|b|) single-row DP."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l(hyp: str, refs: Sequence[str], beta: float = 1.2) -> float:
+    """Sentence ROUGE-L with coco-caption semantics (pycocoevalcap
+    rouge.py calc_score): per-reference LCS precision/recall, MAX of each
+    over the reference set, then F_beta with beta=1.2. The reference's
+    nlg-eval harness exposes this metric (train.py:115-119 lists ROUGE_L in
+    metrics_to_omit — i.e. available, deliberately skipped); externally
+    anchored against Google's rouge_score package in tests/test_metrics.py
+    (same P/R; rouge_score fixes beta=1, so F is recomputed from its P/R)."""
+    h = tokenize(hyp)
+    if not h:
+        return 0.0
+    prec, rec = 0.0, 0.0
+    for ref in refs:
+        r = tokenize(ref)
+        if not r:
+            continue
+        lcs = _lcs_len(r, h)
+        prec = max(prec, lcs / len(h))
+        rec = max(rec, lcs / len(r))
+    if prec == 0.0 or rec == 0.0:
+        return 0.0
+    return (1 + beta ** 2) * prec * rec / (rec + beta ** 2 * prec)
+
+
+def corpus_rouge_l(hyps: Sequence[str], refs_list: Sequence[Sequence[str]],
+                   beta: float = 1.2) -> float:
+    """Corpus ROUGE-L: mean of sentence scores (pycocoevalcap compute_score)."""
+    if not hyps:
+        return 0.0
+    return sum(rouge_l(h, rs, beta) for h, rs in zip(hyps, refs_list)) / len(hyps)
 
 
 # ---------------------------------------------------------------- CIDEr-D

@@ -3,7 +3,7 @@ near-identical loops (train.py:79-205, train_rationale.py:93-205,
 train_spatial.py:74-192), parameterized by workload.
 
 Loop semantics preserved: per-epoch teacher-force schedule, windowed train
-logging, per-epoch validation with METEOR (plus BLEU-4 / CIDEr, new —
+logging, per-epoch validation with METEOR (plus BLEU-4 / CIDEr / ROUGE-L, new —
 BASELINE.md requires them), sample-sentence printing, latest/best
 checkpointing keyed on val METEOR with >= improvement, resume.
 """
@@ -129,7 +129,7 @@ def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0,
              place=None, beam_fn=None):
     """Validation pass (reference train.py:46-76): per-batch metrics averaged
     over batches, per-sample METEOR, sampled (hyp, ref, vid) triples. Adds
-    corpus BLEU-4 and CIDEr-D over the whole split.
+    corpus BLEU-4, CIDEr-D and ROUGE-L over the whole split.
 
     beam_fn: optional jitted (params, vid_feats, rng) -> (tokens (B,K,L),
     scores); when given, caption metrics score the beam-best hypotheses while
@@ -191,12 +191,13 @@ def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0,
     avg["METEOR"] = meteor_sum / max(num_batches, 1)
     avg["BLEU4"] = qmetrics.corpus_bleu(all_hyps, all_refs)
     avg["CIDEr"] = qmetrics.cider_d(all_hyps, all_refs)
+    avg["ROUGE_L"] = qmetrics.corpus_rouge_l(all_hyps, all_refs)
     return avg, sampler.get(), time.time() - t0
 
 
 def evaluate_checkpoint(cfg: Config, ckpt_path: str = "") -> Dict[str, float]:
     """Eval-only: load a vcr_tpu checkpoint (default <save_path>/model_best)
-    and run the validation pass (metrics incl. METEOR/BLEU-4/CIDEr).
+    and run the validation pass (metrics incl. METEOR/BLEU-4/CIDEr/ROUGE-L).
 
     The model is rebuilt from the checkpoint's EMBEDDED config — the CLI only
     supplies I/O knobs (data_dir, bsize, ...), so `--mode eval --save_path X`
