@@ -312,3 +312,77 @@ def test_rouge_l_identity_and_corpus_mean():
 def test_rouge_l_empty_hyp_or_ref():
     assert m.rouge_l("", ["a b"]) == 0.0
     assert m.rouge_l("a b", [""]) == 0.0
+
+
+# --------------------------------------------- embedding metrics (GloVe-based)
+
+def _toy_lookup():
+    import numpy as np
+
+    table = {
+        "cat": np.array([1.0, 0.0]),
+        "dog": np.array([0.0, 1.0]),
+        "kitten": np.array([0.8, 0.6]),   # unit, 0.8 cosine to cat
+        "neg": np.array([-2.0, 0.0]),
+    }
+    return lambda w: table.get(w)
+
+
+def test_embedding_average_golden():
+    import math
+
+    lk = _toy_lookup()
+    # identical sentence -> 1.0
+    assert abs(m.embedding_average("cat dog", ["cat dog"], lk) - 1.0) < 1e-12
+    # mean(cat,dog)=(.5,.5) vs cat=(1,0): cos = .5/(sqrt(.5)*1)
+    want = 0.5 / math.sqrt(0.5)
+    assert abs(m.embedding_average("cat dog", ["cat"], lk) - want) < 1e-12
+    # max over refs picks the identical one
+    assert abs(m.embedding_average("cat dog", ["cat", "cat dog"], lk) - 1.0) < 1e-12
+    # OOV-only -> 0
+    assert m.embedding_average("zzz", ["cat"], lk) == 0.0
+    assert m.embedding_average("cat", ["zzz"], lk) == 0.0
+
+
+def test_vector_extrema_golden():
+    lk = _toy_lookup()
+    # extrema of (cat, neg) picks -2 on dim0 (|−2| > |1|) -> (-2, 0)
+    # vs ref cat (1,0): cos = -1 -> max(best,.) keeps 0.0 floor
+    assert m.vector_extrema("cat neg", ["cat"], lk) == 0.0
+    # extrema of (cat, dog) = (1,1); vs kitten (.8,.6): cos=(1.4)/(sqrt2*1)
+    import math
+    want = 1.4 / math.sqrt(2.0)
+    assert abs(m.vector_extrema("cat dog", ["kitten"], lk) - want) < 1e-12
+
+
+def test_greedy_matching_golden():
+    lk = _toy_lookup()
+    # hyp "cat dog" vs ref "cat": G(h,r) = mean(1, 0) = .5 ; G(r,h) = 1
+    assert abs(m.greedy_matching("cat dog", ["cat"], lk) - 0.75) < 1e-12
+    # identity -> 1
+    assert abs(m.greedy_matching("cat dog", ["cat dog"], lk) - 1.0) < 1e-12
+
+
+def test_corpus_embedding_metrics_mean():
+    lk = _toy_lookup()
+    got = m.corpus_embedding_metrics(
+        ["cat", "dog"], [["cat"], ["cat"]], lk)
+    assert abs(got["EmbAverage"] - 0.5) < 1e-12       # (1 + 0)/2
+    assert abs(got["GreedyMatching"] - 0.5) < 1e-12
+    assert abs(got["VectorExtrema"] - 0.5) < 1e-12
+    empty = m.corpus_embedding_metrics([], [], lk)
+    assert empty == {"EmbAverage": 0.0, "VectorExtrema": 0.0,
+                     "GreedyMatching": 0.0}
+
+
+def test_vocab_lookup_adapter(tmp_path):
+    import numpy as np
+
+    glove = tmp_path / "g.txt"
+    glove.write_text("cat 1.0 0.0\ndog 0.0 1.0\n")
+    from vcr_tpu.vocab import Vocab
+    v = Vocab(str(glove))
+    lk = m.vocab_lookup(v)
+    np.testing.assert_allclose(lk("cat"), [1.0, 0.0])
+    assert lk("unknown-word-zzz") is None
+    assert abs(m.embedding_average("cat", ["cat"], lk) - 1.0) < 1e-12

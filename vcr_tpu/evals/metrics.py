@@ -387,6 +387,129 @@ def corpus_rouge_l(hyps: Sequence[str], refs_list: Sequence[Sequence[str]],
     return sum(rouge_l(h, rs, beta) for h, rs in zip(hyps, refs_list)) / len(hyps)
 
 
+# ------------------------------------------------- embedding-based metrics
+#
+# The reference's nlg-eval harness also offers three GloVe-embedding metrics
+# (train.py:115-119 lists EmbeddingAverageCosineSimilairty [sic],
+# VectorExtremaCosineSimilarity, GreedyMatchingScore in metrics_to_omit).
+# These need only word vectors, which this framework already loads (Vocab).
+# Implemented to the source papers' definitions — embedding average (Landauer
+# & Dumais style mean-vector cosine), vector extrema (Forgues et al. 2014),
+# greedy matching (Rus & Lintean 2012, symmetrized) — with this repo's
+# multi-reference convention (max over refs, mean over corpus). nlg-eval's
+# exact multi-reference column aggregation is unverifiable offline
+# (PARITY.md); SkipThoughtCS needs a pretrained encoder and stays env-blocked.
+
+def _embed_tokens(tokens: List[str], lookup) -> List:
+    """lookup: word -> vector or None (OOV). Returns the non-OOV vectors."""
+    vecs = []
+    for t in tokens:
+        v = lookup(t)
+        if v is not None:
+            vecs.append(v)
+    return vecs
+
+
+def _cosine(a, b) -> float:
+    import numpy as np
+
+    na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return float(np.dot(a, b) / (na * nb))
+
+
+def vocab_lookup(vocab):
+    """word -> vector adapter over a vcr_tpu Vocab (None for OOV)."""
+    def lookup(word: str):
+        idx = vocab.word_to_index.get(word)
+        return None if idx is None else vocab.vectors[idx]
+    return lookup
+
+
+def embedding_average(hyp: str, refs: Sequence[str], lookup) -> float:
+    """Cosine between the mean hyp word vector and the mean ref word vector,
+    max over references (cosine is scale-invariant, so mean == nlg-eval's
+    normalized sum)."""
+    import numpy as np
+
+    h = _embed_tokens(tokenize(hyp), lookup)
+    if not h:
+        return 0.0
+    h_avg = np.mean(h, axis=0)
+    best = 0.0
+    for ref in refs:
+        r = _embed_tokens(tokenize(ref), lookup)
+        if r:
+            best = max(best, _cosine(h_avg, np.mean(r, axis=0)))
+    return best
+
+
+def vector_extrema(hyp: str, refs: Sequence[str], lookup) -> float:
+    """Cosine between per-dimension extrema vectors (the coordinate of max
+    magnitude across the sentence's words, sign kept — Forgues et al. 2014),
+    max over references."""
+    import numpy as np
+
+    def extrema(vecs):
+        m = np.stack(vecs)
+        hi, lo = m.max(axis=0), m.min(axis=0)
+        return np.where(hi > -lo, hi, lo)
+
+    h = _embed_tokens(tokenize(hyp), lookup)
+    if not h:
+        return 0.0
+    h_ext = extrema(h)
+    best = 0.0
+    for ref in refs:
+        r = _embed_tokens(tokenize(ref), lookup)
+        if r:
+            best = max(best, _cosine(h_ext, extrema(r)))
+    return best
+
+
+def greedy_matching(hyp: str, refs: Sequence[str], lookup) -> float:
+    """Symmetrized greedy matching (Rus & Lintean 2012): G(a,b) = mean over
+    a's words of the max cosine to any word of b; score = (G(h,r)+G(r,h))/2,
+    max over references."""
+    import numpy as np
+
+    def norm_rows(vecs):
+        m = np.stack(vecs).astype(np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        return m / n
+
+    h = _embed_tokens(tokenize(hyp), lookup)
+    if not h:
+        return 0.0
+    hm = norm_rows(h)
+    best = 0.0
+    for ref in refs:
+        r = _embed_tokens(tokenize(ref), lookup)
+        if not r:
+            continue
+        rm = norm_rows(r)
+        sims = hm @ rm.T                        # (|h|, |r|) cosines
+        g_hr = float(sims.max(axis=1).mean())
+        g_rh = float(sims.max(axis=0).mean())
+        best = max(best, (g_hr + g_rh) / 2.0)
+    return best
+
+
+def corpus_embedding_metrics(hyps: Sequence[str],
+                             refs_list: Sequence[Sequence[str]],
+                             lookup) -> Dict[str, float]:
+    """Mean-over-corpus of the three embedding metrics, one pass."""
+    n = max(len(hyps), 1)
+    out = {"EmbAverage": 0.0, "VectorExtrema": 0.0, "GreedyMatching": 0.0}
+    for hyp, refs in zip(hyps, refs_list):
+        out["EmbAverage"] += embedding_average(hyp, refs, lookup)
+        out["VectorExtrema"] += vector_extrema(hyp, refs, lookup)
+        out["GreedyMatching"] += greedy_matching(hyp, refs, lookup)
+    return {k: v / n for k, v in out.items()}
+
+
 # ---------------------------------------------------------------- CIDEr-D
 
 def cider_d(hyps: Sequence[str], refs_list: Sequence[Sequence[str]],

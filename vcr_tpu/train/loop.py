@@ -192,6 +192,8 @@ def evaluate(eval_step, params, val_it, vocab, log_keys, n_sample_sent, seed=0,
     avg["BLEU4"] = qmetrics.corpus_bleu(all_hyps, all_refs)
     avg["CIDEr"] = qmetrics.cider_d(all_hyps, all_refs)
     avg["ROUGE_L"] = qmetrics.corpus_rouge_l(all_hyps, all_refs)
+    avg.update(qmetrics.corpus_embedding_metrics(
+        all_hyps, all_refs, qmetrics.vocab_lookup(vocab)))
     return avg, sampler.get(), time.time() - t0
 
 
