@@ -386,3 +386,34 @@ def test_vocab_lookup_adapter(tmp_path):
     np.testing.assert_allclose(lk("cat"), [1.0, 0.0])
     assert lk("unknown-word-zzz") is None
     assert abs(m.embedding_average("cat", ["cat"], lk) - 1.0) < 1e-12
+
+
+def test_corpus_bleu_matches_sacrebleu():
+    """Second external anchor (nltk is the first): sacrebleu with
+    tokenize='none', no smoothing — identical closest-ref-length brevity
+    penalty and clipped modified precisions."""
+    import random
+
+    import sacrebleu
+
+    pool = "cat dog runs the a on".split()
+    rng = random.Random(5)
+    hyps, refs_list = [], []
+    for _ in range(60):
+        base = rng.choices(pool, k=rng.randint(6, 14))
+        hyps.append(" ".join(base))
+
+        def perturb(t):
+            t = list(t)
+            if len(t) > 4 and rng.random() < 0.7:
+                i = rng.randrange(len(t))
+                t[i] = rng.choice(pool)
+            return " ".join(t)
+
+        refs_list.append([perturb(base), perturb(base)])
+
+    ours = m.corpus_bleu(hyps, refs_list)
+    streams = [[r[i] for r in refs_list] for i in range(2)]
+    want = sacrebleu.corpus_bleu(hyps, streams, smooth_method="none",
+                                 tokenize="none", force=True).score / 100.0
+    assert abs(ours - want) < 1e-12
