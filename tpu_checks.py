@@ -80,6 +80,31 @@ def main() -> int:
                     p, x, compute_dtype=jnp.float32))(bp, xs),
                 rnn.bilstm_sequence(bp, xs, compute_dtype=jnp.float32))
 
+    # Round-3 serving path: the gather-free lineage fast beam must emit
+    # token-identical results to the physically-reordering gather beam when
+    # COMPILED on real hardware too (the suite proves it in CPU interpret
+    # mode; one-hot-contraction reads could round differently on the MXU —
+    # token ids are argmax-discrete, so identity is exact or broken).
+    from vcr_tpu import decode as vdecode
+    from vcr_tpu.models import base as mbase, transformer
+
+    tspec = mbase.ModelSpec(
+        arch="transformer", vocab_size=512, embed_size=300, hidden_size=512,
+        vid_feat_size=4096, max_len=12, num_frames=8, dropout_p=0.0,
+        sos_id=508, compute_dtype="bfloat16", vocab_pad_to=128)
+    tparams = jax.device_put(transformer.init_params(
+        jax.random.PRNGKey(3), tspec,
+        rng.standard_normal((512, 300)).astype(np.float32)))
+    tx = jnp.asarray(rng.standard_normal((8, 8, 4096)), jnp.float32
+                     ).astype(jnp.bfloat16)
+    tok_lineage, _ = jax.jit(lambda p, x: vdecode.transformer_beam_decode_fast(
+        p, tspec, x, beam_size=5, eos_id=509, lineage=True))(tparams, tx)
+    tok_gather, _ = jax.jit(lambda p, x: vdecode.transformer_beam_decode_fast(
+        p, tspec, x, beam_size=5, eos_id=509, lineage=False))(tparams, tx)
+    same = bool(np.array_equal(np.asarray(tok_lineage), np.asarray(tok_gather)))
+    print(f"{'PASS' if same else 'FAIL'}  lineage beam ≡ gather beam (compiled)")
+    ok &= same
+
     print("ALL PASS" if ok else "FAILURES")
     return 0 if ok else 1
 
