@@ -104,6 +104,24 @@ if not torch.cuda.is_available():
 # with --dropout_p 0 this is a no-op for the RNN families.
 torch.nn.Dropout.forward = lambda self, x: x
 
+# RationaleNet draws fresh Gumbel noise every forward (RationaleNet.py:49-50);
+# like dropout, that stream is not seed-matchable across frameworks. Whole-run
+# rationale equivalence therefore runs both sides in ZERO-NOISE mode: this
+# patch makes F.gumbel_softmax deterministic (softmax(logits/tau); hard =
+# straight-through one-hot, exactly torch's formula with gumbels = 0), and
+# the vcr_tpu bootstrap sets nn.gumbel.ZERO_NOISE = True. The stochastic
+# per-step math is proven by the shared-drawn-noise lockstep test
+# (tests/test_train_equivalence.py RationaleNet). No-op for other archs.
+import torch.nn.functional as _F
+def _zero_noise_gumbel(logits, tau=1.0, hard=False, eps=1e-10, dim=-1):
+    y_soft = (logits / tau).softmax(dim)
+    if hard:
+        index = y_soft.max(dim, keepdim=True)[1]
+        y_hard = torch.zeros_like(y_soft).scatter_(dim, index, 1.0)
+        return y_hard - y_soft.detach() + y_soft
+    return y_soft
+_F.gumbel_softmax = _zero_noise_gumbel
+
 # torchvision is not installed here; train.py/dataset.py import it at module
 # scope but the caption families never call into it (imports only feed the
 # feature-extraction modes, which this harness does not run).
@@ -140,6 +158,12 @@ def build_model():
         from model.SpatialNet import SpatialNet
         return SpatialNet(glove_loader, opts.dropout_p, opts.hidden_size,
                           opts.vid_feat_size, opts.max_len, opts.arch)
+    if opts.mode == "train_rationale":
+        # RationaleNet wraps the base captioner (train_rationale.py:109)
+        from model.RationaleNet import RationaleNet
+        return RationaleNet(glove_loader, opts.dropout_p, opts.hidden_size,
+                            opts.vid_feat_size, opts.max_len, opts.tau,
+                            opts.arch, None)
     if opts.arch == "s2vt":
         from model.S2VTModel import S2VTModel
         return S2VTModel(glove_loader, opts.dropout_p, opts.hidden_size,
@@ -174,6 +198,8 @@ torch.save({{"epoch": -1, "state_dict": model.state_dict(), "optimizer": {{}},
 set_random_seeds(opts.seed)
 if opts.mode == "train_spatial":
     from train_spatial import train_spatial as train
+elif opts.mode == "train_rationale":
+    from train_rationale import train_rationale as train
 else:
     from train import train
 train(opts)
@@ -192,6 +218,9 @@ from dataset import MSVideoDescriptionDataset, collate_fn
 if opts.mode == "train_spatial":
     import train_spatial as ref_train   # run_iter: model(vid_feats, s) pair
     feat_type = "yolo"                  # dataset.py:57 -> bbox_feats/
+elif opts.mode == "train_rationale":
+    import train_rationale as ref_train  # run_iter returns 7 values w/ pred
+    feat_type = "cnn"
 else:
     import train as ref_train
     feat_type = "cnn"
@@ -211,8 +240,11 @@ for name, path in [("reference", {ref_final!r}), ("vcr_tpu", {ours_final!r})]:
     hyps, losses = [], []
     with torch.no_grad():
         for data in valid_loader:
-            acc, loss, pred = ref_train.run_iter(opts, data, model, criterion,
-                                                 return_pred=True)
+            # caption/spatial run_iter returns (acc, loss, pred); rationale
+            # returns (acc, loss, loss_ce, loss_brev, loss_cont, len, pred)
+            out = ref_train.run_iter(opts, data, model, criterion,
+                                     return_pred=True)
+            loss, pred = out[1], out[-1]
             hyps += list(glove_loader.get_sents_from_indexes(
                 pred.data.cpu().numpy()))
             losses.append(float(loss))
@@ -241,7 +273,8 @@ vocab = Vocab(os.path.join(cfg.data_dir, cfg.corpus, "glove",
                            cfg.glove_emb_file), seed=cfg.seed)
 spec = spec_from_config(cfg, vocab)
 sd = torch.load({init_sd!r}, map_location="cpu", weights_only=True)
-conv_arch = "spatial" if cfg.mode == "train_spatial" else cfg.arch
+conv_arch = ("spatial" if cfg.mode == "train_spatial"
+             else "rationale" if cfg.mode == "train_rationale" else cfg.arch)
 params = convert.convert_state_dict(sd, spec, conv_arch)
 opt = build_optimizer(cfg.optim, cfg.lr, cfg.wd, cfg.max_norm, cfg.momentum)
 opt_state = opt.init(params)
@@ -253,6 +286,10 @@ ckpt.save_checkpoint(ckpt.latest_path(cfg.save_path), params, opt_state,
 # reference hard-codes internal transformer dropout 0.1 that no flag disables
 import vcr_tpu.models.transformer as _tr
 _tr.INTERNAL_DROPOUT = 0.0
+# mirror the reference bootstrap's zero-noise F.gumbel_softmax (see its
+# comment): rationale whole-run equivalence runs both sides noise-free
+import vcr_tpu.nn.gumbel as _gum
+_gum.ZERO_NOISE = True
 
 from vcr_tpu.cli import main
 main(argv)
@@ -319,7 +356,8 @@ def compare_final_params(ref_net: str, ours_net: str):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="s2vt",
-                    choices=["s2vt", "s2vt-att", "transformer", "spatial"])
+                    choices=["s2vt", "s2vt-att", "transformer", "spatial",
+                             "rationale"])
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--workdir", default="")
     ap.add_argument("--keep", action="store_true")
@@ -352,11 +390,16 @@ def main(argv=None) -> int:
     else:
         hidden, feat_dim, glove_dim = 16, 12, 16
     # "spatial" = --mode train_spatial over an s2vt base (train_spatial.py:89)
-    # on YOLO grid features (bbox_feats .npy, dataset.py:57)
+    # on YOLO grid features (bbox_feats .npy, dataset.py:57);
+    # "rationale" = --mode train_rationale over an s2vt base in zero-noise
+    # Gumbel mode (see the bootstrap patches; stochastic per-step math is
+    # proven by the shared-noise lockstep test)
     mode, arch, feat_type = "train", args.arch, "cnn"
     if args.arch == "spatial":
         mode, arch, feat_type = "train_spatial", "s2vt", "bbox"
         feat_dim = 8
+    elif args.arch == "rationale":
+        mode, arch = "train_rationale", "s2vt"
     data_dir = os.path.join(workdir, "data")
     build_corpus(data_dir, num_videos=6, num_frames=4, feat_dim=feat_dim,
                  glove_dim=glove_dim, captions_per_video=1,
@@ -372,6 +415,7 @@ def main(argv=None) -> int:
               "--lr", "2e-3", "--wd", "4e-5", "--max_norm", "1.0",
               "--epochs", str(args.epochs), "--seed", "123",
               "--log_iter", "1", "--n_sample_sent", "2",
+              "--tau", "1.0", "--lambda_brev", "1.0", "--lambda_cont", "1.0",
               "--resume", "true"]
 
     ref_save = os.path.join(workdir, "ref_models")

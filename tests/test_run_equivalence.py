@@ -1,8 +1,10 @@
 """Opt-in wrapper for the whole-run reference-equivalence harness
 (scripts/run_equivalence.py; VERDICT r2 "Next round" #3). Each family drives
 the ACTUAL reference training entry point in a subprocess against
-`vcr_tpu --mode train[_spatial]` and asserts loss curves / METEOR / final
-params / reference-eval decodes match. Recorded outputs: EQUIVALENCE.md.
+`vcr_tpu --mode train[_spatial|_rationale]` and asserts loss curves / METEOR /
+final params / reference-eval decodes match (rationale runs both sides in
+zero-noise Gumbel mode — see the harness bootstraps). Recorded outputs:
+EQUIVALENCE.md.
 
 Slow (the transformer runs at real 4096/300 widths): set VCR_SLOW_TESTS=1.
 """
@@ -17,7 +19,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.skipif(not os.environ.get("VCR_SLOW_TESTS"),
                     reason="whole-run equivalence is slow; set VCR_SLOW_TESTS=1")
-@pytest.mark.parametrize("arch", ["s2vt", "s2vt-att", "transformer", "spatial"])
+@pytest.mark.parametrize("arch", ["s2vt", "s2vt-att", "transformer", "spatial",
+                                  "rationale"])
 def test_whole_run_equivalence(arch):
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     import run_equivalence

@@ -10,6 +10,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Equivalence-harness hook (scripts/run_equivalence.py, same pattern as
+# transformer.INTERNAL_DROPOUT): True replaces the sampled Gumbel noise with
+# zeros so a whole run is deterministic and comparable against the reference
+# with torch.nn.functional.gumbel_softmax patched to its zero-noise form —
+# cross-framework noise streams cannot be seed-matched (PARITY.md), and the
+# stochastic per-step math is proven separately by injecting IDENTICAL drawn
+# noise into both frameworks (tests/test_train_equivalence.py).
+ZERO_NOISE = False
+
 
 def gumbel_softmax(
     key: jax.Array,
@@ -30,6 +39,8 @@ def gumbel_softmax(
     """
     if noise is not None:
         gumbels = noise
+    elif ZERO_NOISE:
+        gumbels = jnp.zeros_like(logits)
     else:
         gumbels = -jnp.log(-jnp.log(
             jax.random.uniform(key, logits.shape, minval=1e-20, maxval=1.0)
