@@ -181,3 +181,37 @@ def test_rationale_eval_step_uses_fresh_rng(tiny_vocab, rng):
     # different keys -> different hard frame selections -> different outputs
     assert (float(m1["loss"]) != float(m2["loss"])
             or not np.array_equal(np.asarray(p1), np.asarray(p2)))
+
+
+def test_gumbel_zero_noise_flag():
+    """nn.gumbel.ZERO_NOISE (the run_equivalence harness hook) must make
+    gumbel_softmax a deterministic softmax(logits/tau) — soft — and the
+    straight-through one-hot of it — hard — matching the harness's patched
+    torch F.gumbel_softmax with gumbels = 0."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vcr_tpu.nn import gumbel
+
+    logits = jnp.asarray([[2.0, -1.0, 0.5], [0.0, 3.0, -2.0]])
+    try:
+        gumbel.ZERO_NOISE = True
+        soft = gumbel.gumbel_softmax(jax.random.PRNGKey(0), logits, tau=2.0)
+        np.testing.assert_allclose(
+            np.asarray(soft), np.asarray(jax.nn.softmax(logits / 2.0)),
+            rtol=1e-6)
+        hard = gumbel.gumbel_softmax(jax.random.PRNGKey(1), logits, tau=2.0,
+                                     hard=True)
+        np.testing.assert_array_equal(
+            np.asarray(hard == hard.max(axis=-1, keepdims=True)),
+            np.asarray(jax.nn.one_hot(jnp.argmax(logits, -1), 3) == 1.0))
+        # key must be irrelevant in zero-noise mode
+        soft2 = gumbel.gumbel_softmax(jax.random.PRNGKey(7), logits, tau=2.0)
+        np.testing.assert_array_equal(np.asarray(soft), np.asarray(soft2))
+    finally:
+        gumbel.ZERO_NOISE = False
+    # and OFF again: two keys give different samples
+    a = gumbel.gumbel_softmax(jax.random.PRNGKey(0), logits)
+    b = gumbel.gumbel_softmax(jax.random.PRNGKey(1), logits)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
