@@ -1,5 +1,5 @@
 # vcr_tpu developer targets
-.PHONY: test test-fast smoke bench bench-train bench-all native entry dryrun clean
+.PHONY: test test-fast smoke bench bench-train bench-all native equivalence capture entry dryrun clean
 
 test:            ## full suite on the 8-virtual-device CPU mesh
 	python -m pytest tests/ -q
@@ -23,6 +23,13 @@ bench-all:       ## all five model-family configs
 native:          ## build the C++ batch loader explicitly
 	g++ -O3 -shared -fPIC -pthread -std=c++17 native/npy_loader.cpp \
 	    -o vcr_tpu/data/_libnpy.so
+
+equivalence:     ## whole-run equivalence vs the reference, all five families
+	for a in s2vt s2vt-att transformer spatial rationale; do \
+	    python scripts/run_equivalence.py --arch $$a --epochs 10 || exit 1; done
+
+capture:         ## one-shot on-chip evidence capture (real TPU)
+	bash scripts/capture_onchip.sh
 
 entry:           ## driver compile-check
 	python __graft_entry__.py
