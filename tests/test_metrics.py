@@ -417,3 +417,47 @@ def test_corpus_bleu_matches_sacrebleu():
     want = sacrebleu.corpus_bleu(hyps, streams, smooth_method="none",
                                  tokenize="none", force=True).score / 100.0
     assert abs(ours - want) < 1e-12
+
+
+def test_metrics_fuzz_bounds_and_robustness():
+    """The validation pass feeds whatever the decoder emits — including empty
+    strings, pure punctuation, and long repeats early in training. Every
+    metric must stay finite, in range, and exception-free on garbage."""
+    import math
+    import random
+
+    import numpy as np
+
+    rng = random.Random(99)
+    pool = ["cat", "dog", "the", "a", ".", ",", "'s", "n't", "running",
+            "jumped", "zzzqx", ""]
+    lookup = lambda w: {"cat": np.array([1.0, 0.0]),
+                        "dog": np.array([0.0, 1.0])}.get(w)
+
+    def rand_sent():
+        k = rng.randint(0, 15)
+        return " ".join(rng.choices(pool, k=k))
+
+    for _ in range(150):
+        hyp = rand_sent()
+        refs = [rand_sent() for _ in range(rng.randint(1, 3))]
+        for name, score in [
+            ("meteor15", m.meteor15_score(hyp, refs)),
+            ("meteor", m.meteor_score(hyp, refs)),
+            ("bleu4", m.bleu4_score(hyp, refs)),
+            ("rouge_l", m.rouge_l(hyp, refs)),
+            ("emb_avg", m.embedding_average(hyp, refs, lookup)),
+            ("extrema", m.vector_extrema(hyp, refs, lookup)),
+            ("greedy_m", m.greedy_matching(hyp, refs, lookup)),
+        ]:
+            assert math.isfinite(score), (name, hyp, refs)
+            assert -1.0 - 1e-9 <= score <= 1.0 + 1e-9, (name, score, hyp, refs)
+
+    hyps = [rand_sent() for _ in range(20)]
+    refs_list = [[rand_sent() for _ in range(2)] for _ in range(20)]
+    assert math.isfinite(m.corpus_bleu(hyps, refs_list))
+    c = m.cider_d(hyps, refs_list)
+    assert math.isfinite(c) and c >= 0.0
+    assert math.isfinite(m.corpus_rouge_l(hyps, refs_list))
+    emb = m.corpus_embedding_metrics(hyps, refs_list, lookup)
+    assert all(math.isfinite(v) for v in emb.values())
