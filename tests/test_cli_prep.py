@@ -230,3 +230,26 @@ def test_sweep_run_in_process(tmp_path):
     assert len(results) == 2
     r = json.loads(open(os.path.join(base, results[0], "result.json")).read())
     assert "METEOR" in r
+
+
+def test_export_feats_loader_pads_and_truncates(tmp_path):
+    """_load_feats_padded must reproduce the runtime pipeline's zero-pad/
+    truncate rule exactly, so exported maps match what the model saw."""
+    import numpy as np
+
+    from vcr_tpu.evals.attention_export import _load_feats_padded
+
+    short = np.arange(2 * 3, dtype=np.float16).reshape(2, 3)
+    p = tmp_path / "short.npy"
+    np.save(p, short)
+    out = _load_feats_padded(str(p), 4)
+    assert out.shape == (1, 4, 3) and out.dtype == np.float32
+    np.testing.assert_array_equal(out[0, :2], short.astype(np.float32))
+    np.testing.assert_array_equal(out[0, 2:], 0.0)
+
+    long = np.random.default_rng(0).standard_normal((7, 3)).astype(np.float32)
+    p2 = tmp_path / "long.npy"
+    np.save(p2, long)
+    out2 = _load_feats_padded(str(p2), 4)
+    assert out2.shape == (1, 4, 3)
+    np.testing.assert_array_equal(out2[0], long[:4])
