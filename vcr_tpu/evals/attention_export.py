@@ -29,7 +29,6 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
-
 def _load_feats_padded(path: str, num_frames: int) -> np.ndarray:
     """(1, num_frames, ...) float32 — the runtime pipeline's zero-pad/
     truncate rule (data/pipeline.py load_features), one home for both
