@@ -22,7 +22,8 @@ __version__ = "0.1.0"
 
 # Public API (lazy — importing vcr_tpu must not pull in jax et al.)
 __all__ = ["Config", "Vocab", "train", "decode_tokens", "sample_tokens",
-           "build_model", "ModelSpec"]
+           "build_model", "ModelSpec", "build_captioner", "export_captioner",
+           "load_artifact"]
 
 
 def __getattr__(name):
@@ -41,4 +42,10 @@ def __getattr__(name):
     if name in ("build_model", "ModelSpec"):
         from vcr_tpu.models import base
         return getattr(base, name)
+    if name == "build_captioner":
+        from vcr_tpu.serving import build_captioner
+        return build_captioner
+    if name in ("export_captioner", "load_artifact"):
+        from vcr_tpu import export_serving
+        return getattr(export_serving, name)
     raise AttributeError(name)

@@ -72,6 +72,11 @@ def dispatch(cfg: Config) -> None:
         from vcr_tpu.evals.attention_export import run_export
 
         run_export(cfg)
+    elif cfg.mode == "export_serving":
+        from vcr_tpu.tools import export_serving_artifact
+
+        out = export_serving_artifact(cfg, cfg.pretrained_base or "")
+        print(f"serving artifact written to {out}")
     elif cfg.mode == "export_reference":
         from vcr_tpu.tools import export_reference_checkpoint
 

@@ -20,6 +20,27 @@ from vcr_tpu.models import (rationale, resnet, s2vt, s2vt_att, spatial,
                             transformer, vgg)
 
 
+def resolve_eos_id(spec: model_base.ModelSpec, eos_id: int | None = None,
+                   vocab=None) -> int:
+    """Resolve the serving-decode end token (shared by build_captioner and
+    export_serving.export_captioner): a passed ``vocab`` supplies eos_id and
+    is cross-checked against ``spec.sos_id``; an explicit ``eos_id`` wins only
+    if it agrees; neither defaults to ``spec.sos_id + 1`` (this repo's
+    <sos> <eos> <pad> <unk> layout, vocab.SPECIAL_TOKENS)."""
+    if vocab is not None:
+        if vocab.sos_id != spec.sos_id:
+            raise ValueError(
+                f"vocab.sos_id={vocab.sos_id} != spec.sos_id={spec.sos_id}: "
+                "this vocab does not match the model spec")
+        if eos_id is not None and eos_id != vocab.eos_id:
+            raise ValueError(
+                f"explicit eos_id={eos_id} contradicts vocab.eos_id={vocab.eos_id}")
+        eos_id = vocab.eos_id
+    if eos_id is None:
+        eos_id = spec.sos_id + 1
+    return eos_id
+
+
 def build_captioner(params, spec: model_base.ModelSpec,
                     featurizer: str = "vgg16",
                     feat_params=None,
@@ -60,23 +81,51 @@ def build_captioner(params, spec: model_base.ModelSpec,
     <sos> <eos> <pad> <unk> (vocab.SPECIAL_TOKENS) — a silent wrong-decode
     trap for nonstandard vocabularies, hence the vocab path.
     """
-    if vocab is not None:
-        if vocab.sos_id != spec.sos_id:
-            raise ValueError(
-                f"vocab.sos_id={vocab.sos_id} != spec.sos_id={spec.sos_id}: "
-                "this vocab does not match the model spec")
-        if eos_id is not None and eos_id != vocab.eos_id:
-            raise ValueError(
-                f"explicit eos_id={eos_id} contradicts vocab.eos_id={vocab.eos_id}")
-        eos_id = vocab.eos_id
-    if eos_id is None:
-        eos_id = spec.sos_id + 1
-    # featurize takes feat_params as an ARGUMENT (threaded through the jit
-    # below) — closing over the backbone weights would bake them into the
-    # compiled program as constants, the same minutes-of-constant-folding
-    # trap documented for the captioner params at the bottom
+    eos_id = resolve_eos_id(spec, eos_id, vocab)
     if featurizer in ("vgg16", "resnet"):
         assert feat_params is not None
+        darknet_obj = None
+    elif featurizer == "yolo":
+        # feat_params is passed as a Darknet object; its weight pytree is
+        # what actually rides through the jit (see make_caption_fn)
+        assert feat_params is not None
+        darknet_obj = feat_params
+        feat_params = darknet_obj.params
+    else:
+        darknet_obj = None
+    caption = make_caption_fn(spec, featurizer, darknet_obj, rng, beam_size,
+                              eos_id, sample_temperature, sample_top_k)
+    # jit with params as an ARGUMENT: closing over them would bake every
+    # weight into the compiled program as a constant — XLA then constant-folds
+    # them (minutes of compile at real widths) and re-uploads them with the
+    # executable (observed live: a 4096-wide transformer captioner took >8min
+    # to compile through the device tunnel as constants vs ~90s as arguments).
+    caption_jit = jax.jit(caption)
+    return lambda frames_or_feats: caption_jit(params, feat_params,
+                                               frames_or_feats)
+
+
+def make_caption_fn(spec: model_base.ModelSpec,
+                    featurizer: str = "none",
+                    darknet_obj=None,
+                    rng=None,
+                    beam_size: int = 1,
+                    eos_id: int | None = None,
+                    sample_temperature: float = 0.0,
+                    sample_top_k: int = 0) -> Callable:
+    """The PURE serving function ``caption(params, feat_params, frames)`` that
+    ``build_captioner`` jits and ``export_serving.export_captioner``
+    serializes to a StableHLO artifact. ``eos_id`` must already be resolved
+    (``resolve_eos_id``); for featurizer='yolo' pass the Darknet OBJECT — its
+    cfg-derived layer structure is static (closed over, it shapes the trace)
+    while its weight pytree is what callers thread as ``feat_params``."""
+    if eos_id is None:
+        eos_id = spec.sos_id + 1
+    # featurize takes feat_params as an ARGUMENT (threaded through the
+    # caller's jit) — closing over the backbone weights would bake them into
+    # the compiled program as constants, the same minutes-of-constant-folding
+    # trap documented for the captioner params in build_captioner
+    if featurizer in ("vgg16", "resnet"):
         extract = (vgg.extract_fc7 if featurizer == "vgg16"
                    else resnet.extract_features)
 
@@ -86,12 +135,7 @@ def build_captioner(params, spec: model_base.ModelSpec,
             feats = extract(fp, flat, spec.cdtype)
             return feats.reshape(b, n, -1)
     elif featurizer == "yolo":
-        # feat_params is a Darknet object: its cfg-derived LAYER STRUCTURE is
-        # static (closed over — it shapes the trace), but its weight pytree is
-        # threaded through the jit as fp so the weights stay arguments
-        assert feat_params is not None
-        darknet_obj = feat_params
-        feat_params = darknet_obj.params
+        assert darknet_obj is not None
 
         def featurize(fp, frames):
             b, n = frames.shape[:2]
@@ -155,11 +199,4 @@ def build_captioner(params, spec: model_base.ModelSpec,
             return tokens
         raise NotImplementedError(spec.arch)
 
-    # jit with params as an ARGUMENT: closing over them would bake every
-    # weight into the compiled program as a constant — XLA then constant-folds
-    # them (minutes of compile at real widths) and re-uploads them with the
-    # executable (observed live: a 4096-wide transformer captioner took >8min
-    # to compile through the device tunnel as constants vs ~90s as arguments).
-    caption_jit = jax.jit(caption)
-    return lambda frames_or_feats: caption_jit(params, feat_params,
-                                               frames_or_feats)
+    return caption

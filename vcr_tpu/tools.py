@@ -50,6 +50,52 @@ def greedy_captions(params, spec, vocab: Vocab, feats: np.ndarray,
     return out
 
 
+def load_inference_state(cfg: Config, checkpoint_path: str = ""):
+    """Checkpoint -> ``(cfg, params, spec, vocab)`` ready for inference.
+
+    Model hyperparameters come from the checkpoint's embedded config so the
+    rebuilt spec always matches the stored weights (the CLI keeps I/O knobs);
+    wrapped-family checkpoints (train_rationale / train_spatial modes)
+    dispatch the registry model that owns the param tree while cfg.arch stays
+    the BASE captioner (reference --arch semantics). Shared by decode_corpus
+    and the serving-artifact exporter."""
+    from vcr_tpu.config import adopt_checkpoint_config
+    from vcr_tpu.train import checkpoint as ckpt
+
+    path = checkpoint_path or ckpt.best_path(cfg.save_path)
+    params, _, meta = ckpt.load_checkpoint(path)
+    cfg = adopt_checkpoint_config(cfg, meta)
+    vocab = Vocab(os.path.join(cfg.data_dir, cfg.corpus, "glove",
+                               cfg.glove_emb_file), seed=cfg.seed)
+    spec = model_base.spec_from_config(cfg, vocab)
+    if cfg.mode == "train_rationale":
+        spec = spec.with_(arch="rationale")
+    elif cfg.mode == "train_spatial":
+        spec = spec.with_(arch="spatial")
+    return cfg, params, spec, vocab
+
+
+def export_serving_artifact(cfg: Config, checkpoint_path: str = "",
+                            out_dir: Optional[str] = None) -> str:
+    """``--mode export_serving``: package a trained checkpoint as a deployable
+    StableHLO serving artifact (vcr_tpu/export_serving.py) under
+    ``<save_path>/serving_artifact``. Lowered for cpu+tpu so the directory
+    serves on a TPU host and replays in CPU CI; decode style follows the
+    checkpoint-adopted CLI flags (--beam_size / --sample_temperature /
+    --sample_top_k)."""
+    import jax
+
+    from vcr_tpu import export_serving
+
+    cfg, params, spec, vocab = load_inference_state(cfg, checkpoint_path)
+    out = out_dir or os.path.join(cfg.save_path, "serving_artifact")
+    rng = jax.random.PRNGKey(cfg.seed)
+    return export_serving.export_captioner(
+        params, spec, out, featurizer="none", beam_size=cfg.beam_size,
+        vocab=vocab, rng=rng, sample_temperature=cfg.sample_temperature,
+        sample_top_k=cfg.sample_top_k, platforms=("cpu", "tpu"))
+
+
 def decode_corpus(cfg: Config, checkpoint_path: str = "",
                   out_file: Optional[str] = None, split: str = "val",
                   beam_size: int = 1) -> List[Dict]:
@@ -59,24 +105,8 @@ def decode_corpus(cfg: Config, checkpoint_path: str = "",
     import jax
 
     from vcr_tpu.data.pipeline import CaptionDataset
-    from vcr_tpu.train import checkpoint as ckpt
 
-    path = checkpoint_path or ckpt.best_path(cfg.save_path)
-    params, _, meta = ckpt.load_checkpoint(path)
-    # model hyperparameters come from the checkpoint's embedded config so the
-    # rebuilt spec always matches the stored weights (CLI keeps I/O knobs)
-    from vcr_tpu.config import adopt_checkpoint_config
-    cfg = adopt_checkpoint_config(cfg, meta)
-    vocab = Vocab(os.path.join(cfg.data_dir, cfg.corpus, "glove",
-                               cfg.glove_emb_file), seed=cfg.seed)
-    spec = model_base.spec_from_config(cfg, vocab)
-    # wrapped-family checkpoints: the adopted mode names the workload; the
-    # decode spec must dispatch the registry model that owns the param tree
-    # (cfg.arch stays the BASE captioner, reference --arch semantics)
-    if cfg.mode == "train_rationale":
-        spec = spec.with_(arch="rationale")
-    elif cfg.mode == "train_spatial":
-        spec = spec.with_(arch="spatial")
+    cfg, params, spec, vocab = load_inference_state(cfg, checkpoint_path)
 
     feat_type = "yolo" if cfg.mode == "train_spatial" else "cnn"
     ds = CaptionDataset(cfg.data_dir, cfg.corpus, split, vocab,
