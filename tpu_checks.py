@@ -105,6 +105,33 @@ def main() -> int:
     print(f"{'PASS' if same else 'FAIL'}  lineage beam ≡ gather beam (compiled)")
     ok &= same
 
+    # Round-3 deployment artifact: a cpu+tpu StableHLO serving export
+    # (vcr_tpu/export_serving.py) must replay token-identically on the real
+    # chip (the suite proves the cpu lowering; this is the tpu lowering's
+    # only execution path).
+    import tempfile
+
+    from vcr_tpu import export_serving, serving
+    from vcr_tpu.models import s2vt
+
+    sspec = mbase.ModelSpec(
+        arch="s2vt", vocab_size=512, embed_size=300, hidden_size=512,
+        vid_feat_size=512, max_len=12, num_frames=8, dropout_p=0.0,
+        sos_id=508, compute_dtype="bfloat16", vocab_pad_to=128)
+    sparams = s2vt.init_params(
+        jax.random.PRNGKey(4), sspec,
+        rng.standard_normal((512, 300)).astype(np.float32))
+    with tempfile.TemporaryDirectory() as td:
+        export_serving.export_captioner(sparams, sspec, td, eos_id=509,
+                                        platforms=("cpu", "tpu"))
+        art = export_serving.load_artifact(td)
+        sx = rng.standard_normal((4, 8, 512)).astype(np.float32)
+        live = serving.build_captioner(sparams, sspec, "none", eos_id=509)
+        same = bool(np.array_equal(art.caption(sx),
+                                   np.asarray(live(jnp.asarray(sx)))))
+    print(f"{'PASS' if same else 'FAIL'}  serving artifact replay (tpu lowering)")
+    ok &= same
+
     print("ALL PASS" if ok else "FAILURES")
     return 0 if ok else 1
 
