@@ -103,6 +103,25 @@ def test_export_rationale_and_spatial(tmp_path, tiny_vocab, rng):
                                   np.asarray(live(jnp.asarray(grid))))
 
 
+def test_export_multichip_dp8(tmp_path, tiny_vocab, rng):
+    """dp=8 artifact: batch sharded over the 8-device mesh (GSPMD partitions
+    the exported graph), symbolic batch = any multiple of dp, token-identical
+    to the single-device live captioner."""
+    spec = _s2vt_spec(tiny_vocab)
+    params = s2vt.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+    out = export_serving.export_captioner(params, spec, str(tmp_path / "art"),
+                                          vocab=tiny_vocab, dp=8)
+    art = export_serving.load_artifact(out)
+    assert art.meta["dp"] == 8 and art.meta["nr_devices"] == 8
+    live = build_captioner(params, spec, "none", vocab=tiny_vocab)
+    for b in (8, 16):
+        feats = rng.standard_normal((b, 4, 12)).astype(np.float32)
+        np.testing.assert_array_equal(
+            art.caption(feats), np.asarray(live(jnp.asarray(feats))))
+    with pytest.raises(ValueError, match="batch % dp"):
+        art.caption(rng.standard_normal((4, 4, 12)).astype(np.float32))
+
+
 def test_artifact_loads_without_framework(tmp_path, tiny_vocab, rng):
     """A fresh process that never imports vcr_tpu captions from the artifact
     (the deployment contract: jax + numpy only)."""

@@ -72,14 +72,22 @@ def export_captioner(params, spec, out_dir: str,
                      batch_size: Optional[int] = None,
                      input_shape: Optional[Sequence[int]] = None,
                      image_size: int = 224,
-                     platforms: Optional[Sequence[str]] = None) -> str:
+                     platforms: Optional[Sequence[str]] = None,
+                     dp: int = 1) -> str:
     """Serialize the serving captioner for (params, spec) into ``out_dir``.
 
     Mirrors ``serving.build_captioner``'s surface (all five families, greedy /
     beam / sampled, fused featurizers); ``batch_size=None`` (default) exports
     a symbolic batch dimension. ``platforms`` (e.g. ``("cpu", "tpu")``) lowers
     one artifact for several backends — the CLI exports cpu+tpu so the same
-    directory serves on a TPU host and replays in CPU CI. Returns ``out_dir``.
+    directory serves on a TPU host and replays in CPU CI.
+
+    ``dp > 1`` exports a MULTI-CHIP artifact: the batch axis is sharded over a
+    dp-way ``("dp", "mp")`` mesh (weights replicated — these models are small;
+    serving scale-out is data parallel) and GSPMD partitions the whole graph.
+    The serving host must load it with >= dp devices (``load_artifact``
+    rebuilds the mesh from the metadata); a symbolic batch then means "any
+    multiple of dp". Returns ``out_dir``.
     """
     import jax
     import jax.numpy as jnp
@@ -112,15 +120,28 @@ def export_captioner(params, spec, out_dir: str,
         default_input_shape(spec, featurizer, image_size)
     if batch_size is None:
         (b,) = jexport.symbolic_shape("b")
-        frames_shape: Tuple = (b, *item_shape)
+        frames_shape: Tuple = ((dp * b if dp > 1 else b), *item_shape)
     else:
+        if dp > 1 and int(batch_size) % dp != 0:
+            raise ValueError(f"batch_size={batch_size} not divisible by dp={dp}")
         frames_shape = (int(batch_size), *item_shape)
     frames_sds = jax.ShapeDtypeStruct(frames_shape, jnp.float32)
     leaf_sds = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
 
+    jit_kw = {}
+    if dp > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vcr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp, 1)
+        rep = NamedSharding(mesh, P())
+        batch_sh = NamedSharding(mesh, P("dp", *([None] * len(item_shape))))
+        jit_kw["in_shardings"] = ([rep] * len(leaves), batch_sh)
+
     try:
         exported = jexport.export(
-            jax.jit(flat_fn),
+            jax.jit(flat_fn, **jit_kw),
             platforms=tuple(platforms) if platforms else None,
         )(leaf_sds, frames_sds)
     except Exception as e:
@@ -146,6 +167,8 @@ def export_captioner(params, spec, out_dir: str,
         "batch": "symbolic" if batch_size is None else int(batch_size),
         "num_weight_leaves": len(leaves),
         "leaf_dtypes": [str(np.dtype(l.dtype)) for l in leaves],
+        "dp": int(dp),
+        "nr_devices": int(exported.nr_devices),
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
         "output": "tokens (B, max_len) int32",
@@ -189,12 +212,24 @@ class ServingArtifact:
 
     Uses only jax + numpy — no vcr_tpu model code runs at serving time; the
     whole graph (featurizer included) replays from the StableHLO payload.
+    Multi-chip artifacts (meta['dp'] > 1) shard the batch axis over the mesh
+    built at load time and require batch % dp == 0.
     """
 
-    def __init__(self, exported, leaves, meta):
+    def __init__(self, exported, leaves, meta, mesh=None):
         self._exported = exported
         self._leaves = leaves
         self.meta = meta
+        self._mesh = mesh
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self._leaves = [jax.device_put(l, rep) for l in leaves]
+            ndim_item = len(meta["input_item_shape"])
+            self._batch_sharding = NamedSharding(
+                mesh, P("dp", *([None] * ndim_item)))
 
     def caption(self, frames) -> np.ndarray:
         frames = np.asarray(frames, dtype=np.float32)
@@ -208,12 +243,24 @@ class ServingArtifact:
             raise ValueError(
                 f"artifact was exported at fixed batch {b}, got "
                 f"{frames.shape[0]}")
+        dp = self.meta.get("dp", 1)
+        if dp > 1:
+            import jax
+
+            if frames.shape[0] % dp != 0:
+                raise ValueError(
+                    f"multi-chip artifact (dp={dp}) needs batch % dp == 0, "
+                    f"got {frames.shape[0]}")
+            frames = jax.device_put(frames, self._batch_sharding)
         return np.asarray(self._exported.call(self._leaves, frames))
 
     __call__ = caption
 
 
-def load_artifact(artifact_dir: str) -> ServingArtifact:
+def load_artifact(artifact_dir: str, devices=None) -> ServingArtifact:
+    """Load an artifact directory. Multi-chip artifacts rebuild a dp-way mesh
+    from ``devices`` (default ``jax.devices()``) — the host must have at least
+    meta['nr_devices'] of them."""
     from jax import export as jexport
 
     with open(os.path.join(artifact_dir, META_FILE)) as f:
@@ -226,4 +273,18 @@ def load_artifact(artifact_dir: str) -> ServingArtifact:
         exported = jexport.deserialize(f.read())
     leaves = _load_leaves(os.path.join(artifact_dir, WEIGHTS_FILE),
                           meta["leaf_dtypes"])
-    return ServingArtifact(exported, leaves, meta)
+    mesh = None
+    if meta.get("dp", 1) > 1:
+        import jax
+        from jax.experimental import mesh_utils
+        from jax.sharding import Mesh
+
+        dp = meta["dp"]
+        devices = list(devices) if devices is not None else jax.devices()
+        if len(devices) < dp:
+            raise ValueError(
+                f"multi-chip artifact needs {dp} devices, host has "
+                f"{len(devices)}")
+        arr = mesh_utils.create_device_mesh((dp, 1), devices=devices[:dp])
+        mesh = Mesh(arr, axis_names=("dp", "mp"))
+    return ServingArtifact(exported, leaves, meta, mesh=mesh)

@@ -82,7 +82,8 @@ def export_serving_artifact(cfg: Config, checkpoint_path: str = "",
     ``<save_path>/serving_artifact``. Lowered for cpu+tpu so the directory
     serves on a TPU host and replays in CPU CI; decode style follows the
     checkpoint-adopted CLI flags (--beam_size / --sample_temperature /
-    --sample_top_k)."""
+    --sample_top_k); --mesh_dp N > 1 exports a multi-chip artifact (batch
+    sharded dp-way, weights replicated)."""
     import jax
 
     from vcr_tpu import export_serving
@@ -93,7 +94,8 @@ def export_serving_artifact(cfg: Config, checkpoint_path: str = "",
     return export_serving.export_captioner(
         params, spec, out, featurizer="none", beam_size=cfg.beam_size,
         vocab=vocab, rng=rng, sample_temperature=cfg.sample_temperature,
-        sample_top_k=cfg.sample_top_k, platforms=("cpu", "tpu"))
+        sample_top_k=cfg.sample_top_k, platforms=("cpu", "tpu"),
+        dp=max(cfg.mesh_dp, 1))
 
 
 def decode_corpus(cfg: Config, checkpoint_path: str = "",
