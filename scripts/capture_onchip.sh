@@ -44,3 +44,13 @@ grep -q "rc=0" "$OUT/bench_train_spatial_b32.log" || {
 
 echo
 echo "All logs in $OUT/ — review, then: git add $OUT && git commit"
+
+# Unattended capture (the tunnel watcher sets VCR_CAPTURE_COMMIT=1): commit
+# the raw logs immediately so the round's on-chip evidence survives even if
+# no interactive session is alive afterwards (BENCH_r02 died exactly this
+# way — VERDICT r2 "Next round" #1). Doc folding stays a manual review step
+# (scripts/fold_onchip.py).
+if [ "${VCR_CAPTURE_COMMIT:-0}" = "1" ]; then
+  git add "$OUT" && git commit -m "onchip_r3: raw on-chip capture logs (unattended)" \
+    && echo "capture committed: $(git rev-parse --short HEAD)"
+fi
