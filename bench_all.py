@@ -100,8 +100,32 @@ def main() -> None:
         time_fn(f"{name} greedy", fwd, params, x, batch)
         return params, x
 
-    run_config("S2VT (MSVD-VGG 4096-d)", s2vt,
-               spec_for("s2vt", 4096, use_pallas=True), (30, 4096), scaled(2048))
+    s2vt_batch = scaled(2048)
+    s2vt_params, s2vt_x = run_config(
+        "S2VT (MSVD-VGG 4096-d)", s2vt,
+        spec_for("s2vt", 4096, use_pallas=True), (30, 4096), s2vt_batch)
+
+    # Serving-artifact replay: the exported StableHLO serving graph
+    # (vcr_tpu/export_serving.py, token-emitting greedy) re-invoked through
+    # jax.export.Exported.call — quantifies what deploying the artifact costs
+    # vs the live-jitted path (bench.py's token-emit row is the comparator).
+    import tempfile
+
+    from vcr_tpu import export_serving
+
+    with tempfile.TemporaryDirectory() as td:
+        export_serving.export_captioner(s2vt_params, spec_for("s2vt", 4096),
+                                        td, eos_id=vocab_size - 3)
+        art = export_serving.load_artifact(td)
+    art_exp = art.exported
+    art_leaves = jax.device_put(art.leaves)
+
+    def s2vt_artifact(leaves, xi):
+        return art_exp.call(leaves, xi.astype(jnp.float32)
+                            ).astype(jnp.float32)
+
+    time_fn("S2VT serving-artifact replay (exported StableHLO)",
+            s2vt_artifact, art_leaves, s2vt_x.astype(jnp.float32), s2vt_batch)
     run_config("S2VT-att (MSVD resnet 512-d)", s2vt_att,
                spec_for("s2vt-att", 512), (30, 512), scaled(1024))
 

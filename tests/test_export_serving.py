@@ -103,6 +103,26 @@ def test_export_rationale_and_spatial(tmp_path, tiny_vocab, rng):
                                   np.asarray(live(jnp.asarray(grid))))
 
 
+def test_export_fused_resnet_featurizer(tmp_path, tiny_vocab, rng):
+    """A fused-backbone export: the resnet weights ride in the artifact's
+    leaf list and the whole frames->features->tokens graph replays."""
+    from vcr_tpu.models import resnet
+
+    spec = _s2vt_spec(tiny_vocab, vid_feat_size=512, num_frames=2)
+    params = s2vt.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+    feat_params = resnet.init_params(jax.random.PRNGKey(1), "resnet18")
+    out = export_serving.export_captioner(
+        params, spec, str(tmp_path / "art"), featurizer="resnet",
+        feat_params=feat_params, vocab=tiny_vocab, image_size=64)
+    art = export_serving.load_artifact(out)
+    assert art.meta["input_item_shape"] == [2, 3, 64, 64]
+    live = build_captioner(params, spec, "resnet", feat_params,
+                           vocab=tiny_vocab)
+    frames = rng.standard_normal((2, 2, 3, 64, 64)).astype(np.float32)
+    np.testing.assert_array_equal(art.caption(frames),
+                                  np.asarray(live(jnp.asarray(frames))))
+
+
 def test_export_multichip_dp8(tmp_path, tiny_vocab, rng):
     """dp=8 artifact: batch sharded over the 8-device mesh (GSPMD partitions
     the exported graph), symbolic batch = any multiple of dp, token-identical

@@ -231,6 +231,19 @@ class ServingArtifact:
             self._batch_sharding = NamedSharding(
                 mesh, P("dp", *([None] * ndim_item)))
 
+    @property
+    def exported(self):
+        """The underlying ``jax.export.Exported`` — callable inside jit
+        (``artifact.exported.call(artifact.leaves, frames)``), which is how
+        bench_all times the replayed graph with the chained-iteration
+        discipline."""
+        return self._exported
+
+    @property
+    def leaves(self):
+        """The weight leaves in call order (placed on the mesh for dp>1)."""
+        return self._leaves
+
     def caption(self, frames) -> np.ndarray:
         frames = np.asarray(frames, dtype=np.float32)
         want = self.meta["input_item_shape"]
