@@ -103,6 +103,33 @@ def test_export_rationale_and_spatial(tmp_path, tiny_vocab, rng):
                                   np.asarray(live(jnp.asarray(grid))))
 
 
+def test_export_sampled_and_s2vt_beam(tmp_path, tiny_vocab, rng):
+    """The two remaining decode styles survive export: temperature/top-k
+    sampling (fixed rng => deterministic per input) and the generic
+    fold-beams-into-batch beam search (non-transformer path)."""
+    spec = _s2vt_spec(tiny_vocab)
+    params = s2vt.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+    feats = rng.standard_normal((2, 4, 12)).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+
+    out = export_serving.export_captioner(
+        params, spec, str(tmp_path / "sampled"), vocab=tiny_vocab, rng=key,
+        sample_temperature=0.8, sample_top_k=3)
+    art = export_serving.load_artifact(out)
+    live = build_captioner(params, spec, "none", vocab=tiny_vocab, rng=key,
+                           sample_temperature=0.8, sample_top_k=3)
+    np.testing.assert_array_equal(art.caption(feats),
+                                  np.asarray(live(jnp.asarray(feats))))
+
+    out = export_serving.export_captioner(
+        params, spec, str(tmp_path / "beam"), vocab=tiny_vocab, beam_size=3)
+    art = export_serving.load_artifact(out)
+    live = build_captioner(params, spec, "none", vocab=tiny_vocab,
+                           beam_size=3)
+    np.testing.assert_array_equal(art.caption(feats),
+                                  np.asarray(live(jnp.asarray(feats))))
+
+
 def test_export_fused_resnet_featurizer(tmp_path, tiny_vocab, rng):
     """A fused-backbone export: the resnet weights ride in the artifact's
     leaf list and the whole frames->features->tokens graph replays."""
