@@ -87,6 +87,13 @@ class Config:
     vocab_pad_to: int = 1
     # Remat (jax.checkpoint) the decoder scan to trade FLOPs for HBM.
     remat: bool = False
+    # Gradient accumulation: split each batch into N sequential microbatches
+    # and apply ONE optimizer update from the valid-count-weighted mean of
+    # their gradients — EXACTLY the full-batch gradient (the masked losses are
+    # means over valid rows), at 1/N the activation memory and program size.
+    # bsize must be divisible by it. (SpatialNet's BN batch stats follow the
+    # last microbatch, matching torch accumulation semantics.)
+    grad_accum: int = 1
     # PRNG implementation for the training step's dropout/teacher-force keys.
     # "rbg" rides the TPU's hardware RNG and measures ~7% faster train steps
     # than "threefry2x32" (the mask *distribution* is identical; only the

@@ -302,7 +302,8 @@ def train(cfg: Config) -> Dict[str, float]:
     opt_state = optimizer.init(params)
     train_step, eval_step = build_step_fns(model_name, spec, optimizer,
                                            cfg.lambda_brev, cfg.lambda_cont,
-                                           remat=cfg.remat)
+                                           remat=cfg.remat,
+                                           grad_accum=cfg.grad_accum)
     if mesh is not None:
         from vcr_tpu.parallel import shard_batch
 

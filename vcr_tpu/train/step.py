@@ -72,6 +72,7 @@ def build_step_fns(
     lambda_brev: float = 1.0,
     lambda_cont: float = 1.0,
     remat: bool = False,
+    grad_accum: int = 1,
 ) -> Tuple[Callable, Callable]:
     """-> (train_step, eval_step).
 
@@ -86,6 +87,17 @@ def build_step_fns(
     remat: rematerialize the forward under the backward pass (jax.checkpoint)
     — trades ~1 extra forward of FLOPs for not storing per-step activations in
     HBM; useful for long sequences / large batches.
+
+    grad_accum: split each batch into N sequential microbatches (lax.scan)
+    and apply ONE optimizer update from their combined gradient. The masked
+    losses are means over VALID rows, so microbatch gradients are combined
+    weighted by each microbatch's valid count — the result is EXACTLY the
+    full-batch gradient (padding-only microbatches get weight 0), at 1/N the
+    activation memory and emitted program size. Metrics combine with the same
+    weights; dropout/teacher-force keys fold in the microbatch index;
+    SpatialNet's BN running stats follow the LAST microbatch (torch
+    accumulation semantics — the one intentional deviation from one big
+    batch).
     """
     _, apply_fn = base.build_model(model_name)
 
@@ -106,13 +118,48 @@ def build_step_fns(
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, rng, tf_prob):
-        grads, (metrics, pred, aux) = jax.grad(loss_fn, has_aux=True)(
-            params, batch, rng, tf_prob)
+        if grad_accum > 1:
+            grads, metrics, pred, aux = _accum_grads(params, batch, rng,
+                                                     tf_prob)
+        else:
+            grads, (metrics, pred, aux) = jax.grad(loss_fn, has_aux=True)(
+                params, batch, rng, tf_prob)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if "bn_state" in aux:
             params = _merge_bn(params, aux["bn_state"])
         return params, opt_state, metrics, pred
+
+    def _accum_grads(params, batch, rng, tf_prob):
+        b = batch["vid_feats"].shape[0]
+        if b % grad_accum:
+            raise ValueError(
+                f"batch size {b} not divisible by grad_accum={grad_accum}")
+        m = b // grad_accum
+        micro = jax.tree_util.tree_map(
+            lambda v: v.reshape(grad_accum, m, *v.shape[1:]), batch)
+
+        def body(carry, xs):
+            g_acc, w_acc = carry
+            mb, i = xs
+            grads, (metrics, pred, aux) = jax.grad(loss_fn, has_aux=True)(
+                params, mb, jax.random.fold_in(rng, i), tf_prob)
+            n = jnp.sum(mb["valid"]).astype(jnp.float32)
+            g_acc = jax.tree_util.tree_map(lambda a, g: a + g * n, g_acc,
+                                           grads)
+            return (g_acc, w_acc + n), (metrics, pred, aux, n)
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (g_sum, w_sum), (ms, preds, auxs, ns) = jax.lax.scan(
+            body, (zero_g, jnp.float32(0)),
+            (micro, jnp.arange(grad_accum)))
+        w_sum = jnp.maximum(w_sum, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / w_sum, g_sum)
+        weights = ns / w_sum
+        metrics = {k: jnp.sum(v * weights) for k, v in ms.items()}
+        pred = preds.reshape(b, *preds.shape[2:])
+        aux = jax.tree_util.tree_map(lambda x: x[-1], auxs)
+        return grads, metrics, pred, aux
 
     @jax.jit
     def eval_step(params, batch, rng=None):
