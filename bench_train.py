@@ -44,6 +44,12 @@ def bench_family(name: str, iters: int) -> None:
     batch, feats_shape, spec_kw = FAMILY_DEFAULTS[name]
     batch = int(os.environ.get("VCR_BENCH_BATCH", batch))
     use_pallas = os.environ.get("VCR_BENCH_PALLAS", "0") == "1"
+    # VCR_BENCH_ACCUM=N: gradient accumulation (Config.grad_accum) — N
+    # sequential microbatches per update; shrinks the emitted program to the
+    # B/N one (the third candidate for SpatialNet's B=32 tunnel 413, next to
+    # chunked upload and remat) while keeping the effective batch
+    accum = int(os.environ.get("VCR_BENCH_ACCUM", "1"))
+    assert batch % accum == 0, f"batch {batch} % accum {accum} != 0"
 
     vocab_size, embed = 9000, 300
     rng = np.random.default_rng(0)
@@ -79,17 +85,36 @@ def bench_family(name: str, iters: int) -> None:
         # other candidate for the tunnel's 413 on big spatial steps)
         fwd = jax.checkpoint(fwd)
 
-    def loss_fn(p, key):
+    def loss_fn(p, bdata, key):
         loss, _metrics, _pred, aux = step_mod._forward(
-            name, fwd, p, batch_data, key, 1.0, 1.0, 1.0)
+            name, fwd, p, bdata, key, 1.0, 1.0, 1.0)
         return loss, aux
 
     @jax.jit
     def run_n(params, opt_state, key):
         def body(carry, i):
             p, o = carry
-            grads, aux = jax.grad(loss_fn, has_aux=True)(
-                p, jax.random.fold_in(key, i))
+            if accum == 1:
+                grads, aux = jax.grad(loss_fn, has_aux=True)(
+                    p, batch_data, jax.random.fold_in(key, i))
+            else:
+                # all rows valid here => plain mean of microbatch grads
+                # (the train loop's step does the valid-weighted general case)
+                micro = jax.tree_util.tree_map(
+                    lambda v: v.reshape(accum, batch // accum, *v.shape[1:]),
+                    batch_data)
+
+                def mbody(g_acc, xs):
+                    mb, j = xs
+                    g, aux_j = jax.grad(loss_fn, has_aux=True)(
+                        p, mb, jax.random.fold_in(jax.random.fold_in(key, i), j))
+                    return jax.tree_util.tree_map(jnp.add, g_acc, g), aux_j
+
+                zero = jax.tree_util.tree_map(jnp.zeros_like, p)
+                g_sum, auxs = jax.lax.scan(
+                    mbody, zero, (micro, jnp.arange(accum)))
+                grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+                aux = jax.tree_util.tree_map(lambda x: x[-1], auxs)
             updates, o = optimizer.update(grads, o, p)
             p = optax.apply_updates(p, updates)
             if "bn_state" in aux:
@@ -118,6 +143,8 @@ def bench_family(name: str, iters: int) -> None:
         "unit": "videos/s",
         "step_ms": round(dt / iters * 1e3, 2),
     }
+    if accum > 1:
+        out["grad_accum"] = accum
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
     print(json.dumps(out), flush=True)

@@ -40,6 +40,10 @@ grep -q "rc=0" "$OUT/bench_train_spatial_b32.log" || {
     run bench_train_spatial_b32_chunked python bench_train.py spatial
   VCR_BENCH_BATCH=32 VCR_BENCH_REMAT=1 \
     run bench_train_spatial_b32_remat python bench_train.py spatial
+  # third mitigation: gradient accumulation — effective B=32 through the
+  # (known-compiling) B=16 program
+  VCR_BENCH_BATCH=32 VCR_BENCH_ACCUM=2 \
+    run bench_train_spatial_b32_accum2 python bench_train.py spatial
 }
 
 echo
