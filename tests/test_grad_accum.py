@@ -150,6 +150,34 @@ def test_accum_indivisible_batch_raises(tiny_vocab, rng):
              1.0)
 
 
+def test_accum_composes_with_dp_mesh(tiny_vocab, rng):
+    """grad_accum under a dp-sharded mesh: the microbatch reshape slices the
+    dp-sharded batch axis and GSPMD re-partitions each microbatch — the
+    post-step params must equal the unsharded accumulation run."""
+    from vcr_tpu.parallel import make_mesh, shard_batch, shard_params
+
+    spec, params, opt = _setup(tiny_vocab, "s2vt", rng)
+    batch = _batch(rng, 16)
+    key = jax.random.PRNGKey(1)
+    step, _ = build_step_fns("s2vt", spec, opt, grad_accum=2)
+
+    fresh = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
+    p_plain, _, m_plain, _ = step(fresh(params), opt.init(fresh(params)),
+                                  batch, key, 1.0)
+
+    mesh = make_mesh(8, 1)
+    p_sh = shard_params(fresh(params), mesh, spec.padded_vocab_size)
+    b_sh = shard_batch(dict(batch), mesh)
+    p_mesh, _, m_mesh, _ = step(p_sh, opt.init(p_sh), b_sh, key, 1.0)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=2e-6),
+        p_plain, p_mesh)
+    np.testing.assert_allclose(float(m_mesh["loss"]), float(m_plain["loss"]),
+                               atol=1e-6)
+
+
 def test_accum_through_training_loop(tmp_path):
     """--grad_accum 2 through the REAL loop: trains, evaluates, checkpoints."""
     import dataclasses
