@@ -95,6 +95,34 @@ def test_decode_corpus_mesh_equals_single_device(tmp_path):
         assert a["tokens"] == b["tokens"]
 
 
+def test_decode_corpus_chunked_equals_one_shot(tmp_path):
+    """--bsize smaller than the corpus => several fixed-shape chunks through
+    ONE compiled program (large-corpus memory bound); tokens identical to the
+    single-chunk decode, greedy and beam, incl. a dp mesh with a padded final
+    chunk."""
+    from tests.test_train_loop import tiny_config
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.tools import decode_corpus
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    build_corpus(os.path.join(tmp, "data"))
+    cfg = tiny_config(tmp, epochs=1)
+    train(cfg)
+
+    one = decode_corpus(cfg)                       # bsize >= corpus: 1 chunk
+    assert len(one) >= 3
+    small = decode_corpus(cfg.replace(bsize=2))    # 2 chunks, final padded
+    assert [r["tokens"] for r in small] == [r["tokens"] for r in one]
+
+    one_beam = decode_corpus(cfg, beam_size=2)
+    small_beam = decode_corpus(cfg.replace(bsize=2), beam_size=2)
+    assert [r["tokens"] for r in small_beam] == [r["tokens"] for r in one_beam]
+
+    meshed = decode_corpus(cfg.replace(bsize=2, mesh_dp=4))  # chunk pads 2->4
+    assert [r["tokens"] for r in meshed] == [r["tokens"] for r in one]
+
+
 def test_export_reference_checkpoint_roundtrip(tmp_path, tiny_vocab):
     """CLI-level inverse conversion: a vcr_tpu training checkpoint exports to
     a reference-format .net blob that torch.loads, strict-loads into the

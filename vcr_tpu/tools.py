@@ -117,45 +117,55 @@ def decode_corpus(cfg: Config, checkpoint_path: str = "",
     keys = [ds.captions[i][ds.key_field] for i in range(len(ds))]
     n_real = feats.shape[0]
 
-    # SPMD batch decode: shard the corpus over the dp axis of a (dp x mp)
-    # mesh (pad rows to a dp multiple; padded rows are dropped after decode).
-    # The jitted decoders inherit the shardings from their inputs, exactly as
-    # the train step does (parallel/mesh.py).
+    # Fixed-size chunks of --bsize (rounded up to a dp multiple): ONE compiled
+    # program reused across the whole corpus, bounding HBM (and per-request
+    # upload size) no matter how large the split is — decoding all of
+    # MSR-VTT's val in a single jit call was the alternative. The final short
+    # chunk zero-pads; rows are independent in eval, so padding cannot change
+    # real rows (same argument as greedy_captions above).
+    mesh = None
     if cfg.mesh_dp * cfg.mesh_mp > 1:
         from vcr_tpu.parallel import make_mesh, shard_batch, shard_params
 
         mesh = make_mesh(cfg.mesh_dp, cfg.mesh_mp)
-        pad = (-n_real) % cfg.mesh_dp
-        if pad:
-            feats = np.concatenate([feats, np.zeros((pad, *feats.shape[1:]),
-                                                    feats.dtype)])
         params = shard_params(params, mesh, spec.padded_vocab_size)
-        feats = shard_batch({"vid_feats": feats}, mesh)["vid_feats"]
+        place = lambda a: shard_batch({"vid_feats": a}, mesh)["vid_feats"]  # noqa: E731
     else:
-        feats = jnp.asarray(feats)
         params = jax.device_put(params)
+        place = jnp.asarray
+
+    dp = max(cfg.mesh_dp, 1)
+    chunk = min(max(1, cfg.bsize), max(n_real, 1))
+    chunk += (-chunk) % dp  # dp-divisible (shard_batch's leading-axis rule)
 
     if cfg.sample_temperature > 0:
         from vcr_tpu.decode import sample_tokens
 
         key = jax.random.PRNGKey(cfg.seed)
-        tokens = np.asarray(jax.jit(
-            lambda p, v, k: sample_tokens(p, spec, v, vocab.eos_id, k,
-                                          cfg.sample_temperature,
-                                          cfg.sample_top_k)
-        )(params, feats, key))
+        fn = jax.jit(lambda p, v, k: sample_tokens(
+            p, spec, v, vocab.eos_id, k, cfg.sample_temperature,
+            cfg.sample_top_k))
+        run = lambda v, i: fn(params, v, jax.random.fold_in(key, i))  # noqa: E731
     elif beam_size > 1:
         from vcr_tpu.decode import decode_tokens
 
-        tokens, _ = jax.jit(
-            lambda p, v: decode_tokens(p, spec, v, vocab.eos_id, beam_size)
-        )(params, feats)
-        tokens = np.asarray(tokens[:, 0])
+        fn = jax.jit(lambda p, v: decode_tokens(p, spec, v, vocab.eos_id,
+                                                beam_size))
+        run = lambda v, i: fn(params, v)[0][:, 0]  # noqa: E731
     else:
-        tokens = np.asarray(jax.jit(
-            lambda p, v: _greedy(p, spec, v))(params, feats))
+        fn = jax.jit(lambda p, v: _greedy(p, spec, v))
+        run = lambda v, i: fn(params, v)  # noqa: E731
 
-    tokens = tokens[:n_real]  # drop mesh padding rows
+    tokens_parts = []
+    for ci, start in enumerate(range(0, n_real, chunk)):
+        part = feats[start:start + chunk]
+        n = len(part)
+        if n < chunk:
+            part = np.concatenate(
+                [part, np.zeros((chunk - n, *part.shape[1:]), part.dtype)])
+        tokens_parts.append(np.asarray(run(place(part), ci))[:n])
+    tokens = np.concatenate(tokens_parts) if tokens_parts else \
+        np.zeros((0, spec.max_len), np.int32)
     results = [{"vid_key": k, "tokens": t.tolist(),
                 "caption": vocab.get_sent_from_index(t)}
                for k, t in zip(keys, tokens)]
