@@ -96,6 +96,13 @@ def export_captioner(params, spec, out_dir: str,
     from vcr_tpu import serving
 
     eos_id = serving.resolve_eos_id(spec, eos_id, vocab)
+    # Portability: a use_pallas trace would bake either interpret-mode Pallas
+    # (exported from a non-TPU host) or a TPU-only mosaic call (breaking the
+    # artifact's cpu lowering) into the graph. The kernel is a compute-path
+    # switch over IDENTICAL params/math (ModelSpec.use_pallas), so export the
+    # pure-XLA path unconditionally.
+    if getattr(spec, "use_pallas", False):
+        spec = spec.with_(use_pallas=False)
     darknet_obj = None
     if featurizer == "yolo":
         assert feat_params is not None, "yolo featurizer needs the Darknet"
