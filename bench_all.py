@@ -18,7 +18,6 @@ Configs (BASELINE.json):
 import json
 import os
 import sys
-import time
 
 import numpy as np
 

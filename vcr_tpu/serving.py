@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from vcr_tpu.models import base as model_base
 from vcr_tpu.models import (rationale, resnet, s2vt, s2vt_att, spatial,
