@@ -61,6 +61,8 @@ def main() -> None:
          + common),
         ("export_reference", ["--mode", "export_reference",
                               "--save_path", models] + common),
+        ("export_serving", ["--mode", "export_serving",
+                            "--save_path", models] + common),
         ("train_rationale", ["--mode", "train_rationale", "--arch", "s2vt",
                              "--tau", "1.0", "--epochs", "1", "--lr", "1e-2",
                              "--save_path", os.path.join(root, "models_rat")]
