@@ -123,6 +123,41 @@ def decode_from_states(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     step_keys = jax.random.split(rng, spec.max_len)
+
+    # Static full teacher forcing (the default schedule): uniform() draws lie
+    # in [0, 1) so `uniform < 1.0` is always true — the argmax feedback is
+    # dead and the logits never enter the recurrence. TPU-first: the scan
+    # emits only the (B, H) GRU2 states; the vocab projection — the dominant
+    # decode matmul — and its dropout run AFTER the scan as ONE (L·B, H) @
+    # (H, V) MXU matmul, with embedding gathers + their dropout hoisted ahead
+    # of it. Bit-identical to the per-step form: matmul rows are independent
+    # and the per-step PRNG keys are reproduced exactly (k_tf is drawn but
+    # unused, same as the dead `where` in the general path).
+    if (train and isinstance(teacher_force_prob, (int, float))
+            and float(teacher_force_prob) >= 1.0):
+        keys3 = jax.vmap(lambda k: jax.random.split(k, 3))(step_keys)
+        k_demb, k_dlin = keys3[:, 1], keys3[:, 2]
+        embs = embed(params["embedding"], s_in[:, : spec.max_len])  # (B, L, E)
+        embs = jnp.transpose(embs, (1, 0, 2))                       # (L, B, E)
+        embs = jax.vmap(
+            lambda k, e: dropout(k, e, spec.dropout_p, True))(k_demb, embs)
+
+        def step_tf(carry, emb_t):
+            st1, st2 = carry
+            out1 = gru_gates(xg1, st1, params["rnn1"], spec.cdtype)
+            x2 = jnp.concatenate([out1, emb_t], axis=-1)
+            xg2 = (vdot(x2, params["rnn2"]["w_ih"], spec.cdtype)
+                   + params["rnn2"]["b_ih"])
+            out2 = gru_gates(xg2, st2, params["rnn2"], spec.cdtype)
+            return (out1, out2), out2
+
+        _, outs2 = jax.lax.scan(step_tf, (state1, state2), embs)   # (L, B, H)
+        dropped = jax.vmap(
+            lambda k, x: dropout(k, x, spec.dropout_p, True))(k_dlin, outs2)
+        logits = mask_vocab_pad(
+            dense(params["linear"], dropped, spec.cdtype), spec.vocab_size)
+        return jnp.transpose(logits, (1, 0, 2))                    # (B, L, V)
+
     tf_prob = jnp.asarray(teacher_force_prob, dtype=jnp.float32)
 
     def step(carry, inp):

@@ -84,19 +84,41 @@ def decode(
     proj_key = bahdanau_project_keys(dec["attention"], encoder_outs, spec.cdtype)
 
     sos = jnp.full((b,), spec.sos_id, dtype=jnp.int32)
-    if train:
-        assert s is not None
-        s_in = jnp.concatenate([sos[:, None], s.astype(jnp.int32)], axis=1)
-    else:
-        s_in = jnp.zeros((b, spec.max_len + 1), dtype=jnp.int32)
-
     if rng is None:
         rng = jax.random.PRNGKey(0)
     step_keys = jax.random.split(rng, spec.max_len)
 
-    def step(carry, inp):
+    if train:
+        # Teacher forcing is always on at train (S2VTAttModel.py:188-191), so
+        # the logits never feed back into the recurrence. TPU-first: the scan
+        # emits only the (B, H) GRU states and the vocab projection — the
+        # dominant decode matmul — runs AFTER the scan as ONE
+        # (L·B, H) @ (H, V) MXU matmul instead of L small ones, with the
+        # word-embedding gathers hoisted likewise. Bit-identical to the
+        # per-step form: matmul rows are independent and the per-step dropout
+        # keys are reproduced exactly (vmapped over the same step_keys).
+        assert s is not None
+        s_in = jnp.concatenate([sos[:, None], s.astype(jnp.int32)], axis=1)
+        embs = embed(dec["embedding"], s_in[:, : spec.max_len])  # (B, L, E)
+        embs = jnp.transpose(embs, (1, 0, 2))                    # (L, B, E)
+
+        def step_tf(state, emb_t):
+            context, _ = bahdanau_attend(dec["attention"], state, proj_key,
+                                         encoder_outs, spec.cdtype)
+            x = jnp.concatenate([context, emb_t], axis=-1)
+            xg = vdot(x, dec["rnn"]["w_ih"], spec.cdtype) + dec["rnn"]["b_ih"]
+            state = gru_gates(xg, state, dec["rnn"], spec.cdtype)
+            return state, state
+
+        _, states = jax.lax.scan(step_tf, encoder_final, embs)   # (L, B, H)
+        dropped = jax.vmap(
+            lambda k, x: dropout(k, x, spec.dropout_p, True))(step_keys, states)
+        logits = mask_vocab_pad(
+            dense(dec["pred_linear"], dropped, spec.cdtype), spec.vocab_size)
+        return jnp.transpose(logits, (1, 0, 2))                  # (B, L, V)
+
+    def step(carry, key):
         state, words = carry
-        i, key = inp
         context, _ = bahdanau_attend(dec["attention"], state, proj_key, encoder_outs,
                                      spec.cdtype)
         emb = embed(dec["embedding"], words)
@@ -107,16 +129,11 @@ def decode(
             dense(dec["pred_linear"], dropout(key, state, spec.dropout_p, train),
                   spec.cdtype),
             spec.vocab_size)
-        if train:
-            next_words = s_in[:, i + 1]
-            ys = logits_t               # tokens-emit is a serving-only mode
-        else:
-            next_words = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
-            ys = next_words if emit == "tokens" else logits_t
+        next_words = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
+        ys = next_words if emit == "tokens" else logits_t
         return (state, next_words), ys
 
-    xs = (jnp.arange(spec.max_len), step_keys)
-    _, out = jax.lax.scan(step, (encoder_final, sos), xs)
+    _, out = jax.lax.scan(step, (encoder_final, sos), step_keys)
     if emit == "tokens":
         return jnp.transpose(out, (1, 0))    # (B, L) int32
     return jnp.transpose(out, (1, 0, 2))

@@ -300,10 +300,14 @@ def train(cfg: Config) -> Dict[str, float]:
     optimizer = optim.build_optimizer(cfg.optim, cfg.lr, cfg.wd, cfg.max_norm,
                                       cfg.momentum)
     opt_state = optimizer.init(params)
+    # constant tf schedule (the default): pass tf statically so the decoders
+    # can hoist the vocab projection out of the decode scan (step.py static_tf)
+    scheduled_tf = use_tf_schedule and cfg.schedule_sample
     train_step, eval_step = build_step_fns(model_name, spec, optimizer,
                                            cfg.lambda_brev, cfg.lambda_cont,
                                            remat=cfg.remat,
-                                           grad_accum=cfg.grad_accum)
+                                           grad_accum=cfg.grad_accum,
+                                           static_tf=None if scheduled_tf else 1.0)
     if mesh is not None:
         from vcr_tpu.parallel import shard_batch
 

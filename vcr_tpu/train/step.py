@@ -73,6 +73,7 @@ def build_step_fns(
     lambda_cont: float = 1.0,
     remat: bool = False,
     grad_accum: int = 1,
+    static_tf: float | None = None,
 ) -> Tuple[Callable, Callable]:
     """-> (train_step, eval_step).
 
@@ -98,11 +99,21 @@ def build_step_fns(
     SpatialNet's BN running stats follow the LAST microbatch (torch
     accumulation semantics — the one intentional deviation from one big
     batch).
+
+    static_tf: when the teacher-force schedule is a compile-time constant
+    (the default — schedule_sample off means tf ≡ 1.0), pass it here as a
+    Python float instead of the traced per-call `tf_prob`. The models then
+    see a static value and can specialize: at tf == 1.0 the GRU decoders
+    hoist the vocab projection out of the decode scan into one big MXU
+    matmul (bit-identical — see s2vt.decode_from_states). The runtime
+    `tf_prob` argument is ignored at train when this is set.
     """
     _, apply_fn = base.build_model(model_name)
 
     def _bound(train: bool):
         def fn(params, vid_feats, sent, sent_len, rng, tf_prob):
+            if train and static_tf is not None:
+                tf_prob = static_tf
             return apply_fn(params, spec, vid_feats, sent, sent_len, rng=rng,
                             train=train, teacher_force_prob=tf_prob)
         return fn
