@@ -132,6 +132,30 @@ def main() -> int:
     print(f"{'PASS' if same else 'FAIL'}  serving artifact replay (tpu lowering)")
     ok &= same
 
+    # Round-3 training path: the hoisted teacher-forced decode (vocab
+    # projection moved out of the scan, models/s2vt.py) must match the
+    # general in-scan path when COMPILED on real hardware. The suite proves
+    # bit-identity eagerly on CPU; on-chip the two programs may tile the
+    # (L·B, H) vs per-step (B, H) matmuls differently, so compare at fp32
+    # with the standard hardware tolerance.
+    hspec = mbase.ModelSpec(
+        arch="s2vt", vocab_size=512, embed_size=300, hidden_size=512,
+        vid_feat_size=512, max_len=12, num_frames=8, dropout_p=0.2,
+        sos_id=508, compute_dtype="float32", vocab_pad_to=128)
+    hparams = jax.device_put(s2vt.init_params(
+        jax.random.PRNGKey(5), hspec,
+        rng.standard_normal((512, 300)).astype(np.float32)))
+    hx = jnp.asarray(rng.standard_normal((16, 8, 512)), jnp.float32)
+    hs = jnp.asarray(rng.integers(0, 512, (16, 12)), jnp.int32)
+    hkey = jax.random.PRNGKey(6)
+    hoisted = jax.jit(lambda p, x, s_, k: s2vt.apply(
+        p, hspec, x, s_, rng=k, train=True, teacher_force_prob=1.0))(
+            hparams, hx, hs, hkey)
+    general = jax.jit(lambda p, x, s_, k, tf: s2vt.apply(
+        p, hspec, x, s_, rng=k, train=True, teacher_force_prob=tf))(
+            hparams, hx, hs, hkey, jnp.float32(1.0))
+    ok &= check("hoisted decode ≡ general decode (compiled)", hoisted, general)
+
     print("ALL PASS" if ok else "FAILURES")
     return 0 if ok else 1
 
