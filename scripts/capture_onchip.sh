@@ -7,6 +7,10 @@ cd "$(dirname "$0")/.."
 OUT=onchip_r3
 mkdir -p "$OUT"
 
+# Persist compiled executables across entries and across watcher retries —
+# a mid-capture tunnel death no longer pays every 20-40s compile again.
+export VCR_COMPILE_CACHE="${VCR_COMPILE_CACHE:-/tmp/vcr_xla_cache}"
+
 run() {
   name=$1; shift
   echo "=== $name: $* ==="

@@ -28,6 +28,13 @@ def set_random_seeds(seed: int) -> None:
 def main(argv=None) -> None:
     cfg = get_config(argv)
     set_random_seeds(cfg.seed)
+    from vcr_tpu.utils.compile_cache import (enable_compile_cache,
+                                             maybe_enable_compile_cache)
+
+    if cfg.compile_cache_dir:
+        enable_compile_cache(cfg.compile_cache_dir)
+    else:
+        maybe_enable_compile_cache()
     dispatch(cfg)
 
 

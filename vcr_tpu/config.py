@@ -94,6 +94,11 @@ class Config:
     # bsize must be divisible by it. (SpatialNet's BN batch stats follow the
     # last microbatch, matching torch accumulation semantics.)
     grad_accum: int = 1
+    # Persistent XLA compilation cache directory ("" = off; also settable via
+    # the VCR_COMPILE_CACHE env var for the bench entries). Cold TPU compiles
+    # cost 20-40s; the on-disk cache makes every program after the first
+    # process free across runs/restarts/preemption-resume cycles.
+    compile_cache_dir: str = ""
     # PRNG implementation for the training step's dropout/teacher-force keys.
     # "rbg" rides the TPU's hardware RNG and measures ~7% faster train steps
     # than "threefry2x32" (the mask *distribution* is identical; only the
@@ -155,7 +160,7 @@ _CLI_OVERRIDE_FIELDS = (
     "n_sample_sent", "beam_size", "sample_temperature", "sample_top_k",
     "seed", "out_dir", "vid_file", "export_all",
     "pretrained_base", "spatial_net_file", "log_dir", "log_iter",
-    "mesh_dp", "mesh_mp",
+    "mesh_dp", "mesh_mp", "compile_cache_dir",
 )
 
 

@@ -77,6 +77,12 @@ def ensure_backend(attempts: int | None = None,
                    timeout_s: float | None = None,
                    verbose: bool = True) -> Tuple[bool, str]:
     """Probe with bounded retry/backoff. Returns (ok, last diagnostic)."""
+    # Honor VCR_COMPILE_CACHE before the parent's first compile (env-gated;
+    # jax.config.update does not initialize the backend, so this cannot hang
+    # even when the tunnel is dead).
+    from vcr_tpu.utils.compile_cache import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()
     if os.environ.get("VCR_SKIP_PROBE") == "1":
         return True, "probe skipped (VCR_SKIP_PROBE=1)"
     attempts = attempts or int(os.environ.get("VCR_PROBE_ATTEMPTS", "3"))
