@@ -1,0 +1,107 @@
+"""Quantified op-level proof for the gather-free lineage beam (VERDICT r2 #5).
+
+The fast-beam serving path was reorder-bound at 0.09 MFU: every step
+physically permuted every KV-cache leaf (one axis-0 gather per leaf = a full
+cache read+write per token). The lineage stepper writes caches once and
+re-indexes reads through a (rows, L) ancestry matrix, so the per-step reorder
+touches only that int32 matrix.
+
+These tests PROVE the traffic claim structurally, by walking the jaxpr of one
+composed beam step (reorder + stepper) and counting bytes produced by gather
+ops — backend-neutral, no chip needed (token identity between the two paths
+is proven separately in test_decode_transformer.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vcr_tpu.models import base
+import vcr_tpu.models.transformer as tr
+from vcr_tpu.utils.benchutil import jaxpr_gather_bytes
+
+
+def _spec(tiny_vocab, max_len=8):
+    return base.ModelSpec(
+        arch="transformer", vocab_size=tiny_vocab.vocab_size,
+        embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
+        max_len=max_len, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+        compute_dtype="float32", tf_layers=2, tf_heads=2)
+
+
+def beam_step_fns(spec, batch, k, lineage):
+    """(no_reorder_fn, with_reorder_fn, abstract args) for one beam step.
+
+    The gather-byte DELTA between the two isolates exactly the per-step
+    beam-reorder traffic; everything else (embedding lookup, attention,
+    cross K/V precompute) appears identically in both."""
+
+    def build(params, e_out):
+        out = tr.make_cached_stepper(params, spec, e_out, beam_tile=k,
+                                     lineage=lineage)
+        reorder = (out[2] if lineage
+                   else lambda s, f: jax.tree_util.tree_map(lambda x: x[f], s))
+        return out[0], out[1], reorder
+
+    def no_reorder(params, e_out, state, words):
+        step_fn, _, _ = build(params, e_out)
+        _, logits = step_fn(state, words, jnp.int32(2))
+        return logits
+
+    def with_reorder(params, e_out, state, words, flat_src):
+        step_fn, _, reorder = build(params, e_out)
+        _, logits = step_fn(reorder(state, flat_src), words, jnp.int32(2))
+        return logits
+
+    key = jax.random.PRNGKey(0)
+    glove_s = jax.ShapeDtypeStruct((spec.vocab_size, spec.embed_size),
+                                   jnp.float32)
+    params_s = jax.eval_shape(lambda k, g: tr.init_params(k, spec, g),
+                              key, glove_s)
+    e_s = jax.ShapeDtypeStruct((batch, spec.num_frames, spec.vid_feat_size),
+                               jnp.float32)
+    state_s = jax.eval_shape(lambda p, e: build(p, e)[1], params_s, e_s)
+    rows = batch * k
+    words_s = jax.ShapeDtypeStruct((rows,), jnp.int32)
+    flat_s = jax.ShapeDtypeStruct((rows,), jnp.int32)
+    return no_reorder, with_reorder, (params_s, e_s, state_s, words_s, flat_s)
+
+
+def _reorder_delta(spec, batch, k, lineage):
+    no_re, with_re, (p, e, st, w, f) = beam_step_fns(spec, batch, k, lineage)
+    base_b = jaxpr_gather_bytes(no_re, p, e, st, w)
+    full_b = jaxpr_gather_bytes(with_re, p, e, st, w, f)
+    assert base_b is not None and full_b is not None
+    return full_b - base_b
+
+
+def test_gather_beam_reorders_full_cache_every_step(tiny_vocab):
+    spec = _spec(tiny_vocab)
+    batch, k = 4, 4
+    rows = batch * k
+    d_k = spec.hidden_size // spec.tf_heads
+    cache_bytes = (spec.tf_layers * 2 * rows * spec.tf_heads * spec.max_len
+                   * d_k * jnp.dtype(spec.compute_dtype).itemsize)
+    delta = _reorder_delta(spec, batch, k, lineage=False)
+    # the physical reorder re-materializes every cache leaf: gather output
+    # bytes == the whole cache (per decode step)
+    assert delta >= cache_bytes, (delta, cache_bytes)
+
+
+def test_lineage_beam_reorder_is_ancestry_only(tiny_vocab):
+    spec = _spec(tiny_vocab)
+    batch, k = 4, 4
+    rows = batch * k
+    anc_bytes = rows * spec.max_len * 4  # (rows, L) int32
+    delta = _reorder_delta(spec, batch, k, lineage=True)
+    assert delta <= anc_bytes, (delta, anc_bytes)
+
+
+def test_lineage_reorder_traffic_ratio(tiny_vocab):
+    """Even at toy widths the reorder traffic ratio is large; at serving
+    shapes (B=128 K=5, real widths) it is 3072x (157.3 MB vs 51.2 KB
+    gathered per step) — see scripts/analyze_beam_paths.py."""
+    spec = _spec(tiny_vocab)
+    g = _reorder_delta(spec, 4, 4, lineage=False)
+    ln = _reorder_delta(spec, 4, 4, lineage=True)
+    assert ln < g / 4, (g, ln)

@@ -110,6 +110,48 @@ def jaxpr_flops(fn, *args, **kwargs) -> Optional[float]:
         return None
 
 
+def _jaxpr_gather_bytes(jaxpr) -> float:
+    """Bytes PRODUCED by gather ops in a (open) jaxpr, recursing into control
+    flow (scan bodies multiplied by trip count). Each gathered byte is also a
+    byte read from the source, so the HBM traffic a gather costs is ~2x this.
+    Used to quantify beam-reorder traffic (VERDICT r2 #5): a physical KV-cache
+    reorder is one big axis-0 gather per cache leaf per step."""
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "gather":
+            out = eqn.outvars[0].aval
+            total += _prod(out.shape) * out.dtype.itemsize
+        elif name == "scan":
+            total += eqn.params["length"] * _jaxpr_gather_bytes(
+                eqn.params["jaxpr"].jaxpr)
+        elif name == "while":
+            total += _jaxpr_gather_bytes(eqn.params["body_jaxpr"].jaxpr)
+        elif name == "cond":
+            total += max(_jaxpr_gather_bytes(b.jaxpr)
+                         for b in eqn.params["branches"])
+        else:
+            for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+                sub = eqn.params.get(key) if eqn.params else None
+                if sub is not None:
+                    total += _jaxpr_gather_bytes(getattr(sub, "jaxpr", sub))
+                    break
+    return total
+
+
+def jaxpr_gather_bytes(fn, *args, **kwargs) -> Optional[float]:
+    """Bytes produced by gathers in one call `fn(*args)` (trace-time count).
+    Accepts jax.ShapeDtypeStruct args — nothing is materialized. None if
+    tracing fails."""
+    import jax
+
+    try:
+        closed = jax.make_jaxpr(fn)(*args, **kwargs)
+        return _jaxpr_gather_bytes(closed.jaxpr)
+    except Exception:
+        return None
+
+
 def mfu(flops_total: Optional[float], seconds: float, device) -> Optional[float]:
     """flops_total/seconds as a fraction of the chip's peak bf16 rate."""
     peak = peak_bf16_flops(device)
