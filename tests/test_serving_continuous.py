@@ -1,0 +1,151 @@
+"""Continuous-batching serving (vcr_tpu/serving_continuous.py).
+
+Greedy parity oracle: a slot's harvested tokens must equal the family's
+whole-batch decode (decode_tokens beam-1, which clamps finished rows to
+<eos>) truncated after the first <eos> — same cell math, same argmax; the
+continuous path merely stops stepping a finished slot.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vcr_tpu.decode import decode_tokens
+from vcr_tpu.models import base
+from vcr_tpu.serving_continuous import ContinuousCaptioner
+
+pytestmark = []
+
+
+def _spec(tiny_vocab, arch, **kw):
+    d = dict(arch=arch, vocab_size=tiny_vocab.vocab_size,
+             embed_size=tiny_vocab.embed_size, hidden_size=8,
+             vid_feat_size=12, max_len=7, num_frames=4, dropout_p=0.0,
+             sos_id=tiny_vocab.sos_id, compute_dtype="float32")
+    d.update(kw)
+    return base.ModelSpec(**d)
+
+
+def _greedy_truncated(params, spec, feats, eos_id):
+    """Batch beam-1 rows, truncated after the first <eos> (the oracle)."""
+    toks, _ = decode_tokens(params, spec, jnp.asarray(feats), eos_id,
+                            beam_size=1)
+    rows = np.asarray(toks)[:, 0]
+    out = []
+    for row in rows:
+        hits = np.nonzero(row == eos_id)[0]
+        out.append(row[: hits[0] + 1] if len(hits) else row)
+    return out
+
+
+def _feats(rng, n, spec):
+    return rng.standard_normal(
+        (n, spec.num_frames, spec.vid_feat_size)).astype(np.float32)
+
+
+@pytest.mark.parametrize("arch", ["s2vt", "s2vt-att"])
+def test_matches_batch_greedy(tiny_vocab, rng, arch):
+    spec = _spec(tiny_vocab, arch)
+    model = base.build_model(arch)[0]
+    params = model(jax.random.PRNGKey(3), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 7, spec)
+    want = _greedy_truncated(params, spec, feats, tiny_vocab.eos_id)
+
+    cc = ContinuousCaptioner(params, spec, slots=3, admit_chunk=2,
+                             step_chunk=2, eos_id=tiny_vocab.eos_id)
+    got = cc.caption_all({i: feats[i] for i in range(7)})
+    assert sorted(got) == list(range(7))
+    for i in range(7):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_streaming_arrivals_and_completion_order(tiny_vocab, rng):
+    """Requests arriving from a lazy generator are all served; each result
+    is yielded as its slot finishes (never more in flight than slots)."""
+    spec = _spec(tiny_vocab, "s2vt")
+    model = base.build_model("s2vt")[0]
+    params = model(jax.random.PRNGKey(1), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 11, spec)
+    want = _greedy_truncated(params, spec, feats, tiny_vocab.eos_id)
+
+    served_before_exhaust = []
+
+    def arrivals():
+        for i in range(11):
+            served_before_exhaust.append(i)
+            yield i, feats[i]
+
+    cc = ContinuousCaptioner(params, spec, slots=4, admit_chunk=4,
+                             step_chunk=1, eos_id=tiny_vocab.eos_id)
+    got = {}
+    for key, toks in cc.caption_stream(arrivals()):
+        got[key] = toks
+        # lazy pull: the source can't have been drained much further than
+        # the slot pool + one admission chunk ahead of completions
+        assert len(served_before_exhaust) <= len(got) + cc.slots + cc.admit_chunk
+    assert sorted(got) == list(range(11))
+    for i in range(11):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_slot_reuse_is_clean(tiny_vocab, rng):
+    """More requests than slots: every slot is reused; late captions must not
+    leak earlier occupants' state (admission resets everything)."""
+    spec = _spec(tiny_vocab, "s2vt-att")
+    model = base.build_model("s2vt-att")[0]
+    params = model(jax.random.PRNGKey(5), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 9, spec)
+    want = _greedy_truncated(params, spec, feats, tiny_vocab.eos_id)
+
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                             step_chunk=3, eos_id=tiny_vocab.eos_id)
+    got = cc.caption_all({i: feats[i] for i in range(9)})
+    for i in range(9):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_spatial_family(tiny_vocab, rng):
+    spec = _spec(tiny_vocab, "spatial", base_arch="s2vt", vid_feat_size=6)
+    model = base.build_model("spatial")[0]
+    params = model(jax.random.PRNGKey(2), spec, tiny_vocab.vectors)
+    feats = rng.standard_normal(
+        (5, spec.num_frames, spec.vid_feat_size, 3, 3)).astype(np.float32)
+    want = _greedy_truncated(params, spec, feats, tiny_vocab.eos_id)
+
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=2,
+                             eos_id=tiny_vocab.eos_id)
+    got = cc.caption_all({i: feats[i] for i in range(5)})
+    for i in range(5):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_rationale_family_zero_noise(tiny_vocab, rng):
+    """RationaleNet's frame selection is stochastic per eval forward (fresh
+    Gumbel noise, RationaleNet.py:50), so batch-vs-continuous parity is only
+    defined under the deterministic zero-noise mode."""
+    from vcr_tpu.nn import gumbel
+
+    spec = _spec(tiny_vocab, "rationale", base_arch="s2vt", tau=1.0)
+    model = base.build_model("rationale")[0]
+    params = model(jax.random.PRNGKey(4), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 5, spec)
+
+    old = gumbel.ZERO_NOISE
+    gumbel.ZERO_NOISE = True
+    try:
+        want = _greedy_truncated(params, spec, feats, tiny_vocab.eos_id)
+        cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=2,
+                                 eos_id=tiny_vocab.eos_id)
+        got = cc.caption_all({i: feats[i] for i in range(5)})
+    finally:
+        gumbel.ZERO_NOISE = old
+    for i in range(5):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_rejects_transformer(tiny_vocab):
+    spec = _spec(tiny_vocab, "transformer", tf_layers=2, tf_heads=2)
+    with pytest.raises(NotImplementedError):
+        ContinuousCaptioner({}, spec)

@@ -23,7 +23,7 @@ __version__ = "0.1.0"
 # Public API (lazy — importing vcr_tpu must not pull in jax et al.)
 __all__ = ["Config", "Vocab", "train", "decode_tokens", "sample_tokens",
            "build_model", "ModelSpec", "build_captioner", "export_captioner",
-           "load_artifact"]
+           "load_artifact", "ContinuousCaptioner"]
 
 
 def __getattr__(name):
@@ -48,4 +48,7 @@ def __getattr__(name):
     if name in ("export_captioner", "load_artifact"):
         from vcr_tpu import export_serving
         return getattr(export_serving, name)
+    if name == "ContinuousCaptioner":
+        from vcr_tpu.serving_continuous import ContinuousCaptioner
+        return ContinuousCaptioner
     raise AttributeError(name)

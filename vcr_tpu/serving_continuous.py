@@ -1,0 +1,290 @@
+"""Continuous-batching caption serving: slot-based greedy decode.
+
+Whole-batch serving (`serving.build_captioner`, `tools.decode_corpus`) pays
+for its slowest sequence: every row rides the full max_len scan even after
+emitting <eos>, and a new request waits for the whole batch to drain. This
+module keeps a fixed pool of R decode *slots* on device and runs the decode
+cell one token at a time across ALL active slots; the host harvests finished
+slots and refills them from a request queue. Utilization stays near R active
+rows regardless of arrival pattern or caption-length mix — the standard
+production pattern for autoregressive serving (vLLM-style), which the
+reference (greedy batch rollouts only, S2VTModel.py:148-177) has no answer
+to.
+
+TPU-first mechanics:
+  - every device function is jitted once with FIXED shapes: admission encodes
+    a constant-size chunk (A videos, short rows masked by `valid`), admission
+    scatters rows into slots with a drop-sentinel `.at[ids].set(mode="drop")`,
+    and each tick advances all R slots `step_chunk` micro-steps in one
+    lax.scan — no recompiles, no data-dependent shapes;
+  - slot decode state is exactly the family's stepper state (decode.py):
+    {"s1","s2"} for the s2vt cell, {"h","pk","eo"} for the s2vt-att cell, so
+    the cell math is the proven stepper code, not a re-implementation;
+  - finished slots stop changing state (masked by `active`) — their rows
+    still flow through the matmuls (fixed shapes beat ragged dispatch on the
+    MXU) but are dead weight only until the next harvest tick;
+  - host<->device traffic per tick is one (R,) bool + one small readback of
+    finished rows. Through the axon tunnel each readback costs ~24ms (CLAUDE
+    notes); on a real host it is microseconds.
+
+Families: s2vt, s2vt-att, spatial (s2vt/att base), rationale (s2vt/att base)
+— every GRU-decoder family. The transformer's KV-cached stepper needs
+per-slot positions (a different cache write pattern); its continuous mode is
+a future extension and its batch fast path (decode_greedy_fast) remains the
+serving default.
+
+Greedy parity: a slot's harvested tokens equal the family's batch greedy
+rollout truncated at the first <eos> (same cell, same argmax; the batch
+rollout free-runs past <eos>, a slot stops) — locked by
+tests/test_serving_continuous.py against decode_tokens/sample_tokens(top_k=1).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, Iterable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vcr_tpu.decode import _s2vt_att_stepper, _s2vt_stepper
+from vcr_tpu.models import base as model_base
+from vcr_tpu.models import s2vt, s2vt_att
+from vcr_tpu.nn.attention import bahdanau_project_keys
+from vcr_tpu.serving import resolve_eos_id
+
+_GRU_ARCHS = ("s2vt", "s2vt-att", "spatial", "rationale")
+
+
+class ContinuousCaptioner:
+    """Slot-pool greedy captioner. See module docstring.
+
+    Args:
+      params / spec: a trained model (any GRU-decoder family).
+      slots: R, the device slot-pool size (the effective serving batch).
+      admit_chunk: A, videos encoded per admission call (fixed shape; the
+        queue is drained A at a time into free slots).
+      step_chunk: decode micro-steps per tick between host polls. Larger
+        amortizes host round-trips; smaller harvests/refills sooner. max_len
+        is a natural upper bound.
+      eos_id / vocab: end-token resolution (serving.resolve_eos_id).
+      rng: base key for RationaleNet's eval-time hard-Gumbel frame selection
+        (fold_in per admission chunk); unused by the other families.
+    """
+
+    def __init__(self, params, spec: model_base.ModelSpec, *,
+                 slots: int = 64, admit_chunk: int = 8, step_chunk: int = 4,
+                 eos_id: Optional[int] = None, vocab=None, rng=None):
+        if spec.arch not in _GRU_ARCHS:
+            raise NotImplementedError(
+                f"continuous serving covers the GRU-decoder families "
+                f"{_GRU_ARCHS}; got {spec.arch!r} (use "
+                "serving.build_captioner for the transformer)")
+        if not 1 <= admit_chunk <= slots:
+            raise ValueError("need 1 <= admit_chunk <= slots")
+        self.spec = spec
+        self.params = params
+        self.slots = slots
+        self.admit_chunk = admit_chunk
+        self.step_chunk = min(step_chunk, spec.max_len)
+        self.eos_id = resolve_eos_id(spec, eos_id, vocab)
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._admit_count = 0
+
+        # stepper params + cell family: spatial/rationale decode through
+        # their wrapped captioner (decode.py:275-309)
+        if spec.arch in ("spatial", "rationale"):
+            self._dec_params = params["caption_net"]
+            self._base = spec.base_arch
+        else:
+            self._dec_params = params
+            self._base = spec.arch
+
+        self._jit_encode = jax.jit(self._encode_chunk)
+        self._jit_admit = jax.jit(self._admit)
+        self._jit_step = jax.jit(self._step_n)
+        self.state = self._init_state()
+
+    # ---------------------------------------------------------- device fns
+
+    def _zeros_dec_state(self, rows: int):
+        spec = self.spec
+        h = jnp.zeros((rows, spec.hidden_size), jnp.float32)
+        if self._base == "s2vt":
+            return {"s1": h, "s2": h}
+        n = spec.num_frames
+        eo = jnp.zeros((rows, n, spec.hidden_size), jnp.float32)
+        return {"h": h, "pk": eo, "eo": eo}
+
+    def _init_state(self):
+        r, l = self.slots, self.spec.max_len
+        return {
+            "dec": self._zeros_dec_state(r),
+            "last": jnp.full((r,), self.spec.sos_id, jnp.int32),
+            "steps": jnp.zeros((r,), jnp.int32),
+            "active": jnp.zeros((r,), jnp.bool_),
+            "toks": jnp.zeros((r, l), jnp.int32),
+        }
+
+    def _encode_chunk(self, params, feats, rng):
+        """(A, F, Dv) float32 -> per-row decode-state pytree (A rows).
+        Admission cost: one fixed-shape encoder forward per chunk."""
+        spec = self.spec
+        if spec.arch == "rationale":
+            from vcr_tpu.models import rationale
+
+            sel, _ = rationale.generator(params["gen"], spec,
+                                         feats.astype(spec.cdtype), rng,
+                                         train=False)
+            feats, params = sel, params["caption_net"]
+            arch = spec.base_arch
+        elif spec.arch == "spatial":
+            from vcr_tpu.models import spatial
+
+            out1, rnn_state, _alphas, _bn = spatial.encode_spatial(
+                params, spec, feats, train=False)
+            cap = params["caption_net"]
+            if spec.base_arch == "s2vt":
+                return {"s1": rnn_state,
+                        "s2": s2vt._prime_state2(cap, spec, out1)}
+            eo = jnp.transpose(out1, (1, 0, 2))
+            return {"h": rnn_state, "eo": eo,
+                    "pk": bahdanau_project_keys(cap["decoder"]["attention"],
+                                                eo, spec.cdtype)}
+        else:
+            arch = spec.arch
+        if arch == "s2vt":
+            enc_outs, s1 = s2vt.encode(params, spec, feats)
+            return {"s1": s1, "s2": s2vt._prime_state2(params, spec, enc_outs)}
+        eo, h = s2vt_att.encode(params, spec, feats)
+        return {"h": h, "eo": eo,
+                "pk": bahdanau_project_keys(params["decoder"]["attention"],
+                                            eo, spec.cdtype)}
+
+    def _admit(self, state, new_dec, slot_ids, valid):
+        """Scatter `new_dec` rows into `slot_ids` (invalid rows -> the R
+        drop-sentinel) and reset the slots' decode bookkeeping."""
+        ids = jnp.where(valid, slot_ids, self.slots).astype(jnp.int32)
+        dec = jax.tree_util.tree_map(
+            lambda leaf, new: leaf.at[ids].set(
+                new.astype(leaf.dtype), mode="drop"),
+            state["dec"], new_dec)
+        return {
+            "dec": dec,
+            "last": state["last"].at[ids].set(self.spec.sos_id, mode="drop"),
+            "steps": state["steps"].at[ids].set(0, mode="drop"),
+            "active": state["active"].at[ids].set(True, mode="drop"),
+            "toks": state["toks"].at[ids].set(0, mode="drop"),
+        }
+
+    def _step_n(self, params, state):
+        """Advance every active slot `step_chunk` greedy tokens (one scan)."""
+        spec = self.spec
+        r = self.slots
+        rows = jnp.arange(r)
+
+        dparams = (params["caption_net"]
+                   if spec.arch in ("spatial", "rationale") else params)
+
+        def micro(st, _):
+            dec, active = st["dec"], st["active"]
+            if self._base == "s2vt":
+                step_fn = _s2vt_stepper(dparams, spec, r)
+                inner = {"s1": dec["s1"], "s2": dec["s2"]}
+            else:
+                step_fn = _s2vt_att_stepper(dparams, spec, dec["pk"],
+                                            dec["eo"])
+                inner = {"h": dec["h"]}
+            new_inner, logits = step_fn(inner, st["last"], jnp.int32(0))
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+            keep = active[:, None]
+            merged = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(keep, n, o), new_inner, inner)
+            dec = dict(dec, **merged)
+
+            pos = jnp.minimum(st["steps"], spec.max_len - 1)
+            old = st["toks"][rows, pos]
+            toks = st["toks"].at[rows, pos].set(jnp.where(active, nxt, old))
+            steps = st["steps"] + active.astype(jnp.int32)
+            still = active & (nxt != self.eos_id) & (steps < spec.max_len)
+            last = jnp.where(active, nxt, st["last"])
+            return dict(st, dec=dec, last=last, steps=steps, active=still,
+                        toks=toks), None
+
+        state, _ = jax.lax.scan(micro, state, None, length=self.step_chunk)
+        return state
+
+    # ------------------------------------------------------------ host loop
+
+    def caption_stream(self, requests: Iterable[Tuple[object, np.ndarray]]
+                       ) -> Iterator[Tuple[object, np.ndarray]]:
+        """Drive the slot pool over a request stream.
+
+        ``requests``: iterable of (key, feats (num_frames, feat_dim)); pulled
+        lazily, so a generator models live arrivals. Yields (key, tokens
+        (n,) int32 ending at <eos> or max_len) in COMPLETION order.
+        """
+        spec = self.spec
+        a = self.admit_chunk
+        queue: deque = deque()
+        req_iter = iter(requests)
+        pending: Dict[int, object] = {}       # slot -> request key
+        free = list(range(self.slots - 1, -1, -1))
+        exhausted = False
+        feat_shape = None  # inferred from the first request (spatial feats
+        #                    are (N, F, K, K); the GRU families (N, Dv))
+
+        while True:
+            # refill the host-side queue enough to fill free slots
+            while not exhausted and len(queue) < min(len(free), a):
+                try:
+                    queue.append(next(req_iter))
+                except StopIteration:
+                    exhausted = True
+            # admit up to A requests into free slots (fixed-shape chunk)
+            if queue and free:
+                n = min(len(queue), len(free), a)
+                if feat_shape is None:
+                    feat_shape = tuple(np.asarray(queue[0][1]).shape)
+                feats = np.zeros((a,) + feat_shape, np.float32)
+                ids = np.zeros((a,), np.int32)
+                valid = np.zeros((a,), bool)
+                keys = []
+                for j in range(n):
+                    key, f = queue.popleft()
+                    feats[j] = np.asarray(f, np.float32).reshape(feat_shape)
+                    ids[j] = free.pop()
+                    valid[j] = True
+                    keys.append(key)
+                self._admit_count += 1
+                chunk_rng = jax.random.fold_in(self._rng, self._admit_count)
+                new_dec = self._jit_encode(self.params, jnp.asarray(feats),
+                                           chunk_rng)
+                self.state = self._jit_admit(self.state, new_dec,
+                                             jnp.asarray(ids),
+                                             jnp.asarray(valid))
+                for j in range(n):
+                    pending[int(ids[j])] = keys[j]
+
+            if not pending:
+                if exhausted and not queue:
+                    return
+                continue
+
+            # advance all slots, then harvest finished ones
+            self.state = self._jit_step(self.params, self.state)
+            active = np.asarray(self.state["active"])
+            done = [s for s in pending if not active[s]]
+            if done:
+                toks = np.asarray(self.state["toks"])
+                steps = np.asarray(self.state["steps"])
+                for s in done:
+                    yield pending.pop(s), toks[s, : steps[s]].copy()
+                    free.append(s)
+
+    def caption_all(self, feats_by_key: Dict[object, np.ndarray]
+                    ) -> Dict[object, np.ndarray]:
+        """Convenience: run a whole dict of requests to completion."""
+        return dict(self.caption_stream(feats_by_key.items()))
