@@ -145,7 +145,36 @@ def test_rationale_family_zero_noise(tiny_vocab, rng):
         np.testing.assert_array_equal(got[i], want[i])
 
 
-def test_rejects_transformer(tiny_vocab):
+def test_transformer_matches_fast_greedy(tiny_vocab, rng):
+    """The per-slot-position stepper (transformer.make_slot_stepper) with a
+    uniform position vector is element-identical to the batch KV-cached fast
+    greedy — so continuous captions equal decode_greedy_fast rows truncated
+    after the first <eos>, across staggered admissions and slot reuse."""
+    import vcr_tpu.models.transformer as trm
+
     spec = _spec(tiny_vocab, "transformer", tf_layers=2, tf_heads=2)
+    model = base.build_model("transformer")[0]
+    params = model(jax.random.PRNGKey(6), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 7, spec)
+
+    rows = np.asarray(trm.decode_greedy_fast(params, spec, trm.encode(
+        params, spec, jnp.asarray(feats), trm.create_masks_inp(feats),
+        jax.random.PRNGKey(0), train=False)))
+    want = []
+    for row in rows:
+        hits = np.nonzero(row == tiny_vocab.eos_id)[0]
+        want.append(row[: hits[0] + 1] if len(hits) else row)
+
+    cc = ContinuousCaptioner(params, spec, slots=3, admit_chunk=2,
+                             step_chunk=2, eos_id=tiny_vocab.eos_id)
+    got = cc.caption_all({i: feats[i] for i in range(7)})
+    for i in range(7):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_rejects_unknown_arch(tiny_vocab):
+    class FakeSpec:
+        arch = "nope"
+
     with pytest.raises(NotImplementedError):
-        ContinuousCaptioner({}, spec)
+        ContinuousCaptioner({}, FakeSpec())

@@ -449,6 +449,109 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
     return step_fn, init_state
 
 
+def make_slot_stepper(params, spec: base.ModelSpec):
+    """Per-slot-position KV-cached decode cell for continuous-batching
+    serving (serving_continuous.ContinuousCaptioner).
+
+    make_cached_stepper advances one GLOBAL step scalar — fine when every row
+    of the batch decodes position i together, impossible when slots are
+    admitted at different times. Here every row carries its own position:
+    ``i_vec (rows,) int32``. The three position uses become per-row:
+    the cache write is a scatter at (row, :, i_vec[row], :), the causal mask
+    compares pos > i_vec[:, None], and the PE term/scale gather pe[i_vec] /
+    sqrt(i_vec + 1). With a uniform i_vec the math is element-identical to
+    make_cached_stepper (locked by tests/test_serving_continuous.py parity
+    vs decode_greedy_fast).
+
+    Cross-attention K/V depend on the slot's VIDEO, so unlike
+    make_cached_stepper they live in slot state (computed once per admission
+    by ``cross_state``), not in a construction-time closure.
+
+    Returns (step_fn, init_self_state, cross_state):
+      step_fn(state, words (rows,), i_vec (rows,)) -> (state, logits (rows, V))
+      init_self_state(rows) -> {"c{l}": (ck, cv) (rows, h, max_len, d_k)}
+      cross_state(e_outputs (rows, S, d)) -> {"x{l}": (kx, vx) (rows, h, S, d_k)}
+    and slot state = {**init_self_state(R), **cross_state(...)}; every leaf is
+    rows-leading so admission can scatter rows in.
+    """
+    dec = params["decoder"]
+    layers = dec["layers"]
+    heads = spec.tf_heads
+    hidden = layers["attn_1"]["q"]["w"].shape[-1]
+    d_k = hidden // heads
+    n_layers = spec.tf_layers
+    l = spec.max_len
+    cdt = spec.cdtype
+    per_layer = [jax.tree_util.tree_map(lambda a, i=i: a[i], layers)
+                 for i in range(n_layers)]
+    pos_row = jnp.arange(l)
+
+    def heads_split(x):  # (rows, S, hidden) -> (rows, h, S, d_k)
+        return x.reshape(x.shape[0], -1, heads, d_k).transpose(0, 2, 1, 3)
+
+    def cross_state(e_outputs):
+        out = {}
+        for li, lp in enumerate(per_layer):
+            k = heads_split(dense(lp["attn_2"]["k"], e_outputs, cdt)).astype(cdt)
+            v = heads_split(dense(lp["attn_2"]["v"], e_outputs, cdt)).astype(cdt)
+            out[f"x{li}"] = (k, v)
+        return out
+
+    def init_self_state(rows: int):
+        z = jnp.zeros((rows, heads, l, d_k), cdt)
+        return {f"c{li}": (z, z) for li in range(n_layers)}
+
+    def attend_self(attn_p, x2, ck, cv, i_vec, rows_idx):
+        q = heads_split(dense(attn_p["q"], x2, cdt))          # (rows, h, 1, d_k)
+        k_new = heads_split(dense(attn_p["k"], x2, cdt))[:, :, 0, :]
+        v_new = heads_split(dense(attn_p["v"], x2, cdt))[:, :, 0, :]
+        ck = ck.at[rows_idx, :, i_vec, :].set(k_new.astype(ck.dtype))
+        cv = cv.at[rows_idx, :, i_vec, :].set(v_new.astype(cv.dtype))
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt), ck.astype(cdt),
+                            preferred_element_type=jnp.float32) / (d_k ** 0.5)
+        mask = pos_row[None, None, None, :] > i_vec[:, None, None, None]
+        w = jax.nn.softmax(jnp.where(mask, -1e9, scores), axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cdt), cv.astype(cdt),
+                         preferred_element_type=jnp.float32)
+        out = ctx.transpose(0, 2, 1, 3).reshape(x2.shape[0], 1, hidden)
+        return dense(attn_p["out"], out, cdt), ck, cv
+
+    def attend_cross(attn_p, x2, k, v):
+        q = heads_split(dense(attn_p["q"], x2, cdt))
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt), k.astype(cdt),
+                            preferred_element_type=jnp.float32) / (d_k ** 0.5)
+        w = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cdt), v.astype(cdt),
+                         preferred_element_type=jnp.float32)
+        out = ctx.transpose(0, 2, 1, 3).reshape(x2.shape[0], 1, hidden)
+        return dense(attn_p["out"], out, cdt)
+
+    def step_fn(state, words, i_vec):
+        rows_idx = jnp.arange(words.shape[0])
+        x = embed(dec["embedding"], words)[:, None, :]
+        x = (x * _pe_scale(i_vec + 1)[:, None, None]
+             + dec["pe"][i_vec][:, None, :])
+        new_state = dict(state)
+        for li in range(n_layers):
+            lp = per_layer[li]
+            kx, vx = state[f"x{li}"]
+            ck, cv = state[f"c{li}"]
+            x2 = torch_norm(lp["norm_1"], x)
+            a, ck, cv = attend_self(lp["attn_1"], x2, ck, cv, i_vec, rows_idx)
+            x = x + a
+            x2 = torch_norm(lp["norm_2"], x)
+            x = x + attend_cross(lp["attn_2"], x2, kx, vx)
+            x2 = torch_norm(lp["norm_3"], x)
+            x = x + _ff_apply(lp["ff"], x2, None, False, cdt)
+            new_state[f"c{li}"] = (ck, cv)
+        h = torch_norm(dec["norm_out"], x)[:, 0]
+        logits = mask_vocab_pad(dense(dec["pred_linear"], h, cdt),
+                                spec.vocab_size)
+        return new_state, logits
+
+    return step_fn, init_self_state, cross_state
+
+
 def decode_greedy_fast(params, spec: base.ModelSpec, e_outputs, src_mask=None
                        ) -> jax.Array:
     """KV-cached greedy decode — ~L× fewer decoder FLOPs than the parity scan

@@ -27,11 +27,19 @@ TPU-first mechanics:
     finished rows. Through the axon tunnel each readback costs ~24ms (CLAUDE
     notes); on a real host it is microseconds.
 
-Families: s2vt, s2vt-att, spatial (s2vt/att base), rationale (s2vt/att base)
-— every GRU-decoder family. The transformer's KV-cached stepper needs
-per-slot positions (a different cache write pattern); its continuous mode is
-a future extension and its batch fast path (decode_greedy_fast) remains the
-serving default.
+Families: ALL FIVE — s2vt, s2vt-att, spatial (s2vt/att base), rationale
+(s2vt/att base) through their GRU decode cells, and the transformer through
+``transformer.make_slot_stepper``: a per-slot-position variant of the
+KV-cached serving stepper (each row carries its own position; cache writes
+scatter at (row, i_vec[row]), the causal mask and PE gather per row; cross
+K/V live in slot state since they depend on the slot's video).
+
+Finished slots are NOT masked out of the step math: a dead row free-runs on
+garbage (bounded by the GRU's tanh/sigmoid or the transformer's layernorms,
+read by nobody, fully reset at the next admission) — masking the state would
+cost a full where-copy of every KV cache leaf per step, the exact HBM
+traffic the lineage beam removed. Only the tiny bookkeeping leaves (last /
+steps / active / toks) are masked.
 
 Greedy parity: a slot's harvested tokens equal the family's batch greedy
 rollout truncated at the first <eos> (same cell, same argmax; the batch
@@ -51,17 +59,18 @@ import numpy as np
 from vcr_tpu.decode import _s2vt_att_stepper, _s2vt_stepper
 from vcr_tpu.models import base as model_base
 from vcr_tpu.models import s2vt, s2vt_att
+from vcr_tpu.models import transformer as tr
 from vcr_tpu.nn.attention import bahdanau_project_keys
 from vcr_tpu.serving import resolve_eos_id
 
-_GRU_ARCHS = ("s2vt", "s2vt-att", "spatial", "rationale")
+_ARCHS = ("s2vt", "s2vt-att", "spatial", "rationale", "transformer")
 
 
 class ContinuousCaptioner:
     """Slot-pool greedy captioner. See module docstring.
 
     Args:
-      params / spec: a trained model (any GRU-decoder family).
+      params / spec: a trained model (any of the five families).
       slots: R, the device slot-pool size (the effective serving batch).
       admit_chunk: A, videos encoded per admission call (fixed shape; the
         queue is drained A at a time into free slots).
@@ -76,11 +85,9 @@ class ContinuousCaptioner:
     def __init__(self, params, spec: model_base.ModelSpec, *,
                  slots: int = 64, admit_chunk: int = 8, step_chunk: int = 4,
                  eos_id: Optional[int] = None, vocab=None, rng=None):
-        if spec.arch not in _GRU_ARCHS:
+        if spec.arch not in _ARCHS:
             raise NotImplementedError(
-                f"continuous serving covers the GRU-decoder families "
-                f"{_GRU_ARCHS}; got {spec.arch!r} (use "
-                "serving.build_captioner for the transformer)")
+                f"continuous serving covers {_ARCHS}; got {spec.arch!r}")
         if not 1 <= admit_chunk <= slots:
             raise ValueError("need 1 <= admit_chunk <= slots")
         self.spec = spec
@@ -110,6 +117,17 @@ class ContinuousCaptioner:
 
     def _zeros_dec_state(self, rows: int):
         spec = self.spec
+        if self._base == "transformer":
+            _, init_self, _ = tr.make_slot_stepper(self._dec_params, spec)
+            # widths are spec-derived (transformer._width quirk): read the
+            # attention width off the params, like the stepper does
+            hidden = self._dec_params["decoder"]["layers"]["attn_1"]["q"][
+                "w"].shape[-1]
+            d_k = hidden // spec.tf_heads
+            zx = jnp.zeros((rows, spec.tf_heads, spec.num_frames, d_k),
+                           spec.cdtype)
+            return {**init_self(rows),
+                    **{f"x{li}": (zx, zx) for li in range(spec.tf_layers)}}
         h = jnp.zeros((rows, spec.hidden_size), jnp.float32)
         if self._base == "s2vt":
             return {"s1": h, "s2": h}
@@ -152,6 +170,13 @@ class ContinuousCaptioner:
             return {"h": rnn_state, "eo": eo,
                     "pk": bahdanau_project_keys(cap["decoder"]["attention"],
                                                 eo, spec.cdtype)}
+        elif spec.arch == "transformer":
+            src_mask = tr.create_masks_inp(feats)
+            e_out = tr.encode(params, spec, feats, src_mask, rng, train=False)
+            _, init_self, cross_state = tr.make_slot_stepper(params, spec)
+            # full dec-state rows (self caches zeroed): admission's generic
+            # scatter then also RESETS the slot's self caches
+            return {**init_self(feats.shape[0]), **cross_state(e_out)}
         else:
             arch = spec.arch
         if arch == "s2vt":
@@ -189,20 +214,24 @@ class ContinuousCaptioner:
 
         def micro(st, _):
             dec, active = st["dec"], st["active"]
-            if self._base == "s2vt":
-                step_fn = _s2vt_stepper(dparams, spec, r)
-                inner = {"s1": dec["s1"], "s2": dec["s2"]}
+            # dead rows free-run unmasked (see module docstring); only the
+            # bookkeeping leaves below are masked by `active`
+            if self._base == "transformer":
+                step_fn, _, _ = tr.make_slot_stepper(dparams, spec)
+                i_vec = jnp.minimum(st["steps"], spec.max_len - 1)
+                new_dec, logits = step_fn(dec, st["last"], i_vec)
+                dec = new_dec
             else:
-                step_fn = _s2vt_att_stepper(dparams, spec, dec["pk"],
-                                            dec["eo"])
-                inner = {"h": dec["h"]}
-            new_inner, logits = step_fn(inner, st["last"], jnp.int32(0))
+                if self._base == "s2vt":
+                    step_fn = _s2vt_stepper(dparams, spec, r)
+                    inner = {"s1": dec["s1"], "s2": dec["s2"]}
+                else:
+                    step_fn = _s2vt_att_stepper(dparams, spec, dec["pk"],
+                                                dec["eo"])
+                    inner = {"h": dec["h"]}
+                new_inner, logits = step_fn(inner, st["last"], jnp.int32(0))
+                dec = dict(dec, **new_inner)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
-            keep = active[:, None]
-            merged = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(keep, n, o), new_inner, inner)
-            dec = dict(dec, **merged)
 
             pos = jnp.minimum(st["steps"], spec.max_len - 1)
             old = st["toks"][rows, pos]
