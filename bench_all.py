@@ -168,6 +168,56 @@ def main() -> None:
     time_fn("Transformer fast beam-5 (KV-cache, gather reorder)",
             tr_fast_beam_gather, tr_params, tr_x[:beam_batch], beam_batch)
 
+    # Continuous-batching slot decode (serving_continuous): steady-state
+    # token rate of the per-slot-position stepper at a full slot pool. The
+    # comparator is the fast-greedy row above — same cell math; this row
+    # prices the per-row position machinery (scatter cache writes, per-row
+    # masks/PE) that lets slots refill without draining a batch. Host-side
+    # admission/harvest is excluded (it is queue plumbing, and through the
+    # axon tunnel every poll costs ~24ms of tunnel RTT that no real host
+    # pays).
+    from vcr_tpu.models import transformer as trm
+
+    slot_rows = tr_batch
+
+    def cc_state0(params, xi):
+        src_mask = trm.create_masks_inp(xi)
+        eo = trm.encode(params, tr_spec, xi, src_mask, jax.random.PRNGKey(0),
+                        train=False)
+        _, init_self, cross_state = trm.make_slot_stepper(params, tr_spec)
+        return {"dec": {**init_self(xi.shape[0]), **cross_state(eo)},
+                "last": jnp.full((xi.shape[0],), tr_spec.sos_id, jnp.int32),
+                "i": jnp.zeros((xi.shape[0],), jnp.int32)}
+
+    cc_st0 = jax.jit(cc_state0)(tr_params, tr_x[:slot_rows])
+
+    @jax.jit
+    def cc_run_n(params, st0):
+        step_fn, _, _ = trm.make_slot_stepper(params, tr_spec)
+
+        def body(st, _):
+            dec, logits = step_fn(st["dec"], st["last"], st["i"])
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return {"dec": dec, "last": nxt,
+                    "i": jnp.minimum(st["i"] + 1, tr_spec.max_len - 1)}, None
+
+        st, _ = jax.lax.scan(body, st0, None,
+                             length=iters * tr_spec.max_len)
+        return st["last"].astype(jnp.float32).ravel()[0] * 1e-12
+
+    cc_dt, _f, cc_mfu = benchutil.time_chained(
+        cc_run_n, (tr_params, cc_st0), device)
+    cc_row = {
+        "metric": (f"Transformer continuous slot decode tokens/sec/chip "
+                   f"(R={slot_rows}, bf16)"),
+        "value": round(slot_rows * iters * tr_spec.max_len / cc_dt, 2),
+        "unit": "tokens/s",
+        "captions_equiv_per_s": round(slot_rows * iters / cc_dt, 2),
+    }
+    if cc_mfu is not None:
+        cc_row["mfu"] = round(cc_mfu, 4)
+    print(json.dumps(cc_row), flush=True)
+
     def tr_parity_beam(params, xi):
         tokens, _ = vdecode.transformer_beam_decode(
             params, tr_spec, xi, beam_size=5, eos_id=eos_id)
