@@ -172,6 +172,31 @@ def test_transformer_matches_fast_greedy(tiny_vocab, rng):
         np.testing.assert_array_equal(got[i], want[i])
 
 
+def test_dp_mesh_matches_unsharded(tiny_vocab, rng):
+    """Slot axis sharded over a dp mesh (GSPMD): same captions, token-exact
+    — the admission scatter and the per-slot steps partition cleanly."""
+    from vcr_tpu.parallel.mesh import make_mesh
+
+    spec = _spec(tiny_vocab, "s2vt")
+    model = base.build_model("s2vt")[0]
+    params = model(jax.random.PRNGKey(8), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 10, spec)
+    want = ContinuousCaptioner(params, spec, slots=4, admit_chunk=2,
+                               eos_id=tiny_vocab.eos_id).caption_all(
+        {i: feats[i] for i in range(10)})
+
+    mesh = make_mesh(4)
+    cc = ContinuousCaptioner(params, spec, slots=4, admit_chunk=2,
+                             eos_id=tiny_vocab.eos_id, mesh=mesh)
+    got = cc.caption_all({i: feats[i] for i in range(10)})
+    for i in range(10):
+        np.testing.assert_array_equal(got[i], want[i])
+
+    with pytest.raises(ValueError):
+        ContinuousCaptioner(params, spec, slots=5, admit_chunk=2,
+                            eos_id=tiny_vocab.eos_id, mesh=mesh)
+
+
 def test_rejects_unknown_arch(tiny_vocab):
     class FakeSpec:
         arch = "nope"

@@ -80,11 +80,19 @@ class ContinuousCaptioner:
       eos_id / vocab: end-token resolution (serving.resolve_eos_id).
       rng: base key for RationaleNet's eval-time hard-Gumbel frame selection
         (fold_in per admission chunk); unused by the other families.
+      mesh: optional jax.sharding.Mesh (parallel.mesh.make_mesh) — the slot
+        axis is sharded over its "dp" axis (slots % dp == 0), params are
+        replicated, and every tick's matmuls run dp-wide under GSPMD.
+        Admission chunks stay host-global: the scatter into the sharded slot
+        axis is partitioned by XLA (an A-row chunk is tiny next to the
+        caches). Token-exact vs the unsharded pool (tested on an 8-device
+        CPU mesh).
     """
 
     def __init__(self, params, spec: model_base.ModelSpec, *,
                  slots: int = 64, admit_chunk: int = 8, step_chunk: int = 4,
-                 eos_id: Optional[int] = None, vocab=None, rng=None):
+                 eos_id: Optional[int] = None, vocab=None, rng=None,
+                 mesh=None):
         if spec.arch not in _ARCHS:
             raise NotImplementedError(
                 f"continuous serving covers {_ARCHS}; got {spec.arch!r}")
@@ -112,6 +120,25 @@ class ContinuousCaptioner:
         self._jit_admit = jax.jit(self._admit)
         self._jit_step = jax.jit(self._step_n)
         self.state = self._init_state()
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = mesh.shape["dp"]
+            if slots % dp:
+                raise ValueError(f"slots={slots} not divisible by dp={dp}")
+            rep = NamedSharding(mesh, P())
+
+            def _rows(leaf):
+                spec_axes = ("dp",) + (None,) * (leaf.ndim - 1)
+                return jax.device_put(leaf, NamedSharding(mesh, P(*spec_axes)))
+
+            self.params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), params)
+            self._dec_params = (self.params["caption_net"]
+                                if spec.arch in ("spatial", "rationale")
+                                else self.params)
+            self.state = jax.tree_util.tree_map(_rows, self.state)
 
     # ---------------------------------------------------------- device fns
 
