@@ -1,0 +1,116 @@
+"""HTTP caption-serving daemon (vcr_tpu/server.py).
+
+Real sockets, real threads: concurrent POSTs from client threads multiplex
+onto one continuous-batching slot pool; responses must be token-exact vs the
+batch greedy oracle and carry detokenized captions.
+"""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from vcr_tpu.decode import decode_tokens
+from vcr_tpu.models import base
+from vcr_tpu.serving_continuous import ContinuousCaptioner
+from vcr_tpu.server import CaptionServer
+
+
+def _spec(tiny_vocab):
+    return base.ModelSpec(
+        arch="s2vt", vocab_size=tiny_vocab.vocab_size,
+        embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=12,
+        max_len=7, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+        compute_dtype="float32")
+
+
+def _post_npy(port, arr, path="/caption"):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=buf.getvalue(),
+        headers={"Content-Type": "application/octet-stream"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_http_serving_end_to_end(tiny_vocab, rng):
+    spec = _spec(tiny_vocab)
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    feats = rng.standard_normal((6, 4, 12)).astype(np.float32)
+
+    toks, _ = decode_tokens(params, spec, feats, tiny_vocab.eos_id,
+                            beam_size=1)
+    rows = np.asarray(toks)[:, 0]
+    want = []
+    for row in rows:
+        hits = np.nonzero(row == tiny_vocab.eos_id)[0]
+        want.append(list(row[: hits[0] + 1] if len(hits) else row))
+
+    cc = ContinuousCaptioner(params, spec, slots=3, admit_chunk=2,
+                             step_chunk=2, eos_id=tiny_vocab.eos_id)
+    with CaptionServer(cc, vocab=tiny_vocab) as server:
+        # concurrent clients multiplex onto the one slot pool
+        results = [None] * 6
+        def client(i):
+            results[i] = _post_npy(server.port, feats[i])
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+
+        for i in range(6):
+            assert results[i] is not None, f"client {i} got no response"
+            assert [int(t) for t in results[i]["tokens"]] == [
+                int(t) for t in want[i]]
+            assert isinstance(results[i]["caption"], str)
+
+        health = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/healthz", timeout=30).read())
+        assert health["status"] == "ok"
+        assert health["served"] == 6
+        assert health["in_flight"] == 0
+
+        # malformed body -> 400, wrong shape -> 400, unknown path -> 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/caption", data=b"not npy")
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_npy(server.port, np.zeros((2, 2), np.float32))
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_npy(server.port, feats[0], path="/nope")
+        assert e.value.code == 404
+
+    assert server.error is None
+
+
+def test_submit_api_without_http(tiny_vocab, rng):
+    """submit() is the embeddable path (no sockets): same oracle."""
+    spec = _spec(tiny_vocab)
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(9), spec,
+                                         tiny_vocab.vectors)
+    feats = rng.standard_normal((4, 12)).astype(np.float32)
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                             eos_id=tiny_vocab.eos_id)
+    server = CaptionServer(cc).start()
+    try:
+        got = server.submit(feats)
+        toks, _ = decode_tokens(params, spec, feats[None], tiny_vocab.eos_id,
+                                beam_size=1)
+        row = np.asarray(toks)[0, 0]
+        hits = np.nonzero(row == tiny_vocab.eos_id)[0]
+        want = row[: hits[0] + 1] if len(hits) else row
+        np.testing.assert_array_equal(got, want)
+    finally:
+        server.close()

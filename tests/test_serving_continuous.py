@@ -172,6 +172,25 @@ def test_transformer_matches_fast_greedy(tiny_vocab, rng):
         np.testing.assert_array_equal(got[i], want[i])
 
 
+def test_stats_accounting(tiny_vocab, rng):
+    """Scheduler observability: served/useful_steps/slot_steps must add up —
+    useful_steps equals the sum of yielded caption lengths, occupancy is in
+    (0, 1], and every request is counted."""
+    spec = _spec(tiny_vocab, "s2vt")
+    model = base.build_model("s2vt")[0]
+    params = model(jax.random.PRNGKey(3), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 8, spec)
+
+    cc = ContinuousCaptioner(params, spec, slots=3, admit_chunk=2,
+                             step_chunk=2, eos_id=tiny_vocab.eos_id)
+    got = cc.caption_all({i: feats[i] for i in range(8)})
+    s = cc.stats
+    assert s["served"] == 8
+    assert s["useful_steps"] == sum(len(t) for t in got.values())
+    assert s["slot_steps"] == s["ticks"] * cc.slots * cc.step_chunk
+    assert 0 < s["useful_steps"] <= s["slot_steps"]
+
+
 def test_dp_mesh_matches_unsharded(tiny_vocab, rng):
     """Slot axis sharded over a dp mesh (GSPMD): same captions, token-exact
     — the admission scatter and the per-slot steps partition cleanly."""

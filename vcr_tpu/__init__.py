@@ -23,7 +23,7 @@ __version__ = "0.1.0"
 # Public API (lazy — importing vcr_tpu must not pull in jax et al.)
 __all__ = ["Config", "Vocab", "train", "decode_tokens", "sample_tokens",
            "build_model", "ModelSpec", "build_captioner", "export_captioner",
-           "load_artifact", "ContinuousCaptioner"]
+           "load_artifact", "ContinuousCaptioner", "CaptionServer"]
 
 
 def __getattr__(name):
@@ -51,4 +51,7 @@ def __getattr__(name):
     if name == "ContinuousCaptioner":
         from vcr_tpu.serving_continuous import ContinuousCaptioner
         return ContinuousCaptioner
+    if name == "CaptionServer":
+        from vcr_tpu.server import CaptionServer
+        return CaptionServer
     raise AttributeError(name)

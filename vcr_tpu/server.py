@@ -1,0 +1,188 @@
+"""HTTP caption-serving daemon over the continuous-batching slot pool.
+
+A thin stdlib-only (http.server + threading) front end for
+``serving_continuous.ContinuousCaptioner``: HTTP handler threads enqueue
+requests and wait on per-request events; ONE scheduler thread owns every jax
+call, driving ``caption_stream`` over a live queue with the poll-marker
+protocol (``None`` = nothing available, keep ticking in-flight slots) — so
+requests from many clients batch onto the chip automatically, and no lock
+ever guards device state.
+
+The reference has no serving story at all (train/eval scripts only); this is
+the deployment shape its users would need: POST per-video features, get the
+caption, chip utilization shared across concurrent clients.
+
+API:
+  POST /caption   body = raw .npy bytes of (num_frames, feat_dim) float32
+                  (client: ``np.save(buf, feats)`` — no framework needed)
+                  -> {"tokens": [...], "caption": "..."}   (caption iff the
+                  server was built with a vocab)
+  GET  /healthz   -> {"status": "ok", "in_flight": N, ...scheduler stats}
+
+Usage:
+    server = CaptionServer(captioner, vocab=vocab, port=8000)
+    server.start()           # returns immediately; .port holds the bind
+    ...
+    server.close()
+
+The per-request timeout bounds a client's wait, not the chip's work: on
+timeout the request's slot finishes and is simply dropped at harvest.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+class CaptionServer:
+    """See module docstring. ``captioner`` is a ContinuousCaptioner (any
+    family); ``vocab`` (optional) adds detokenized captions to responses."""
+
+    def __init__(self, captioner, vocab=None, host: str = "127.0.0.1",
+                 port: int = 0, request_timeout_s: float = 120.0):
+        self.captioner = captioner
+        self.vocab = vocab
+        self.request_timeout_s = request_timeout_s
+        self._queue: queue.Queue = queue.Queue()
+        self._events: dict = {}
+        self._tokens: dict = {}
+        self._lock = threading.Lock()
+        self._stopping = threading.Event()
+        self._feat_shape = None
+        self.error: Optional[str] = None
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet by default
+                pass
+
+            def _json(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path != "/healthz":
+                    return self._json(404, {"error": "unknown path"})
+                stats = dict(server.captioner.stats,
+                             in_flight=server.captioner.in_flight,
+                             status="error" if server.error else "ok",
+                             error=server.error)
+                self._json(500 if server.error else 200, stats)
+
+            def do_POST(self):
+                if self.path != "/caption":
+                    return self._json(404, {"error": "unknown path"})
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    feats = np.load(io.BytesIO(self.rfile.read(length)),
+                                    allow_pickle=False)
+                except Exception as e:
+                    return self._json(400, {"error": f"bad .npy body: {e}"})
+                try:
+                    toks = server.submit(feats)
+                except ValueError as e:
+                    return self._json(400, {"error": str(e)})
+                if toks is None:
+                    return self._json(504, {"error": "caption timed out"})
+                payload = {"tokens": [int(t) for t in toks]}
+                if server.vocab is not None:
+                    payload["caption"] = server.vocab.get_sent_from_index(
+                        [int(t) for t in toks])
+                self._json(200, payload)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._sched = threading.Thread(target=self._scheduler, daemon=True,
+                                       name="vcr-caption-scheduler")
+        self._http_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True,
+            name="vcr-caption-http")
+
+    # -------------------------------------------------------------- plumbing
+
+    def submit(self, feats: np.ndarray) -> Optional[np.ndarray]:
+        """Enqueue one request and block until its caption (or timeout /
+        server shutdown -> None). Thread-safe; usable directly without HTTP.
+        Raises ValueError on a feature-shape mismatch (all requests must
+        share one shape — the slot pool is fixed-shape by design)."""
+        feats = np.asarray(feats, np.float32)
+        with self._lock:
+            if self._feat_shape is None:
+                self._feat_shape = feats.shape
+            elif feats.shape != self._feat_shape:
+                raise ValueError(
+                    f"feature shape {feats.shape} != this server's "
+                    f"{self._feat_shape}")
+        rid = uuid.uuid4().hex
+        ev = threading.Event()
+        with self._lock:
+            self._events[rid] = ev
+        self._queue.put((rid, feats))
+        ok = ev.wait(self.request_timeout_s)
+        with self._lock:
+            self._events.pop(rid, None)
+            return self._tokens.pop(rid, None) if ok else None
+
+    def _requests(self):
+        """Live request source for caption_stream: blocking wait while the
+        pool is idle, non-blocking poll (None marker) while decodes are in
+        flight — the tick loop never stalls on an empty queue."""
+        while not self._stopping.is_set():
+            timeout = 0.05 if self.captioner.in_flight == 0 else None
+            try:
+                if timeout is None:
+                    yield self._queue.get_nowait()
+                else:
+                    yield self._queue.get(timeout=timeout)
+            except queue.Empty:
+                yield None
+
+    def _scheduler(self):
+        try:
+            for rid, toks in self.captioner.caption_stream(self._requests()):
+                with self._lock:
+                    ev = self._events.get(rid)
+                    if ev is not None:  # dropped if the client timed out
+                        self._tokens[rid] = toks
+                        ev.set()
+        except Exception as e:  # pragma: no cover - defensive
+            self.error = repr(e)
+        finally:
+            # crashed or shut down: release every waiting client (they see
+            # None -> 504) instead of hanging until timeout
+            self._stopping.set()
+            with self._lock:
+                for ev in self._events.values():
+                    ev.set()
+
+    # ------------------------------------------------------------- lifecycle
+
+    def start(self) -> "CaptionServer":
+        self._sched.start()
+        self._http_thread.start()
+        return self
+
+    def close(self):
+        self._stopping.set()
+        self._httpd.shutdown()
+        self._sched.join(timeout=30)
+        self._httpd.server_close()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.close()

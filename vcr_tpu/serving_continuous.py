@@ -106,6 +106,13 @@ class ContinuousCaptioner:
         self.eos_id = resolve_eos_id(spec, eos_id, vocab)
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._admit_count = 0
+        self.stats = {"ticks": 0, "admit_chunks": 0, "served": 0,
+                      "useful_steps": 0, "slot_steps": 0}
+        # live count of occupied slots, maintained by caption_stream — a
+        # polling request source reads it to choose between a blocking wait
+        # (pool idle: no harm) and a non-blocking poll (decodes in flight:
+        # never stall the tick loop on an empty queue)
+        self.in_flight = 0
 
         # stepper params + cell family: spatial/rationale decode through
         # their wrapped captioner (decode.py:275-309)
@@ -279,8 +286,19 @@ class ContinuousCaptioner:
         """Drive the slot pool over a request stream.
 
         ``requests``: iterable of (key, feats (num_frames, feat_dim)); pulled
-        lazily, so a generator models live arrivals. Yields (key, tokens
-        (n,) int32 ending at <eos> or max_len) in COMPLETION order.
+        lazily, so a generator models live arrivals. A live source (e.g. a
+        server draining a socket) may yield ``None`` as a poll marker —
+        "nothing available right now" — which skips admission for that round
+        instead of blocking in-flight decodes; raise StopIteration (return)
+        to drain and finish. Yields (key, tokens (n,) int32 ending at <eos>
+        or max_len) in COMPLETION order.
+
+        ``self.stats`` accumulates scheduler observability across calls:
+        ticks / admit_chunks / served / useful_steps / slot_steps, with
+        occupancy = useful_steps / slot_steps (the fraction of slot-steps
+        that produced a kept token — whole-batch serving's equivalent is
+        mean_caption_len / max_len, continuous refilling keeps it higher on
+        length-skewed workloads).
         """
         spec = self.spec
         a = self.admit_chunk
@@ -296,9 +314,13 @@ class ContinuousCaptioner:
             # refill the host-side queue enough to fill free slots
             while not exhausted and len(queue) < min(len(free), a):
                 try:
-                    queue.append(next(req_iter))
+                    item = next(req_iter)
                 except StopIteration:
                     exhausted = True
+                    break
+                if item is None:      # poll marker: keep ticking
+                    break
+                queue.append(item)
             # admit up to A requests into free slots (fixed-shape chunk)
             if queue and free:
                 n = min(len(queue), len(free), a)
@@ -315,6 +337,7 @@ class ContinuousCaptioner:
                     valid[j] = True
                     keys.append(key)
                 self._admit_count += 1
+                self.stats["admit_chunks"] += 1
                 chunk_rng = jax.random.fold_in(self._rng, self._admit_count)
                 new_dec = self._jit_encode(self.params, jnp.asarray(feats),
                                            chunk_rng)
@@ -323,6 +346,7 @@ class ContinuousCaptioner:
                                              jnp.asarray(valid))
                 for j in range(n):
                     pending[int(ids[j])] = keys[j]
+                self.in_flight = len(pending)
 
             if not pending:
                 if exhausted and not queue:
@@ -331,14 +355,20 @@ class ContinuousCaptioner:
 
             # advance all slots, then harvest finished ones
             self.state = self._jit_step(self.params, self.state)
+            self.stats["ticks"] += 1
+            self.stats["slot_steps"] += self.slots * self.step_chunk
             active = np.asarray(self.state["active"])
             done = [s for s in pending if not active[s]]
             if done:
                 toks = np.asarray(self.state["toks"])
                 steps = np.asarray(self.state["steps"])
                 for s in done:
-                    yield pending.pop(s), toks[s, : steps[s]].copy()
+                    self.stats["served"] += 1
+                    self.stats["useful_steps"] += int(steps[s])
+                    result = pending.pop(s), toks[s, : steps[s]].copy()
+                    self.in_flight = len(pending)
                     free.append(s)
+                    yield result
 
     def caption_all(self, feats_by_key: Dict[object, np.ndarray]
                     ) -> Dict[object, np.ndarray]:
