@@ -1,0 +1,47 @@
+"""--mode serve: checkpoint -> HTTP caption daemon, end to end.
+
+Train a tiny model through the real loop, start the daemon via
+tools.serve_captions (the CLI dispatch target), POST .npy features over a
+real socket, and check the caption against --mode-decode semantics (the
+continuous pool's greedy ≡ batch greedy is locked elsewhere; here we pin the
+checkpoint-loading + vocab + HTTP glue)."""
+
+import io
+import json
+import os
+import urllib.request
+
+import numpy as np
+
+from tests.test_train_loop import tiny_config, _build
+
+
+def test_serve_mode_end_to_end(tmp_path):
+    from vcr_tpu.train.loop import train
+    from vcr_tpu.tools import serve_captions
+
+    tmp = str(tmp_path)
+    _build(tmp)
+    cfg = tiny_config(tmp, epochs=1, dropout_p=0.0)
+    train(cfg)
+
+    serve_cfg = cfg.replace(mode="serve", serve_port=0, serve_slots=2,
+                            serve_admit_chunk=1)
+    server = serve_captions(serve_cfg, block=False)
+    try:
+        feats = np.random.default_rng(0).standard_normal(
+            (4, 12)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, feats)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/caption", data=buf.getvalue())
+        resp = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        assert isinstance(resp["caption"], str)
+        assert all(isinstance(t, int) for t in resp["tokens"])
+        assert 1 <= len(resp["tokens"]) <= 6  # max_len from the checkpoint
+
+        health = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/healthz", timeout=30).read())
+        assert health["status"] == "ok" and health["served"] == 1
+    finally:
+        server.close()

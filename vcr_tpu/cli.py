@@ -84,6 +84,10 @@ def dispatch(cfg: Config) -> None:
 
         out = export_serving_artifact(cfg, cfg.pretrained_base or "")
         print(f"serving artifact written to {out}")
+    elif cfg.mode == "serve":
+        from vcr_tpu.tools import serve_captions
+
+        serve_captions(cfg, cfg.pretrained_base or "")
     elif cfg.mode == "export_reference":
         from vcr_tpu.tools import export_reference_checkpoint
 

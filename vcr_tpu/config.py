@@ -115,6 +115,12 @@ class Config:
     # restarts from the exact batch (preemption tolerance; the reference only
     # checkpointed per epoch).
     ckpt_iter: int = 0
+    # --mode serve: HTTP caption daemon over the continuous-batching slot
+    # pool (vcr_tpu/server.py). serve_slots = R device decode slots (the
+    # effective serving batch); serve_port 0 = OS-assigned.
+    serve_port: int = 8000
+    serve_slots: int = 64
+    serve_admit_chunk: int = 8
     # eval_attention export inputs (reference eval_attention.py:119-126)
     spatial_net_file: str = ""
     vid_file: str = ""

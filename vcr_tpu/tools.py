@@ -75,6 +75,43 @@ def load_inference_state(cfg: Config, checkpoint_path: str = ""):
     return cfg, params, spec, vocab
 
 
+def serve_captions(cfg: Config, checkpoint_path: str = "",
+                   block: bool = True):
+    """``--mode serve``: load a checkpoint and run the HTTP caption daemon
+    (vcr_tpu/server.py) over a continuous-batching slot pool
+    (serving_continuous.py). ``--serve_port/--serve_slots/--serve_admit_chunk``
+    size it; ``--mesh_dp N`` shards the slot pool over a dp mesh. Serves
+    until SIGINT. Returns the started server when ``block=False`` (tests)."""
+    from vcr_tpu.server import CaptionServer
+    from vcr_tpu.serving_continuous import ContinuousCaptioner
+
+    cfg, params, spec, vocab = load_inference_state(cfg, checkpoint_path)
+    mesh = None
+    if cfg.mesh_dp > 1:
+        from vcr_tpu.parallel import make_mesh
+
+        mesh = make_mesh(cfg.mesh_dp, 1)
+    cc = ContinuousCaptioner(params, spec, slots=cfg.serve_slots,
+                             admit_chunk=cfg.serve_admit_chunk,
+                             vocab=vocab, mesh=mesh)
+    server = CaptionServer(cc, vocab=vocab, port=cfg.serve_port).start()
+    print(f"serving {spec.arch} captions on http://127.0.0.1:{server.port} "
+          f"(R={cfg.serve_slots}, A={cfg.serve_admit_chunk}"
+          f"{f', dp={cfg.mesh_dp}' if mesh else ''}) — POST /caption, "
+          "GET /healthz; Ctrl-C to stop", flush=True)
+    if not block:
+        return server
+    import time
+
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        print("shutting down")
+    finally:
+        server.close()
+
+
 def export_serving_artifact(cfg: Config, checkpoint_path: str = "",
                             out_dir: Optional[str] = None) -> str:
     """``--mode export_serving``: package a trained checkpoint as a deployable
