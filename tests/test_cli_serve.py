@@ -45,3 +45,27 @@ def test_serve_mode_end_to_end(tmp_path):
         assert health["status"] == "ok" and health["served"] == 1
     finally:
         server.close()
+
+    # freeze the pool (--mode export_continuous) and serve the ARTIFACT:
+    # --mode serve detects the directory kind; captions come from the
+    # meta-embedded detokenizer, no checkpoint/vocab load
+    from vcr_tpu.tools import export_continuous_artifact
+
+    art_dir = export_continuous_artifact(
+        cfg.replace(mode="export_continuous", serve_slots=2,
+                    serve_admit_chunk=1))
+    assert os.path.exists(os.path.join(art_dir, "meta.json"))
+    server2 = serve_captions(serve_cfg.replace(pretrained_base=art_dir),
+                             art_dir, block=False)
+    try:
+        feats = np.random.default_rng(1).standard_normal(
+            (4, 12)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, feats)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server2.port}/caption", data=buf.getvalue())
+        resp = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        assert isinstance(resp["caption"], str)
+        assert all(isinstance(t, int) for t in resp["tokens"])
+    finally:
+        server2.close()

@@ -23,7 +23,8 @@ __version__ = "0.1.0"
 # Public API (lazy — importing vcr_tpu must not pull in jax et al.)
 __all__ = ["Config", "Vocab", "train", "decode_tokens", "sample_tokens",
            "build_model", "ModelSpec", "build_captioner", "export_captioner",
-           "load_artifact", "ContinuousCaptioner", "CaptionServer"]
+           "load_artifact", "ContinuousCaptioner", "CaptionServer",
+           "load_continuous"]
 
 
 def __getattr__(name):
@@ -54,4 +55,7 @@ def __getattr__(name):
     if name == "CaptionServer":
         from vcr_tpu.server import CaptionServer
         return CaptionServer
+    if name == "load_continuous":
+        from vcr_tpu.export_continuous import load_continuous
+        return load_continuous
     raise AttributeError(name)

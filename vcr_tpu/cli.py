@@ -88,6 +88,11 @@ def dispatch(cfg: Config) -> None:
         from vcr_tpu.tools import serve_captions
 
         serve_captions(cfg, cfg.pretrained_base or "")
+    elif cfg.mode == "export_continuous":
+        from vcr_tpu.tools import export_continuous_artifact
+
+        out = export_continuous_artifact(cfg, cfg.pretrained_base or "")
+        print(f"continuous-serving artifact written to {out}")
     elif cfg.mode == "export_reference":
         from vcr_tpu.tools import export_reference_checkpoint
 

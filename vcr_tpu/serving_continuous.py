@@ -66,6 +66,91 @@ from vcr_tpu.serving import resolve_eos_id
 _ARCHS = ("s2vt", "s2vt-att", "spatial", "rationale", "transformer")
 
 
+def run_slot_scheduler(ops, requests: Iterable[Optional[Tuple[object,
+                                                               np.ndarray]]]
+                       ) -> Iterator[Tuple[object, np.ndarray]]:
+    """The host-side slot scheduler, shared by the live ContinuousCaptioner
+    and the exported-artifact server (export_continuous.py). ``ops`` supplies
+    the device half:
+
+      slots / admit_chunk / step_chunk : pool geometry (ints)
+      stats : dict, in_flight : int    : observability (mutated here)
+      encode_admit(feats (A,...), ids (A,), valid (A,)) : encode a chunk and
+          scatter it into the slots
+      tick() : advance all slots step_chunk greedy tokens
+      poll_active() -> np.bool_ (R,)   : which slots still decode
+      read_tokens() -> (toks (R, L), steps (R,)) numpy
+
+    ``requests``: iterable of (key, feats); pulled lazily, so a generator
+    models live arrivals. A live source (e.g. a server draining a socket)
+    may yield ``None`` as a poll marker — "nothing available right now" —
+    which skips admission for that round instead of blocking in-flight
+    decodes; raise StopIteration (return) to drain and finish. Yields
+    (key, tokens (n,) int32 ending at <eos> or max_len) in COMPLETION order.
+    """
+    a = ops.admit_chunk
+    queue: deque = deque()
+    req_iter = iter(requests)
+    pending: Dict[int, object] = {}       # slot -> request key
+    free = list(range(ops.slots - 1, -1, -1))
+    exhausted = False
+    feat_shape = None  # inferred from the first request (spatial feats
+    #                    are (N, F, K, K); the GRU families (N, Dv))
+
+    while True:
+        # refill the host-side queue enough to fill free slots
+        while not exhausted and len(queue) < min(len(free), a):
+            try:
+                item = next(req_iter)
+            except StopIteration:
+                exhausted = True
+                break
+            if item is None:      # poll marker: keep ticking
+                break
+            queue.append(item)
+        # admit up to A requests into free slots (fixed-shape chunk)
+        if queue and free:
+            n = min(len(queue), len(free), a)
+            if feat_shape is None:
+                feat_shape = tuple(np.asarray(queue[0][1]).shape)
+            feats = np.zeros((a,) + feat_shape, np.float32)
+            ids = np.zeros((a,), np.int32)
+            valid = np.zeros((a,), bool)
+            keys = []
+            for j in range(n):
+                key, f = queue.popleft()
+                feats[j] = np.asarray(f, np.float32).reshape(feat_shape)
+                ids[j] = free.pop()
+                valid[j] = True
+                keys.append(key)
+            ops.stats["admit_chunks"] += 1
+            ops.encode_admit(feats, ids, valid)
+            for j in range(n):
+                pending[int(ids[j])] = keys[j]
+            ops.in_flight = len(pending)
+
+        if not pending:
+            if exhausted and not queue:
+                return
+            continue
+
+        # advance all slots, then harvest finished ones
+        ops.tick()
+        ops.stats["ticks"] += 1
+        ops.stats["slot_steps"] += ops.slots * ops.step_chunk
+        active = ops.poll_active()
+        done = [s for s in pending if not active[s]]
+        if done:
+            toks, steps = ops.read_tokens()
+            for s in done:
+                ops.stats["served"] += 1
+                ops.stats["useful_steps"] += int(steps[s])
+                result = pending.pop(s), toks[s, : steps[s]].copy()
+                ops.in_flight = len(pending)
+                free.append(s)
+                yield result
+
+
 class ContinuousCaptioner:
     """Slot-pool greedy captioner. See module docstring.
 
@@ -279,96 +364,37 @@ class ContinuousCaptioner:
         state, _ = jax.lax.scan(micro, state, None, length=self.step_chunk)
         return state
 
+    # ----------------------------------------------- scheduler ops protocol
+
+    def encode_admit(self, feats: np.ndarray, ids: np.ndarray,
+                     valid: np.ndarray) -> None:
+        self._admit_count += 1
+        chunk_rng = jax.random.fold_in(self._rng, self._admit_count)
+        new_dec = self._jit_encode(self.params, jnp.asarray(feats), chunk_rng)
+        self.state = self._jit_admit(self.state, new_dec, jnp.asarray(ids),
+                                     jnp.asarray(valid))
+
+    def tick(self) -> None:
+        self.state = self._jit_step(self.params, self.state)
+
+    def poll_active(self) -> np.ndarray:
+        return np.asarray(self.state["active"])
+
+    def read_tokens(self) -> Tuple[np.ndarray, np.ndarray]:
+        return np.asarray(self.state["toks"]), np.asarray(self.state["steps"])
+
     # ------------------------------------------------------------ host loop
 
     def caption_stream(self, requests: Iterable[Tuple[object, np.ndarray]]
                        ) -> Iterator[Tuple[object, np.ndarray]]:
-        """Drive the slot pool over a request stream.
-
-        ``requests``: iterable of (key, feats (num_frames, feat_dim)); pulled
-        lazily, so a generator models live arrivals. A live source (e.g. a
-        server draining a socket) may yield ``None`` as a poll marker —
-        "nothing available right now" — which skips admission for that round
-        instead of blocking in-flight decodes; raise StopIteration (return)
-        to drain and finish. Yields (key, tokens (n,) int32 ending at <eos>
-        or max_len) in COMPLETION order.
-
-        ``self.stats`` accumulates scheduler observability across calls:
-        ticks / admit_chunks / served / useful_steps / slot_steps, with
-        occupancy = useful_steps / slot_steps (the fraction of slot-steps
-        that produced a kept token — whole-batch serving's equivalent is
-        mean_caption_len / max_len, continuous refilling keeps it higher on
-        length-skewed workloads).
-        """
-        spec = self.spec
-        a = self.admit_chunk
-        queue: deque = deque()
-        req_iter = iter(requests)
-        pending: Dict[int, object] = {}       # slot -> request key
-        free = list(range(self.slots - 1, -1, -1))
-        exhausted = False
-        feat_shape = None  # inferred from the first request (spatial feats
-        #                    are (N, F, K, K); the GRU families (N, Dv))
-
-        while True:
-            # refill the host-side queue enough to fill free slots
-            while not exhausted and len(queue) < min(len(free), a):
-                try:
-                    item = next(req_iter)
-                except StopIteration:
-                    exhausted = True
-                    break
-                if item is None:      # poll marker: keep ticking
-                    break
-                queue.append(item)
-            # admit up to A requests into free slots (fixed-shape chunk)
-            if queue and free:
-                n = min(len(queue), len(free), a)
-                if feat_shape is None:
-                    feat_shape = tuple(np.asarray(queue[0][1]).shape)
-                feats = np.zeros((a,) + feat_shape, np.float32)
-                ids = np.zeros((a,), np.int32)
-                valid = np.zeros((a,), bool)
-                keys = []
-                for j in range(n):
-                    key, f = queue.popleft()
-                    feats[j] = np.asarray(f, np.float32).reshape(feat_shape)
-                    ids[j] = free.pop()
-                    valid[j] = True
-                    keys.append(key)
-                self._admit_count += 1
-                self.stats["admit_chunks"] += 1
-                chunk_rng = jax.random.fold_in(self._rng, self._admit_count)
-                new_dec = self._jit_encode(self.params, jnp.asarray(feats),
-                                           chunk_rng)
-                self.state = self._jit_admit(self.state, new_dec,
-                                             jnp.asarray(ids),
-                                             jnp.asarray(valid))
-                for j in range(n):
-                    pending[int(ids[j])] = keys[j]
-                self.in_flight = len(pending)
-
-            if not pending:
-                if exhausted and not queue:
-                    return
-                continue
-
-            # advance all slots, then harvest finished ones
-            self.state = self._jit_step(self.params, self.state)
-            self.stats["ticks"] += 1
-            self.stats["slot_steps"] += self.slots * self.step_chunk
-            active = np.asarray(self.state["active"])
-            done = [s for s in pending if not active[s]]
-            if done:
-                toks = np.asarray(self.state["toks"])
-                steps = np.asarray(self.state["steps"])
-                for s in done:
-                    self.stats["served"] += 1
-                    self.stats["useful_steps"] += int(steps[s])
-                    result = pending.pop(s), toks[s, : steps[s]].copy()
-                    self.in_flight = len(pending)
-                    free.append(s)
-                    yield result
+        """Drive the slot pool over a request stream — see
+        :func:`run_slot_scheduler` for the protocol (poll markers, completion
+        order). ``self.stats`` accumulates scheduler observability across
+        calls: occupancy = useful_steps / slot_steps is the fraction of
+        slot-steps that produced a kept token (whole-batch serving's
+        equivalent is mean_caption_len / max_len; continuous refilling keeps
+        it higher on length-skewed workloads)."""
+        return run_slot_scheduler(self, requests)
 
     def caption_all(self, feats_by_key: Dict[object, np.ndarray]
                     ) -> Dict[object, np.ndarray]:

@@ -85,19 +85,30 @@ def serve_captions(cfg: Config, checkpoint_path: str = "",
     from vcr_tpu.server import CaptionServer
     from vcr_tpu.serving_continuous import ContinuousCaptioner
 
-    cfg, params, spec, vocab = load_inference_state(cfg, checkpoint_path)
-    mesh = None
-    if cfg.mesh_dp > 1:
-        from vcr_tpu.parallel import make_mesh
+    meta_path = os.path.join(checkpoint_path or "", "meta.json")
+    if checkpoint_path and os.path.isfile(meta_path) and \
+            json.load(open(meta_path)).get("kind") == "continuous":
+        # a frozen continuous artifact (--mode export_continuous): serve it
+        # directly — no model code, no checkpoint
+        from vcr_tpu.export_continuous import load_continuous
 
-        mesh = make_mesh(cfg.mesh_dp, 1)
-    cc = ContinuousCaptioner(params, spec, slots=cfg.serve_slots,
-                             admit_chunk=cfg.serve_admit_chunk,
-                             vocab=vocab, mesh=mesh)
+        cc = load_continuous(checkpoint_path)
+        arch = cc.meta["spec"]["arch"]
+        vocab = cc.vocab  # detokenizer embedded in the artifact meta
+    else:
+        cfg, params, spec, vocab = load_inference_state(cfg, checkpoint_path)
+        arch = spec.arch
+        mesh = None
+        if cfg.mesh_dp > 1:
+            from vcr_tpu.parallel import make_mesh
+
+            mesh = make_mesh(cfg.mesh_dp, 1)
+        cc = ContinuousCaptioner(params, spec, slots=cfg.serve_slots,
+                                 admit_chunk=cfg.serve_admit_chunk,
+                                 vocab=vocab, mesh=mesh)
     server = CaptionServer(cc, vocab=vocab, port=cfg.serve_port).start()
-    print(f"serving {spec.arch} captions on http://127.0.0.1:{server.port} "
-          f"(R={cfg.serve_slots}, A={cfg.serve_admit_chunk}"
-          f"{f', dp={cfg.mesh_dp}' if mesh else ''}) — POST /caption, "
+    print(f"serving {arch} captions on http://127.0.0.1:{server.port} "
+          f"(R={cc.slots}, A={cc.admit_chunk}) — POST /caption, "
           "GET /healthz; Ctrl-C to stop", flush=True)
     if not block:
         return server
@@ -110,6 +121,24 @@ def serve_captions(cfg: Config, checkpoint_path: str = "",
         print("shutting down")
     finally:
         server.close()
+
+
+def export_continuous_artifact(cfg: Config, checkpoint_path: str = "",
+                               out_dir: Optional[str] = None) -> str:
+    """``--mode export_continuous``: freeze a continuous-batching slot pool
+    (encode/admit/step StableHLO graphs + weights + empty pool) under
+    ``<save_path>/continuous_artifact``. Pool geometry from
+    --serve_slots/--serve_admit_chunk; cpu+tpu lowering like
+    export_serving_artifact. Serve it with ``--mode serve
+    --pretrained_base <dir>`` (no model code runs on that host)."""
+    from vcr_tpu.export_continuous import export_continuous
+
+    cfg, params, spec, vocab = load_inference_state(cfg, checkpoint_path)
+    out = out_dir or os.path.join(cfg.save_path, "continuous_artifact")
+    return export_continuous(params, spec, out, slots=cfg.serve_slots,
+                             admit_chunk=cfg.serve_admit_chunk,
+                             vocab=vocab, seed=cfg.seed,
+                             platforms=("cpu", "tpu"))
 
 
 def export_serving_artifact(cfg: Config, checkpoint_path: str = "",
