@@ -216,6 +216,79 @@ def test_dp_mesh_matches_unsharded(tiny_vocab, rng):
                             eos_id=tiny_vocab.eos_id, mesh=mesh)
 
 
+def _beam_truncated(params, spec, feats, eos_id, k):
+    """Batch beam's BEST row per video, truncated after its first <eos>."""
+    toks, _ = decode_tokens(params, spec, jnp.asarray(feats), eos_id,
+                            beam_size=k)
+    rows = np.asarray(toks)[:, 0]
+    out = []
+    for row in rows:
+        hits = np.nonzero(row == eos_id)[0]
+        out.append(row[: hits[0] + 1] if len(hits) else row)
+    return out
+
+
+@pytest.mark.parametrize("arch", ["s2vt", "s2vt-att"])
+def test_continuous_beam_matches_batch_beam(tiny_vocab, rng, arch):
+    """Continuous BEAM serving: each slot's K rows run the exact batch
+    beam-search step; the harvested best-beam tokens must equal the batch
+    beam's best row (per-request independence makes this a strict oracle),
+    across staggered admissions and slot reuse."""
+    for seed in (0, 4):
+        spec = _spec(tiny_vocab, arch)
+        model = base.build_model(arch)[0]
+        params = model(jax.random.PRNGKey(seed), spec, tiny_vocab.vectors)
+        feats = _feats(rng, 7, spec)
+        want = _beam_truncated(params, spec, feats, tiny_vocab.eos_id, 3)
+
+        cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=2,
+                                 step_chunk=2, eos_id=tiny_vocab.eos_id,
+                                 beam_size=3)
+        got = cc.caption_all({i: feats[i] for i in range(7)})
+        for i in range(7):
+            np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_continuous_beam_spatial_and_rationale(tiny_vocab, rng):
+    from vcr_tpu.nn import gumbel
+
+    sp_spec = _spec(tiny_vocab, "spatial", base_arch="s2vt", vid_feat_size=6)
+    model = base.build_model("spatial")[0]
+    sp_params = model(jax.random.PRNGKey(2), sp_spec, tiny_vocab.vectors)
+    sp_feats = rng.standard_normal(
+        (5, sp_spec.num_frames, sp_spec.vid_feat_size, 3, 3)
+    ).astype(np.float32)
+    want = _beam_truncated(sp_params, sp_spec, sp_feats, tiny_vocab.eos_id, 2)
+    cc = ContinuousCaptioner(sp_params, sp_spec, slots=2, admit_chunk=1,
+                             eos_id=tiny_vocab.eos_id, beam_size=2)
+    got = cc.caption_all({i: sp_feats[i] for i in range(5)})
+    for i in range(5):
+        np.testing.assert_array_equal(got[i], want[i])
+
+    ra_spec = _spec(tiny_vocab, "rationale", base_arch="s2vt", tau=1.0)
+    ra_params = base.build_model("rationale")[0](jax.random.PRNGKey(4),
+                                                 ra_spec, tiny_vocab.vectors)
+    ra_feats = _feats(rng, 4, ra_spec)
+    old = gumbel.ZERO_NOISE
+    gumbel.ZERO_NOISE = True
+    try:
+        want = _beam_truncated(ra_params, ra_spec, ra_feats,
+                               tiny_vocab.eos_id, 2)
+        cc = ContinuousCaptioner(ra_params, ra_spec, slots=2, admit_chunk=2,
+                                 eos_id=tiny_vocab.eos_id, beam_size=2)
+        got = cc.caption_all({i: ra_feats[i] for i in range(4)})
+    finally:
+        gumbel.ZERO_NOISE = old
+    for i in range(4):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_continuous_beam_rejects_transformer(tiny_vocab):
+    spec = _spec(tiny_vocab, "transformer", tf_layers=2, tf_heads=2)
+    with pytest.raises(NotImplementedError):
+        ContinuousCaptioner({}, spec, beam_size=3)
+
+
 def test_rejects_unknown_arch(tiny_vocab):
     class FakeSpec:
         arch = "nope"

@@ -56,7 +56,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vcr_tpu.decode import _s2vt_att_stepper, _s2vt_stepper
+from vcr_tpu.decode import NEG_INF, _s2vt_att_stepper, _s2vt_stepper
 from vcr_tpu.models import base as model_base
 from vcr_tpu.models import s2vt, s2vt_att
 from vcr_tpu.models import transformer as tr
@@ -165,6 +165,12 @@ class ContinuousCaptioner:
       eos_id / vocab: end-token resolution (serving.resolve_eos_id).
       rng: base key for RationaleNet's eval-time hard-Gumbel frame selection
         (fold_in per admission chunk); unused by the other families.
+      beam_size: K > 1 switches the pool to continuous BEAM search: each slot
+        owns K adjacent device rows running decode.beam_search's exact step
+        (two-stage top-k, eos-clamped continuation, within-slot reorder);
+        harvested tokens are the BEST beam cut at its first <eos> — equal to
+        the batch beam's best row (GRU-decoder families; the transformer
+        keeps its batch fast beam).
       mesh: optional jax.sharding.Mesh (parallel.mesh.make_mesh) — the slot
         axis is sharded over its "dp" axis (slots % dp == 0), params are
         replicated, and every tick's matmuls run dp-wide under GSPMD.
@@ -177,17 +183,23 @@ class ContinuousCaptioner:
     def __init__(self, params, spec: model_base.ModelSpec, *,
                  slots: int = 64, admit_chunk: int = 8, step_chunk: int = 4,
                  eos_id: Optional[int] = None, vocab=None, rng=None,
-                 mesh=None):
+                 mesh=None, beam_size: int = 1):
         if spec.arch not in _ARCHS:
             raise NotImplementedError(
                 f"continuous serving covers {_ARCHS}; got {spec.arch!r}")
         if not 1 <= admit_chunk <= slots:
             raise ValueError("need 1 <= admit_chunk <= slots")
+        if beam_size > 1 and spec.arch == "transformer":
+            raise NotImplementedError(
+                "continuous beam serving covers the GRU-decoder families; "
+                "the transformer keeps its batch fast beam "
+                "(decode.transformer_beam_decode_fast)")
         self.spec = spec
         self.params = params
         self.slots = slots
         self.admit_chunk = admit_chunk
         self.step_chunk = min(step_chunk, spec.max_len)
+        self.beam_size = beam_size
         self.eos_id = resolve_eos_id(spec, eos_id, vocab)
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._admit_count = 0
@@ -210,7 +222,8 @@ class ContinuousCaptioner:
 
         self._jit_encode = jax.jit(self._encode_chunk)
         self._jit_admit = jax.jit(self._admit)
-        self._jit_step = jax.jit(self._step_n)
+        self._jit_step = jax.jit(self._step_n if beam_size == 1
+                                 else self._step_n_beam)
         self.state = self._init_state()
 
         if mesh is not None:
@@ -256,12 +269,29 @@ class ContinuousCaptioner:
 
     def _init_state(self):
         r, l = self.slots, self.spec.max_len
-        return {
-            "dec": self._zeros_dec_state(r),
-            "last": jnp.full((r,), self.spec.sos_id, jnp.int32),
+        common = {
             "steps": jnp.zeros((r,), jnp.int32),
             "active": jnp.zeros((r,), jnp.bool_),
             "toks": jnp.zeros((r, l), jnp.int32),
+        }
+        if self.beam_size == 1:
+            return {
+                "dec": self._zeros_dec_state(r),
+                "last": jnp.full((r,), self.spec.sos_id, jnp.int32),
+                **common,
+            }
+        rows = r * self.beam_size
+        # beam mode: each slot owns K adjacent rows (beam-major-inner, like
+        # decode._tile_beam); "steps" stays the HARVEST length the scheduler
+        # reads (first-eos cut of the best beam), "gstep" counts decode steps
+        return {
+            "dec": self._zeros_dec_state(rows),
+            "last": jnp.full((rows,), self.spec.sos_id, jnp.int32),
+            "scores": jnp.zeros((rows,), jnp.float32),
+            "bfin": jnp.zeros((rows,), jnp.bool_),
+            "btoks": jnp.zeros((rows, l), jnp.int32),
+            "gstep": jnp.zeros((r,), jnp.int32),
+            **common,
         }
 
     def _encode_chunk(self, params, feats, rng):
@@ -310,13 +340,40 @@ class ContinuousCaptioner:
         """Scatter `new_dec` rows into `slot_ids` (invalid rows -> the R
         drop-sentinel) and reset the slots' decode bookkeeping."""
         ids = jnp.where(valid, slot_ids, self.slots).astype(jnp.int32)
+        if self.beam_size == 1:
+            dec = jax.tree_util.tree_map(
+                lambda leaf, new: leaf.at[ids].set(
+                    new.astype(leaf.dtype), mode="drop"),
+                state["dec"], new_dec)
+            return {
+                "dec": dec,
+                "last": state["last"].at[ids].set(self.spec.sos_id,
+                                                  mode="drop"),
+                "steps": state["steps"].at[ids].set(0, mode="drop"),
+                "active": state["active"].at[ids].set(True, mode="drop"),
+                "toks": state["toks"].at[ids].set(0, mode="drop"),
+            }
+        k = self.beam_size
+        a = ids.shape[0]
+        row_ids = (ids[:, None] * k + jnp.arange(k)[None, :]).reshape(-1)
+        tiled = jax.tree_util.tree_map(lambda x: jnp.repeat(x, k, axis=0),
+                                       new_dec)
         dec = jax.tree_util.tree_map(
-            lambda leaf, new: leaf.at[ids].set(
+            lambda leaf, new: leaf.at[row_ids].set(
                 new.astype(leaf.dtype), mode="drop"),
-            state["dec"], new_dec)
+            state["dec"], tiled)
+        # only beam 0 live at step 0 (all K are identical copies)
+        scores0 = jnp.tile(jnp.concatenate(
+            [jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)]), (a,)
+        ).astype(jnp.float32)
         return {
             "dec": dec,
-            "last": state["last"].at[ids].set(self.spec.sos_id, mode="drop"),
+            "last": state["last"].at[row_ids].set(self.spec.sos_id,
+                                                  mode="drop"),
+            "scores": state["scores"].at[row_ids].set(scores0, mode="drop"),
+            "bfin": state["bfin"].at[row_ids].set(False, mode="drop"),
+            "btoks": state["btoks"].at[row_ids].set(0, mode="drop"),
+            "gstep": state["gstep"].at[ids].set(0, mode="drop"),
             "steps": state["steps"].at[ids].set(0, mode="drop"),
             "active": state["active"].at[ids].set(True, mode="drop"),
             "toks": state["toks"].at[ids].set(0, mode="drop"),
@@ -360,6 +417,85 @@ class ContinuousCaptioner:
             last = jnp.where(active, nxt, st["last"])
             return dict(st, dec=dec, last=last, steps=steps, active=still,
                         toks=toks), None
+
+        state, _ = jax.lax.scan(micro, state, None, length=self.step_chunk)
+        return state
+
+    def _step_n_beam(self, params, state):
+        """Beam-mode tick: each slot's K rows run one beam-search step
+        (decode.beam_search's exact body — two-stage top-k, eos-clamped
+        continuation, within-group reorder), then the slot-level harvest view
+        (toks/steps = best beam cut at its first <eos>) is refreshed for
+        active slots. A slot finishes when all K beams emitted <eos> (the
+        batch search instead free-extends with zero-cost <eos> to max_len —
+        same beams, same scores; we just stop paying for the tail)."""
+        spec = self.spec
+        g, k = self.slots, self.beam_size
+        rows = g * k
+        l = spec.max_len
+        rows_idx = jnp.arange(rows)
+
+        dparams = (params["caption_net"]
+                   if spec.arch in ("spatial", "rationale") else params)
+
+        def micro(st, _):
+            dec, active = st["dec"], st["active"]
+            if self._base == "s2vt":
+                step_fn = _s2vt_stepper(dparams, spec, rows)
+                inner = {"s1": dec["s1"], "s2": dec["s2"]}
+            else:
+                step_fn = _s2vt_att_stepper(dparams, spec, dec["pk"],
+                                            dec["eo"])
+                inner = {"h": dec["h"]}
+            new_inner, logits = step_fn(inner, st["last"], jnp.int32(0))
+            dec = dict(dec, **new_inner)
+
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            v = logp.shape[-1]
+            cont = jnp.where(st["bfin"][:, None],
+                             jnp.full((1, v), NEG_INF).at[0, self.eos_id]
+                             .set(0.0), logp)
+            s1, i1 = jax.lax.top_k(st["scores"][:, None] + cont, k)
+            total = s1.reshape(g, k * k)
+            top_scores, top_idx = jax.lax.top_k(total, k)       # (G, K)
+            beam_idx = top_idx // k
+            word_idx = jnp.take_along_axis(
+                i1.reshape(g, k * k), top_idx, axis=1).astype(jnp.int32)
+
+            flat_src = (jnp.arange(g)[:, None] * k + beam_idx).reshape(-1)
+            dec = jax.tree_util.tree_map(lambda x: x[flat_src], dec)
+            btoks = st["btoks"][flat_src]
+            bfin = st["bfin"][flat_src]
+            words = word_idx.reshape(-1)
+            pos_rows = jnp.repeat(jnp.minimum(st["gstep"], l - 1), k)
+            btoks = btoks.at[rows_idx, pos_rows].set(words)
+            bfin = bfin | (words == self.eos_id)
+            scores = top_scores.reshape(-1)
+
+            # dead slots: freeze every bookkeeping leaf (their dec rows
+            # free-run like greedy mode — unread, reset at admission)
+            act_r = jnp.repeat(active, k)
+            btoks = jnp.where(act_r[:, None], btoks, st["btoks"])
+            bfin = jnp.where(act_r, bfin, st["bfin"])
+            scores = jnp.where(act_r, scores, st["scores"])
+            last = jnp.where(act_r, words, st["last"])
+
+            gstep = st["gstep"] + active.astype(jnp.int32)
+            all_fin = bfin.reshape(g, k).all(axis=1)
+            still = active & ~all_fin & (gstep < l)
+
+            # harvest view: best beam (row 0 after the sort), cut at its
+            # first <eos>
+            b0 = btoks.reshape(g, k, l)[:, 0]
+            iseos = b0 == self.eos_id
+            any_eos = iseos.any(axis=1)
+            hsteps = jnp.where(any_eos, jnp.argmax(iseos, axis=1) + 1, gstep)
+            toks = jnp.where(active[:, None], b0, st["toks"])
+            steps = jnp.where(active, hsteps, st["steps"])
+
+            return dict(st, dec=dec, last=last, scores=scores, bfin=bfin,
+                        btoks=btoks, gstep=gstep, steps=steps,
+                        active=still, toks=toks), None
 
         state, _ = jax.lax.scan(micro, state, None, length=self.step_chunk)
         return state

@@ -105,7 +105,8 @@ def serve_captions(cfg: Config, checkpoint_path: str = "",
             mesh = make_mesh(cfg.mesh_dp, 1)
         cc = ContinuousCaptioner(params, spec, slots=cfg.serve_slots,
                                  admit_chunk=cfg.serve_admit_chunk,
-                                 vocab=vocab, mesh=mesh)
+                                 vocab=vocab, mesh=mesh,
+                                 beam_size=max(cfg.beam_size, 1))
     server = CaptionServer(cc, vocab=vocab, port=cfg.serve_port).start()
     print(f"serving {arch} captions on http://127.0.0.1:{server.port} "
           f"(R={cc.slots}, A={cc.admit_chunk}) — POST /caption, "
