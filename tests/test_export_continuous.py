@@ -61,6 +61,25 @@ def test_artifact_matches_live_pool(tmp_path, tiny_vocab, rng, arch, kw):
     assert art.stats["served"] == 7
 
 
+def test_beam_artifact_matches_live_beam_pool(tmp_path, tiny_vocab, rng):
+    """beam_size freezes the beam step: the artifact's continuous beam must
+    match the live beam pool token-for-token."""
+    spec = _spec(tiny_vocab, "s2vt")
+    params = _params(spec, tiny_vocab, seed=7)
+    feats = rng.standard_normal((5, 4, 12)).astype(np.float32)
+    reqs = {i: feats[i] for i in range(5)}
+
+    live = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                               eos_id=tiny_vocab.eos_id, beam_size=3)
+    want = live.caption_all(reqs)
+    out = export_continuous.export_continuous(
+        params, spec, str(tmp_path / "art"), slots=2, admit_chunk=1,
+        beam_size=3, eos_id=tiny_vocab.eos_id)
+    got = export_continuous.load_continuous(out).caption_all(reqs)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
+
+
 def test_artifact_behind_http_server(tmp_path, tiny_vocab, rng):
     """CaptionServer fronts a frozen artifact (same scheduler-ops protocol):
     the full deployment shape with zero model code on the host."""

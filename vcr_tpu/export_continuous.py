@@ -58,7 +58,7 @@ def _leaf_paths(tree) -> list:
 
 def export_continuous(params, spec, out_dir: str, *,
                       slots: int = 64, admit_chunk: int = 8,
-                      step_chunk: int = 4,
+                      step_chunk: int = 4, beam_size: int = 1,
                       eos_id: Optional[int] = None, vocab=None,
                       seed: int = 0,
                       feat_item_shape: Optional[Sequence[int]] = None,
@@ -77,8 +77,9 @@ def export_continuous(params, spec, out_dir: str, *,
         spec = spec.with_(use_pallas=False)
     cc = ContinuousCaptioner(params, spec, slots=slots,
                              admit_chunk=admit_chunk, step_chunk=step_chunk,
-                             eos_id=eos_id, vocab=vocab,
+                             beam_size=beam_size, eos_id=eos_id, vocab=vocab,
                              rng=jax.random.PRNGKey(seed))
+    step_impl = cc._step_n if beam_size == 1 else cc._step_n_beam
 
     if feat_item_shape is not None:
         item_shape = tuple(feat_item_shape)
@@ -123,7 +124,7 @@ def export_continuous(params, spec, out_dir: str, *,
     def step_fn(weight_leaves, state_leaves):
         p = jax.tree_util.tree_unflatten(p_tree, weight_leaves)
         st = jax.tree_util.tree_unflatten(s_tree, state_leaves)
-        return jax.tree_util.tree_leaves(cc._step_n(p, st))
+        return jax.tree_util.tree_leaves(step_impl(p, st))
 
     plat = tuple(platforms) if platforms else None
     exp_encode = jexport.export(jax.jit(encode_fn), platforms=plat)(
@@ -146,6 +147,7 @@ def export_continuous(params, spec, out_dir: str, *,
         "slots": int(slots),
         "admit_chunk": int(admit_chunk),
         "step_chunk": int(cc.step_chunk),
+        "beam_size": int(beam_size),
         "eos_id": int(cc.eos_id),
         "sos_id": int(spec.sos_id),
         "max_len": int(spec.max_len),

@@ -138,6 +138,7 @@ def export_continuous_artifact(cfg: Config, checkpoint_path: str = "",
     out = out_dir or os.path.join(cfg.save_path, "continuous_artifact")
     return export_continuous(params, spec, out, slots=cfg.serve_slots,
                              admit_chunk=cfg.serve_admit_chunk,
+                             beam_size=max(cfg.beam_size, 1),
                              vocab=vocab, seed=cfg.seed,
                              platforms=("cpu", "tpu"))
 
