@@ -63,6 +63,9 @@ def main() -> None:
                               "--save_path", models] + common),
         ("export_serving", ["--mode", "export_serving",
                             "--save_path", models] + common),
+        ("export_continuous", ["--mode", "export_continuous",
+                               "--serve_slots", "2", "--serve_admit_chunk",
+                               "1", "--save_path", models] + common),
         ("train_rationale", ["--mode", "train_rationale", "--arch", "s2vt",
                              "--tau", "1.0", "--epochs", "1", "--lr", "1e-2",
                              "--save_path", os.path.join(root, "models_rat")]

@@ -191,6 +191,34 @@ def main() -> int:
     print(f"{'PASS' if cc_ok else 'FAIL'}  continuous serving ≡ fast greedy (compiled)")
     ok &= cc_ok
 
+    # ... and the continuous BEAM pool vs the batch beam's best row (GRU
+    # family: exercises the per-slot top-k + within-slot reorder compiled)
+    from vcr_tpu.decode import decode_tokens
+    from vcr_tpu.models import s2vt as s2vt_mod
+
+    bspec = mbase.ModelSpec(
+        arch="s2vt", vocab_size=512, embed_size=300, hidden_size=256,
+        vid_feat_size=512, max_len=10, num_frames=8, dropout_p=0.0,
+        sos_id=508, compute_dtype="float32")
+    bparams = jax.device_put(s2vt_mod.init_params(
+        jax.random.PRNGKey(8), bspec,
+        rng.standard_normal((512, 300)).astype(np.float32)))
+    bfeats = rng.standard_normal((5, 8, 512)).astype(np.float32)
+    btoks, _ = decode_tokens(bparams, bspec, jnp.asarray(bfeats), 509,
+                             beam_size=3)
+    brows = np.asarray(btoks)[:, 0]
+    bcc = ContinuousCaptioner(bparams, bspec, slots=2, admit_chunk=1,
+                              step_chunk=2, eos_id=509, beam_size=3)
+    got_b = bcc.caption_all({i: bfeats[i] for i in range(5)})
+    cb_ok = True
+    for i in range(5):
+        row = brows[i]
+        hits = np.nonzero(row == 509)[0]
+        want_row = row[: hits[0] + 1] if len(hits) else row
+        cb_ok &= np.array_equal(got_b[i], want_row)
+    print(f"{'PASS' if cb_ok else 'FAIL'}  continuous beam ≡ batch beam (compiled)")
+    ok &= cb_ok
+
     print("ALL PASS" if ok else "FAILURES")
     return 0 if ok else 1
 
