@@ -78,6 +78,7 @@ def test_http_serving_end_to_end(tiny_vocab, rng):
         assert health["status"] == "ok"
         assert health["served"] == 6
         assert health["in_flight"] == 0
+        assert 0 < health["latency_p50_ms"] <= health["latency_p95_ms"]
 
         # malformed body -> 400, wrong shape -> 400, unknown path -> 404
         with pytest.raises(urllib.error.HTTPError) as e:

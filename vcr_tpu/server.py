@@ -35,6 +35,7 @@ import io
 import json
 import queue
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -58,6 +59,9 @@ class CaptionServer:
         self._stopping = threading.Event()
         self._feat_shape = None
         self.error: Optional[str] = None
+        # ring of the last 512 request latencies (submit -> caption), for
+        # /healthz p50/p95 — enough for a live dashboard, bounded memory
+        self._latencies: list = []
 
         server = self
 
@@ -80,6 +84,14 @@ class CaptionServer:
                              in_flight=server.captioner.in_flight,
                              status="error" if server.error else "ok",
                              error=server.error)
+                with server._lock:
+                    lat = sorted(server._latencies)
+                if lat:
+                    stats["latency_p50_ms"] = round(
+                        1e3 * lat[len(lat) // 2], 2)
+                    stats["latency_p95_ms"] = round(
+                        1e3 * lat[min(len(lat) - 1,
+                                      int(len(lat) * 0.95))], 2)
                 self._json(500 if server.error else 200, stats)
 
             def do_POST(self):
@@ -130,11 +142,17 @@ class CaptionServer:
         ev = threading.Event()
         with self._lock:
             self._events[rid] = ev
+        t0 = time.monotonic()
         self._queue.put((rid, feats))
         ok = ev.wait(self.request_timeout_s)
         with self._lock:
             self._events.pop(rid, None)
-            return self._tokens.pop(rid, None) if ok else None
+            toks = self._tokens.pop(rid, None) if ok else None
+            if toks is not None:
+                self._latencies.append(time.monotonic() - t0)
+                if len(self._latencies) > 512:
+                    del self._latencies[:256]
+            return toks
 
     def _requests(self):
         """Live request source for caption_stream: blocking wait while the
