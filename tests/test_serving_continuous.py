@@ -283,10 +283,32 @@ def test_continuous_beam_spatial_and_rationale(tiny_vocab, rng):
         np.testing.assert_array_equal(got[i], want[i])
 
 
-def test_continuous_beam_rejects_transformer(tiny_vocab):
+def test_continuous_beam_transformer_matches_fast_beam(tiny_vocab, rng):
+    """Transformer continuous beam = per-slot positions + the lineage
+    (gather-free) beam: must match the batch fast beam's best row
+    (transformer_beam_decode_fast, itself token-identical to the physical
+    reorder path) truncated after its first <eos>."""
+    from vcr_tpu.decode import transformer_beam_decode_fast
+
     spec = _spec(tiny_vocab, "transformer", tf_layers=2, tf_heads=2)
-    with pytest.raises(NotImplementedError):
-        ContinuousCaptioner({}, spec, beam_size=3)
+    params = base.build_model("transformer")[0](jax.random.PRNGKey(11), spec,
+                                                tiny_vocab.vectors)
+    feats = _feats(rng, 6, spec)
+    toks, _ = transformer_beam_decode_fast(params, spec, jnp.asarray(feats),
+                                           beam_size=3,
+                                           eos_id=tiny_vocab.eos_id)
+    rows = np.asarray(toks)[:, 0]
+    want = []
+    for row in rows:
+        hits = np.nonzero(row == tiny_vocab.eos_id)[0]
+        want.append(row[: hits[0] + 1] if len(hits) else row)
+
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=2,
+                             step_chunk=2, eos_id=tiny_vocab.eos_id,
+                             beam_size=3)
+    got = cc.caption_all({i: feats[i] for i in range(6)})
+    for i in range(6):
+        np.testing.assert_array_equal(got[i], want[i])
 
 
 def test_rejects_unknown_arch(tiny_vocab):

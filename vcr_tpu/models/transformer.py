@@ -449,7 +449,8 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
     return step_fn, init_state
 
 
-def make_slot_stepper(params, spec: base.ModelSpec):
+def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
+                      lineage: bool = False):
     """Per-slot-position KV-cached decode cell for continuous-batching
     serving (serving_continuous.ContinuousCaptioner).
 
@@ -473,6 +474,18 @@ def make_slot_stepper(params, spec: base.ModelSpec):
       cross_state(e_outputs (rows, S, d)) -> {"x{l}": (kx, vx) (rows, h, S, d_k)}
     and slot state = {**init_self_state(R), **cross_state(...)}; every leaf is
     rows-leading so admission can scatter rows in.
+
+    ``lineage=True`` (with ``beam_tile=K``) is the continuous-BEAM cell: rows
+    are slot-major groups of K beams, KV caches are written once at each
+    row's own slot and NEVER physically reordered; the state gains an
+    ``anc (rows, max_len)`` ancestry matrix (same design as
+    make_cached_stepper(lineage=True), here with per-row positions) and beam
+    reordering permutes ONLY that matrix. Self-attention reads through the
+    one-hot ancestry contraction — bit-identical scores to a physical
+    reorder. init_self_state then also contains the identity ancestry; after
+    admission each fresh group's ancestry must be re-armed to the local
+    pattern (row % K repeated across columns) — tiling an A-row encode K-wide
+    would wrongly duplicate it (ContinuousCaptioner._admit does this).
     """
     dec = params["decoder"]
     layers = dec["layers"]
@@ -499,7 +512,39 @@ def make_slot_stepper(params, spec: base.ModelSpec):
 
     def init_self_state(rows: int):
         z = jnp.zeros((rows, heads, l, d_k), cdt)
-        return {f"c{li}": (z, z) for li in range(n_layers)}
+        out = {f"c{li}": (z, z) for li in range(n_layers)}
+        if lineage:
+            row_local = (jnp.arange(rows) % beam_tile).astype(jnp.int32)
+            out["anc"] = jnp.tile(row_local[:, None], (1, l))
+        return out
+
+    def attend_self_lineage(attn_p, x2, ck, cv, i_vec, anc, rows_idx):
+        g = x2.shape[0] // beam_tile
+        k_b = beam_tile
+        q = heads_split(dense(attn_p["q"], x2, cdt))[:, :, 0, :]  # (rows,h,dk)
+        k_new = heads_split(dense(attn_p["k"], x2, cdt))[:, :, 0, :]
+        v_new = heads_split(dense(attn_p["v"], x2, cdt))[:, :, 0, :]
+        ck = ck.at[rows_idx, :, i_vec, :].set(k_new.astype(ck.dtype))
+        cv = cv.at[rows_idx, :, i_vec, :].set(v_new.astype(cv.dtype))
+        qb = q.reshape(g, k_b, heads, d_k)
+        ckb = ck.reshape(g, k_b, heads, l, d_k)
+        cvb = cv.reshape(g, k_b, heads, l, d_k)
+        scores_all = jnp.einsum("bthd,bshjd->bthjs", qb.astype(cdt),
+                                ckb.astype(cdt),
+                                preferred_element_type=jnp.float32
+                                ) / (d_k ** 0.5)            # (g, kt, h, L, ks)
+        onehot = jax.nn.one_hot(anc.reshape(g, k_b, l), k_b,
+                                dtype=jnp.float32)           # (g, kt, L, ks)
+        scores = jnp.einsum("bthjs,btjs->bthj", scores_all, onehot)
+        mask = pos_row[None, None, None, :] > i_vec.reshape(
+            g, k_b)[:, :, None, None]
+        w = jax.nn.softmax(jnp.where(mask, -1e9, scores), axis=-1)
+        wm = w[..., None] * onehot[:, :, None, :, :]
+        ctx = jnp.einsum("bthjs,bshjd->bthd", wm.astype(cdt),
+                         cvb.astype(cdt),
+                         preferred_element_type=jnp.float32)
+        out = ctx.reshape(x2.shape[0], 1, hidden)
+        return dense(attn_p["out"], out, cdt), ck, cv
 
     def attend_self(attn_p, x2, ck, cv, i_vec, rows_idx):
         q = heads_split(dense(attn_p["q"], x2, cdt))          # (rows, h, 1, d_k)
@@ -532,12 +577,24 @@ def make_slot_stepper(params, spec: base.ModelSpec):
         x = (x * _pe_scale(i_vec + 1)[:, None, None]
              + dec["pe"][i_vec][:, None, :])
         new_state = dict(state)
+        anc = None
+        if lineage:
+            # this step's KV is written at each row's OWN slot: claim column
+            # i_vec[row] before attending
+            anc = state["anc"].at[rows_idx, i_vec].set(
+                (rows_idx % beam_tile).astype(jnp.int32))
+            new_state["anc"] = anc
         for li in range(n_layers):
             lp = per_layer[li]
             kx, vx = state[f"x{li}"]
             ck, cv = state[f"c{li}"]
             x2 = torch_norm(lp["norm_1"], x)
-            a, ck, cv = attend_self(lp["attn_1"], x2, ck, cv, i_vec, rows_idx)
+            if lineage:
+                a, ck, cv = attend_self_lineage(lp["attn_1"], x2, ck, cv,
+                                                i_vec, anc, rows_idx)
+            else:
+                a, ck, cv = attend_self(lp["attn_1"], x2, ck, cv, i_vec,
+                                        rows_idx)
             x = x + a
             x2 = torch_norm(lp["norm_2"], x)
             x = x + attend_cross(lp["attn_2"], x2, kx, vx)

@@ -169,8 +169,11 @@ class ContinuousCaptioner:
         owns K adjacent device rows running decode.beam_search's exact step
         (two-stage top-k, eos-clamped continuation, within-slot reorder);
         harvested tokens are the BEST beam cut at its first <eos> — equal to
-        the batch beam's best row (GRU-decoder families; the transformer
-        keeps its batch fast beam).
+        the batch beam's best row. ALL FIVE families: the GRU cells reorder
+        their small recurrent state; the transformer uses the lineage slot
+        stepper (make_slot_stepper(lineage=True) — per-row positions AND
+        gather-free beam: only the ancestry matrix is permuted, never the
+        KV caches).
       mesh: optional jax.sharding.Mesh (parallel.mesh.make_mesh) — the slot
         axis is sharded over its "dp" axis (slots % dp == 0), params are
         replicated, and every tick's matmuls run dp-wide under GSPMD.
@@ -189,11 +192,6 @@ class ContinuousCaptioner:
                 f"continuous serving covers {_ARCHS}; got {spec.arch!r}")
         if not 1 <= admit_chunk <= slots:
             raise ValueError("need 1 <= admit_chunk <= slots")
-        if beam_size > 1 and spec.arch == "transformer":
-            raise NotImplementedError(
-                "continuous beam serving covers the GRU-decoder families; "
-                "the transformer keeps its batch fast beam "
-                "(decode.transformer_beam_decode_fast)")
         self.spec = spec
         self.params = params
         self.slots = slots
@@ -250,7 +248,9 @@ class ContinuousCaptioner:
     def _zeros_dec_state(self, rows: int):
         spec = self.spec
         if self._base == "transformer":
-            _, init_self, _ = tr.make_slot_stepper(self._dec_params, spec)
+            _, init_self, _ = tr.make_slot_stepper(
+                self._dec_params, spec, beam_tile=self.beam_size,
+                lineage=self.beam_size > 1)
             # widths are spec-derived (transformer._width quirk): read the
             # attention width off the params, like the stepper does
             hidden = self._dec_params["decoder"]["layers"]["attn_1"]["q"][
@@ -322,9 +322,12 @@ class ContinuousCaptioner:
         elif spec.arch == "transformer":
             src_mask = tr.create_masks_inp(feats)
             e_out = tr.encode(params, spec, feats, src_mask, rng, train=False)
-            _, init_self, cross_state = tr.make_slot_stepper(params, spec)
+            _, init_self, cross_state = tr.make_slot_stepper(
+                params, spec, beam_tile=self.beam_size,
+                lineage=self.beam_size > 1)
             # full dec-state rows (self caches zeroed): admission's generic
-            # scatter then also RESETS the slot's self caches
+            # scatter then also RESETS the slot's self caches (beam mode: the
+            # tiled ancestry is garbage here; _admit re-arms it per group)
             return {**init_self(feats.shape[0]), **cross_state(e_out)}
         else:
             arch = spec.arch
@@ -362,6 +365,13 @@ class ContinuousCaptioner:
             lambda leaf, new: leaf.at[row_ids].set(
                 new.astype(leaf.dtype), mode="drop"),
             state["dec"], tiled)
+        if "anc" in dec:
+            # lineage transformer: re-arm each fresh group's ancestry to the
+            # local identity (row j of the group owns its column-j history) —
+            # the tiled encode copy above duplicated beam 0's
+            l = state["btoks"].shape[1]
+            anc0 = jnp.tile((row_ids % k).astype(jnp.int32)[:, None], (1, l))
+            dec = dict(dec, anc=dec["anc"].at[row_ids].set(anc0, mode="drop"))
         # only beam 0 live at step 0 (all K are identical copies)
         scores0 = jnp.tile(jnp.concatenate(
             [jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)]), (a,)
@@ -440,15 +450,22 @@ class ContinuousCaptioner:
 
         def micro(st, _):
             dec, active = st["dec"], st["active"]
-            if self._base == "s2vt":
+            if self._base == "transformer":
+                step_fn, _, _ = tr.make_slot_stepper(
+                    dparams, spec, beam_tile=k, lineage=True)
+                i_vec = jnp.repeat(jnp.minimum(st["gstep"], l - 1), k)
+                dec, logits = step_fn(dec, st["last"], i_vec)
+            elif self._base == "s2vt":
                 step_fn = _s2vt_stepper(dparams, spec, rows)
                 inner = {"s1": dec["s1"], "s2": dec["s2"]}
+                new_inner, logits = step_fn(inner, st["last"], jnp.int32(0))
+                dec = dict(dec, **new_inner)
             else:
                 step_fn = _s2vt_att_stepper(dparams, spec, dec["pk"],
                                             dec["eo"])
                 inner = {"h": dec["h"]}
-            new_inner, logits = step_fn(inner, st["last"], jnp.int32(0))
-            dec = dict(dec, **new_inner)
+                new_inner, logits = step_fn(inner, st["last"], jnp.int32(0))
+                dec = dict(dec, **new_inner)
 
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             v = logp.shape[-1]
@@ -463,7 +480,12 @@ class ContinuousCaptioner:
                 i1.reshape(g, k * k), top_idx, axis=1).astype(jnp.int32)
 
             flat_src = (jnp.arange(g)[:, None] * k + beam_idx).reshape(-1)
-            dec = jax.tree_util.tree_map(lambda x: x[flat_src], dec)
+            if self._base == "transformer":
+                # lineage: beam reorder permutes ONLY the ancestry matrix;
+                # the KV caches are never physically moved
+                dec = dict(dec, anc=dec["anc"][flat_src])
+            else:
+                dec = jax.tree_util.tree_map(lambda x: x[flat_src], dec)
             btoks = st["btoks"][flat_src]
             bfin = st["bfin"][flat_src]
             words = word_idx.reshape(-1)
