@@ -61,10 +61,16 @@ def test_artifact_matches_live_pool(tmp_path, tiny_vocab, rng, arch, kw):
     assert art.stats["served"] == 7
 
 
-def test_beam_artifact_matches_live_beam_pool(tmp_path, tiny_vocab, rng):
-    """beam_size freezes the beam step: the artifact's continuous beam must
-    match the live beam pool token-for-token."""
-    spec = _spec(tiny_vocab, "s2vt")
+@pytest.mark.parametrize("arch,kw", [
+    ("s2vt", {}),
+    ("transformer", dict(tf_layers=2, tf_heads=2)),
+])
+def test_beam_artifact_matches_live_beam_pool(tmp_path, tiny_vocab, rng,
+                                              arch, kw):
+    """beam_size freezes the beam step (the transformer's lineage slot
+    stepper included): the artifact's continuous beam must match the live
+    beam pool token-for-token."""
+    spec = _spec(tiny_vocab, arch, **kw)
     params = _params(spec, tiny_vocab, seed=7)
     feats = rng.standard_normal((5, 4, 12)).astype(np.float32)
     reqs = {i: feats[i] for i in range(5)}
