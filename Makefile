@@ -1,5 +1,5 @@
 # vcr_tpu developer targets
-.PHONY: test test-fast smoke bench bench-train bench-all native equivalence capture entry dryrun clean
+.PHONY: test test-fast smoke bench bench-train bench-all native equivalence capture entry dryrun checks-cpu demo-occupancy clean
 
 test:            ## full suite on the 8-virtual-device CPU mesh
 	python -m pytest tests/ -q
@@ -36,6 +36,15 @@ entry:           ## driver compile-check
 
 dryrun:          ## 8-virtual-device multichip dry run
 	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+checks-cpu:      ## full tpu_checks pass dry-run on CPU (interpret kernels)
+	JAX_PLATFORMS=cpu VCR_SKIP_PROBE=1 VCR_CHECKS_FORCE=1 python -c \
+	    "import jax; jax.config.update('jax_platforms','cpu'); \
+	     import runpy, sys; sys.argv=['tpu_checks.py']; \
+	     runpy.run_path('tpu_checks.py', run_name='__main__')"
+
+demo-occupancy:  ## continuous-vs-batch scheduling win on a skewed workload
+	python scripts/demo_continuous_occupancy.py
 
 clean:
 	rm -rf vcr_tpu/data/_libnpy.so .pytest_cache
