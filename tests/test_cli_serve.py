@@ -29,6 +29,12 @@ def test_serve_mode_end_to_end(tmp_path):
                             serve_admit_chunk=1)
     server = serve_captions(serve_cfg, block=False)
     try:
+        # the SERVE-TIME flags must win over the checkpoint-embedded config
+        # (regression: adopt_checkpoint_config used to clobber them with the
+        # training-time defaults — port 8000, R=64)
+        assert server.port != 8000  # serve_port=0 -> OS-assigned
+        assert server.captioner.slots == 2
+        assert server.captioner.admit_chunk == 1
         feats = np.random.default_rng(0).standard_normal(
             (4, 12)).astype(np.float32)
         buf = io.BytesIO()

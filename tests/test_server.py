@@ -96,6 +96,69 @@ def test_http_serving_end_to_end(tiny_vocab, rng):
     assert server.error is None
 
 
+def test_client_and_metrics(tiny_vocab, rng):
+    """CaptionClient drives the server end-to-end (caption_many concurrency,
+    health, Prometheus /metrics) token-exact vs the batch greedy oracle."""
+    from vcr_tpu.client import CaptionClient, CaptionServerError
+
+    spec = _spec(tiny_vocab)
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(5), spec,
+                                         tiny_vocab.vectors)
+    feats = rng.standard_normal((5, 4, 12)).astype(np.float32)
+    toks, _ = decode_tokens(params, spec, feats, tiny_vocab.eos_id,
+                            beam_size=1)
+    rows = np.asarray(toks)[:, 0]
+    want = []
+    for row in rows:
+        hits = np.nonzero(row == tiny_vocab.eos_id)[0]
+        want.append([int(t) for t in
+                     (row[: hits[0] + 1] if len(hits) else row)])
+
+    cc = ContinuousCaptioner(params, spec, slots=3, admit_chunk=2,
+                             step_chunk=2, eos_id=tiny_vocab.eos_id)
+    with CaptionServer(cc, vocab=tiny_vocab) as server:
+        client = CaptionClient(f"http://127.0.0.1:{server.port}")
+        client.wait_ready(timeout_s=30)
+
+        results = client.caption_many(list(feats), max_workers=5)
+        for (tokens, caption), w in zip(results, want):
+            assert tokens == w
+            assert isinstance(caption, str)
+
+        health = client.health()
+        assert health["served"] == 5 and health["status"] == "ok"
+
+        text = client.metrics()
+        assert "# TYPE vcr_requests_served_total counter" in text
+        assert "vcr_requests_served_total 5" in text
+        assert "vcr_up 1" in text
+        assert "vcr_in_flight 0" in text
+        assert "vcr_request_latency_seconds_count 5" in text
+        occ = [ln for ln in text.splitlines()
+               if ln.startswith("vcr_occupancy ")]
+        assert occ and 0.0 < float(occ[0].split()[1]) <= 1.0
+        p50 = [ln for ln in text.splitlines()
+               if ln.startswith('vcr_request_latency_seconds{quantile="0.5"}')]
+        assert p50 and float(p50[0].split()[-1]) > 0
+
+        # server-side errors surface as typed exceptions with the code
+        with pytest.raises(CaptionServerError) as e:
+            client.caption(np.zeros((2, 2), np.float32))
+        assert e.value.code == 400
+
+    assert server.error is None
+
+
+def test_client_retries_connection(tiny_vocab):
+    """Connection-level failures retry with backoff, then raise."""
+    from vcr_tpu.client import CaptionClient
+
+    client = CaptionClient("http://127.0.0.1:1", timeout_s=1,
+                           retries=1, backoff_s=0.01)
+    with pytest.raises(Exception):
+        client.health()
+
+
 def test_submit_api_without_http(tiny_vocab, rng):
     """submit() is the embeddable path (no sockets): same oracle."""
     spec = _spec(tiny_vocab)

@@ -24,7 +24,7 @@ __version__ = "0.1.0"
 __all__ = ["Config", "Vocab", "train", "decode_tokens", "sample_tokens",
            "build_model", "ModelSpec", "build_captioner", "export_captioner",
            "load_artifact", "ContinuousCaptioner", "CaptionServer",
-           "load_continuous"]
+           "load_continuous", "CaptionClient"]
 
 
 def __getattr__(name):
@@ -58,4 +58,7 @@ def __getattr__(name):
     if name == "load_continuous":
         from vcr_tpu.export_continuous import load_continuous
         return load_continuous
+    if name == "CaptionClient":
+        from vcr_tpu.client import CaptionClient
+        return CaptionClient
     raise AttributeError(name)

@@ -167,6 +167,7 @@ _CLI_OVERRIDE_FIELDS = (
     "seed", "out_dir", "vid_file", "export_all",
     "pretrained_base", "spatial_net_file", "log_dir", "log_iter",
     "mesh_dp", "mesh_mp", "compile_cache_dir",
+    "serve_port", "serve_slots", "serve_admit_chunk",
 )
 
 

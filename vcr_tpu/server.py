@@ -18,6 +18,9 @@ API:
                   -> {"tokens": [...], "caption": "..."}   (caption iff the
                   server was built with a vocab)
   GET  /healthz   -> {"status": "ok", "in_flight": N, ...scheduler stats}
+  GET  /metrics   -> Prometheus text exposition (counters for every
+                  scheduler stat, occupancy + in-flight gauges, a request-
+                  latency summary) — point a scraper at it as-is
 
 Usage:
     server = CaptionServer(captioner, vocab=vocab, port=8000)
@@ -62,6 +65,10 @@ class CaptionServer:
         # ring of the last 512 request latencies (submit -> caption), for
         # /healthz p50/p95 — enough for a live dashboard, bounded memory
         self._latencies: list = []
+        # lifetime latency aggregates for the /metrics summary (the ring
+        # above is windowed; Prometheus counters must be monotone)
+        self._lat_sum = 0.0
+        self._lat_count = 0
 
         server = self
 
@@ -78,20 +85,25 @@ class CaptionServer:
                 self.wfile.write(body)
 
             def do_GET(self):
+                if self.path == "/metrics":
+                    body = server._prometheus_text().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 if self.path != "/healthz":
                     return self._json(404, {"error": "unknown path"})
                 stats = dict(server.captioner.stats,
                              in_flight=server.captioner.in_flight,
                              status="error" if server.error else "ok",
                              error=server.error)
-                with server._lock:
-                    lat = sorted(server._latencies)
-                if lat:
-                    stats["latency_p50_ms"] = round(
-                        1e3 * lat[len(lat) // 2], 2)
-                    stats["latency_p95_ms"] = round(
-                        1e3 * lat[min(len(lat) - 1,
-                                      int(len(lat) * 0.95))], 2)
+                p50, p95 = server._latency_quantiles()
+                if p50 is not None:
+                    stats["latency_p50_ms"] = round(1e3 * p50, 2)
+                    stats["latency_p95_ms"] = round(1e3 * p95, 2)
                 self._json(500 if server.error else 200, stats)
 
             def do_POST(self):
@@ -149,10 +161,76 @@ class CaptionServer:
             self._events.pop(rid, None)
             toks = self._tokens.pop(rid, None) if ok else None
             if toks is not None:
-                self._latencies.append(time.monotonic() - t0)
+                dt = time.monotonic() - t0
+                self._latencies.append(dt)
+                self._lat_sum += dt
+                self._lat_count += 1
                 if len(self._latencies) > 512:
                     del self._latencies[:256]
             return toks
+
+    def _latency_quantiles(self):
+        """(p50, p95) seconds over the recent-latency ring, or (None, None)."""
+        with self._lock:
+            lat = sorted(self._latencies)
+        if not lat:
+            return None, None
+        return (lat[len(lat) // 2],
+                lat[min(len(lat) - 1, int(len(lat) * 0.95))])
+
+    def _prometheus_text(self) -> str:
+        """Prometheus text exposition of the scheduler stats. Counter names
+        mirror ContinuousCaptioner.stats keys; occupancy (useful token-steps
+        per slot-step, the continuous-batching efficiency headline) and
+        in-flight are gauges; request latency is a summary over submit() ->
+        caption wall time."""
+        c = self.captioner
+        stats = dict(c.stats)
+        lines = []
+
+        def metric(name, mtype, help_, value, labels=""):
+            lines.append(f"# HELP {name} {help_}")
+            lines.append(f"# TYPE {name} {mtype}")
+            lines.append(f"{name}{labels} {value}")
+
+        metric("vcr_requests_served_total", "counter",
+               "Captions completed and harvested", stats["served"])
+        metric("vcr_ticks_total", "counter",
+               "Device tick calls (step_chunk micro-steps each)",
+               stats["ticks"])
+        metric("vcr_admit_chunks_total", "counter",
+               "Fixed-shape admission chunks encoded", stats["admit_chunks"])
+        metric("vcr_slot_steps_total", "counter",
+               "Slot micro-steps executed (slots * step_chunk per tick)",
+               stats["slot_steps"])
+        metric("vcr_useful_steps_total", "counter",
+               "Slot micro-steps that produced a kept token",
+               stats["useful_steps"])
+        occ = (stats["useful_steps"] / stats["slot_steps"]
+               if stats["slot_steps"] else 0.0)
+        metric("vcr_occupancy", "gauge",
+               "useful_steps / slot_steps (continuous-batching efficiency)",
+               f"{occ:.6f}")
+        metric("vcr_in_flight", "gauge",
+               "Requests currently occupying slots", c.in_flight)
+        metric("vcr_up", "gauge",
+               "1 if the scheduler thread is healthy",
+               0 if self.error else 1)
+        p50, p95 = self._latency_quantiles()
+        lines.append("# HELP vcr_request_latency_seconds "
+                     "submit-to-caption wall time")
+        lines.append("# TYPE vcr_request_latency_seconds summary")
+        if p50 is not None:
+            lines.append('vcr_request_latency_seconds{quantile="0.5"} '
+                         f"{p50:.6f}")
+            lines.append('vcr_request_latency_seconds{quantile="0.95"} '
+                         f"{p95:.6f}")
+        with self._lock:
+            lines.append(f"vcr_request_latency_seconds_sum "
+                         f"{self._lat_sum:.6f}")
+            lines.append(f"vcr_request_latency_seconds_count "
+                         f"{self._lat_count}")
+        return "\n".join(lines) + "\n"
 
     def _requests(self):
         """Live request source for caption_stream: blocking wait while the
