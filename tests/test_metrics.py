@@ -461,3 +461,94 @@ def test_metrics_fuzz_bounds_and_robustness():
     assert math.isfinite(m.corpus_rouge_l(hyps, refs_list))
     emb = m.corpus_embedding_metrics(hyps, refs_list, lookup)
     assert all(math.isfinite(v) for v in emb.values())
+
+
+# -------------------- synonym / paraphrase matcher stages (round 3, pluggable)
+# The jar's stage-2/3 matchers at the official weights (synonym 0.8,
+# paraphrase 0.6). Their data files are env-blocked, so the stages are inert
+# until a table is installed; these tests install tiny synthetic tables.
+
+import pytest
+
+
+@pytest.fixture
+def _clean_resources():
+    m.set_meteor_resources()  # start inert
+    yield
+    m.set_meteor_resources()  # never leak into other tests
+
+
+def test_synonym_stage_golden(_clean_resources):
+    """'a feline' vs 'a cat' with feline~cat synonyms: exact 'a' (function
+    word, weight 0.25) + synonym stage (w=0.8) on the content pair.
+    P = R = (0.25 + 0.8*0.75)/1.0 = 0.85; 1 chunk / 2 matches ->
+    score = 0.85*(1 - 0.6*0.5**0.2)."""
+    base = m.meteor15_single("a feline", "a cat")
+    m.set_meteor_resources(synonyms={"feline": {"s1"}, "cat": {"s1", "s2"}})
+    want = 0.85 * (1.0 - 0.6 * 0.5 ** 0.2)
+    assert abs(m.meteor15_single("a feline", "a cat") - want) < 1e-12
+    assert want > base  # the stage only adds matches
+    m.set_meteor_resources()
+    assert m.meteor15_single("a feline", "a cat") == base  # inert again
+
+
+def test_synonym_requires_shared_synset(_clean_resources):
+    m.set_meteor_resources(synonyms={"feline": {"s1"}, "cat": {"s9"}})
+    assert m._align_pairs(["feline"], ["cat"]) == []
+
+
+def test_exact_stage_beats_synonym(_clean_resources):
+    # A self-synonymous word must still match at stage 0 (jar priority).
+    m.set_meteor_resources(synonyms={"cat": {"s1"}})
+    assert m._align_pairs(["cat"], ["cat"]) == [(0, 0, 0)]
+
+
+def test_paraphrase_stage_span_golden(_clean_resources):
+    """'a big dog runs' vs 'a canine runs' with 'big dog' ~ 'canine':
+    exact a + runs, paraphrase span (2 hyp words <-> 1 ref word, w=0.6).
+    All units chain contiguously -> 1 chunk; covered 4 hyp + 3 ref words,
+    matches = 3.5. P = (0.25 + 2*0.6*0.75 + 0.75)/2.5;
+    R = (0.25 + 0.6*0.75 + 0.75)/1.75."""
+    m.set_meteor_resources(paraphrases=[(["big", "dog"], ["canine"])])
+    p = (0.25 + 2 * 0.6 * 0.75 + 0.75) / 2.5
+    r = (0.25 + 0.6 * 0.75 + 0.75) / 1.75
+    fmean = p * r / (0.85 * p + 0.15 * r)
+    want = fmean * (1.0 - 0.6 * (1.0 / 3.5) ** 0.2)
+    got = m.meteor15_single("a big dog runs", "a canine runs")
+    assert abs(got - want) < 1e-12
+    units = m._align_matches(
+        ["a", "big", "dog", "runs"], ["a", "canine", "runs"])
+    assert (1, 2, 1, 1, 3) in units and m._chunks_m(units) == 1
+
+
+def test_paraphrase_is_symmetric_and_nonoverlapping(_clean_resources):
+    m.set_meteor_resources(paraphrases=[(["big", "dog"], ["canine"])])
+    # symmetric: table direction reversed
+    units = m._align_matches(["canine"], ["big", "dog"])
+    assert units == [(0, 1, 0, 2, 3)]
+    # a word already consumed by a span can't be rematched: exact 'dog'
+    # (w=1.0) + leftover vs the span (w=0.6 over more coverage) — the beam
+    # prefers coverage, so the span wins and 'dog' pairs nowhere else.
+    units = m._align_matches(["big", "dog"], ["canine", "dog"])
+    covs = m._covered(units)
+    assert covs[0] == 2  # both hyp words covered exactly once
+
+
+def test_resource_file_loaders(_clean_resources, tmp_path):
+    syn = tmp_path / "synsets.tsv"
+    syn.write_text("feline\ts1 s2\ncat\ts2\n")
+    para = tmp_path / "paraphrase.tsv"
+    para.write_text("big dog\tcanine\n")
+    assert m.load_meteor_synonyms(str(syn)) == 2
+    assert m.load_meteor_paraphrases(str(para)) == 1
+    assert m._align_pairs(["feline"], ["cat"]) == [(0, 0, 2)]
+    assert m._align_matches(["canine"], ["big", "dog"]) == [(0, 1, 0, 2, 3)]
+    # loading one resource must not drop the other
+    assert m._SYNONYMS is not None and m._PARAPHRASES is not None
+
+
+def test_wordnet_table_absent_is_none():
+    # zero-egress image: nltk wordnet data is absent; the hook must degrade
+    # to None, not raise (a deployment with nltk_data gets a dict).
+    table = m.wordnet_synonym_table()
+    assert table is None or isinstance(table, dict)

@@ -11,9 +11,13 @@ environment, so:
   official stage weights (1.0, 0.6), content/function-word weighting
   (delta=0.75 over an embedded closed-class function list), the English
   'rank' parameters alpha=0.85 beta=0.2 gamma=0.6, and the jar's
-  chunk-minimizing beam-search alignment (width 40). Deviations from the
-  jar, all documented in PARITY.md: no WordNet-synonym/paraphrase stages
-  (their data is unavailable offline) and an approximated function-word
+  chunk-minimizing beam-search alignment (width 40). The jar's synonym
+  (w=0.8) and paraphrase (w=0.6, span-level) matcher STAGES are implemented
+  behind pluggable resource tables (:func:`set_meteor_resources`,
+  :func:`load_meteor_synonyms`, :func:`load_meteor_paraphrases`,
+  :func:`wordnet_synonym_table`); the remaining deviations, documented in
+  PARITY.md, are that those data files themselves are unavailable offline
+  (stages stay inert without them) and an approximated function-word
   list. This is the model-selection metric
   (:func:`batch_meteor`), used per-sample / max-over-refs / batch-averaged
   exactly like the reference (train_utils.py:97-111).
@@ -35,7 +39,7 @@ from __future__ import annotations
 
 import math
 from collections import Counter, defaultdict
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, FrozenSet, Iterable, List, Mapping, Optional, Sequence, Tuple
 
 from functools import lru_cache
 
@@ -60,61 +64,198 @@ def tokenize(text: str) -> List[str]:
 # lengths (<=30 tokens) this is effectively an exhaustive search.
 _ALIGN_BEAM_SIZE = 40
 
+# Pluggable matcher resources for the jar's stage-2/3 matchers. The jar ships
+# a WordNet-derived synonym table and a paraphrase phrase table; both data
+# files are unavailable in this zero-egress environment (PARITY.md), so the
+# STAGES are implemented here behind pluggable tables and stay inert (inert =
+# bit-identical exact+stem behavior) until one is loaded via
+# :func:`set_meteor_resources` / the file loaders below.
+_SYNONYMS: Optional[Mapping[str, FrozenSet]] = None    # word -> synset ids
+_PARAPHRASES: Optional[Dict[Tuple[str, ...], FrozenSet]] = None  # phrase -> phrases
+_PARA_MAX_LEN = 1
 
-def _candidate_matches(hyp: List[str], ref: List[str]) -> List[List[Tuple[int, int]]]:
-    """Per hyp index, every (ref_idx, stage) candidate. Stage 0 = exact,
-    stage 1 = Porter stem; a pair matching under both keeps the
-    higher-priority (lower-numbered) stage, as the jar's matchers do."""
+
+def set_meteor_resources(synonyms: Optional[Mapping[str, Iterable]] = None,
+                         paraphrases: Optional[Iterable[Tuple[Sequence[str], Sequence[str]]]] = None,
+                         ) -> None:
+    """Install (or with all-None args, clear) the synonym / paraphrase matcher
+    resources.
+
+    synonyms: mapping word -> iterable of synset ids; two words match at the
+        synonym stage iff their id sets intersect (the jar's synonymy test).
+    paraphrases: iterable of (phrase_a, phrase_b) token-sequence pairs,
+        matched symmetrically at the paraphrase stage (the jar's phrase
+        table). Phrases may be multi-word and of unequal length.
+    """
+    global _SYNONYMS, _PARAPHRASES, _PARA_MAX_LEN
+    _SYNONYMS = ({w: frozenset(ids) for w, ids in synonyms.items()}
+                 if synonyms is not None else None)
+    if paraphrases is None:
+        _PARAPHRASES, _PARA_MAX_LEN = None, 1
+        return
+    table: Dict[Tuple[str, ...], set] = defaultdict(set)
+    for a, b in paraphrases:
+        ta, tb = tuple(a), tuple(b)
+        table[ta].add(tb)
+        table[tb].add(ta)
+    _PARAPHRASES = {k: frozenset(v) for k, v in table.items()}
+    _PARA_MAX_LEN = max((len(p) for ps in _PARAPHRASES.items()
+                         for p in (ps[0], *ps[1])), default=1)
+
+
+def load_meteor_synonyms(path: str) -> int:
+    """Load a synonym table (one `word<TAB>id id id...` line per word — the
+    natural dump of the Meteor distribution's WordNet synsets file) and
+    install it. Returns the number of words loaded."""
+    table: Dict[str, List[str]] = {}
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) == 2 and parts[0]:
+                table[parts[0].lower()] = parts[1].split()
+    set_meteor_resources(synonyms=table, paraphrases=_paraphrase_pairs())
+    return len(table)
+
+
+def load_meteor_paraphrases(path: str) -> int:
+    """Load a paraphrase table (one `phrase_a<TAB>phrase_b` line per pair,
+    space-separated lowercase tokens — Meteor's paraphrase-en format minus
+    the probability column) and install it. Returns the pair count."""
+    pairs = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2 and parts[0] and parts[1]:
+                pairs.append((parts[0].lower().split(), parts[1].lower().split()))
+    syn = dict(_SYNONYMS) if _SYNONYMS is not None else None
+    set_meteor_resources(synonyms=syn, paraphrases=pairs)
+    return len(pairs)
+
+
+def _paraphrase_pairs():
+    if _PARAPHRASES is None:
+        return None
+    return [(a, b) for a, bs in _PARAPHRASES.items() for b in bs]
+
+
+def wordnet_synonym_table() -> Optional[Dict[str, FrozenSet]]:
+    """Build a synonym table from nltk's WordNet corpus if its data is
+    installed (it is not in this environment — zero egress; this hook exists
+    so a deployment WITH nltk_data gets the jar's synonym stage for free).
+    Returns None when the corpus is unavailable."""
+    try:
+        from nltk.corpus import wordnet  # noqa: PLC0415
+        wordnet.synsets("dog")  # force the lazy corpus load
+    except Exception:
+        return None
+    table: Dict[str, set] = defaultdict(set)
+    for syn in wordnet.all_synsets():
+        name = syn.name()
+        for lemma in syn.lemma_names():
+            table[lemma.lower().replace("_", " ")].add(name)
+    return {w: frozenset(ids) for w, ids in table.items()}
+
+
+# A match unit: (hyp_start, hyp_len, ref_start, ref_len, stage). Word-level
+# stages (exact/stem/synonym) always have len 1/1; the paraphrase stage can
+# cover multi-word spans of unequal length, as the jar's phrase matcher does.
+Match = Tuple[int, int, int, int, int]
+
+
+def _candidate_matches(hyp: List[str], ref: List[str]) -> List[List[Match]]:
+    """Per hyp start index, every candidate match unit, each at its
+    highest-priority (lowest-numbered) stage as the jar's matchers resolve
+    overlaps: 0 exact, 1 Porter stem, 2 synonym (synset-id intersection),
+    3 paraphrase (phrase table, span-level)."""
     h_stem = [_stem(w) for w in hyp]
     r_stem = [_stem(w) for w in ref]
-    cands: List[List[Tuple[int, int]]] = []
+    syn = _SYNONYMS
+    cands: List[List[Match]] = []
     for i, hw in enumerate(hyp):
-        row = []
+        row: List[Match] = []
         for j, rw in enumerate(ref):
             if hw == rw:
-                row.append((j, 0))
+                row.append((i, 1, j, 1, 0))
             elif h_stem[i] == r_stem[j]:
-                row.append((j, 1))
+                row.append((i, 1, j, 1, 1))
+            elif syn is not None and syn.get(hw) and syn.get(rw) \
+                    and not syn[hw].isdisjoint(syn[rw]):
+                row.append((i, 1, j, 1, 2))
         cands.append(row)
+    if _PARAPHRASES is not None:
+        # Index every ref span that appears anywhere in the table, then emit
+        # a candidate for each hyp span whose paraphrase set hits one.
+        ref_spans: Dict[Tuple[str, ...], List[int]] = defaultdict(list)
+        for j in range(len(ref)):
+            for ln in range(1, min(_PARA_MAX_LEN, len(ref) - j) + 1):
+                span = tuple(ref[j:j + ln])
+                if span in _PARAPHRASES:
+                    ref_spans[span].append(j)
+        for i in range(len(hyp)):
+            for ln in range(1, min(_PARA_MAX_LEN, len(hyp) - i) + 1):
+                targets = _PARAPHRASES.get(tuple(hyp[i:i + ln]))
+                if not targets:
+                    continue
+                for tgt in targets:
+                    for j in ref_spans.get(tgt, ()):
+                        cands[i].append((i, ln, j, len(tgt), 3))
     return cands
 
 
-def _align_pairs(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, int]]:
+def _align_matches(hyp: List[str], ref: List[str]) -> List[Match]:
     """Meteor-1.5-faithful alignment (reference scoring jar semantics, see
     /root/reference/train_utils.py:97-111 which is scored by that jar).
 
-    Beam search (width 40, the jar Aligner's default) over one-to-one match
-    sets, preferring in order: (1) most words matched, (2) fewest chunks,
-    (3) smallest total match distance sum|i - j|, (4) highest-priority match
-    stages (exact over stem). Unlike greedy first-come matching (nltk's
-    METEOR, and this scorer's pre-round-3 behavior — kept as
+    Beam search (width 40, the jar Aligner's default) over non-overlapping
+    match-unit sets, preferring in order: (1) most words covered (hyp+ref),
+    (2) fewest chunks, (3) smallest total start-distance sum|i - j|,
+    (4) highest-priority match stages. Unlike greedy first-come matching
+    (nltk's METEOR, and this scorer's pre-round-3 behavior — kept as
     :func:`_align_pairs_greedy` for delta measurement), this finds the
     chunk-minimizing alignment that feeds the fragmentation penalty.
-    Returns [(hyp_idx, ref_idx, stage)].
+    Returns match units [(hyp_start, hyp_len, ref_start, ref_len, stage)].
     """
     cands = _candidate_matches(hyp, ref)
     if not any(cands):
         return []
 
     # Partial-alignment state, extended one hypothesis position at a time
-    # (matches are therefore appended in increasing hyp order, so a chunk
-    # continues iff the previous pair is exactly (i-1, j-1)):
-    #   (used_ref_bitmask, pairs, last_pair, matches, chunks, dist, stage_sum)
-    beam = [(0, (), None, 0, 0, 0, 0)]
+    # (matches are appended in increasing hyp order, so a chunk continues
+    # iff the previous unit ends exactly where this one begins, both sides):
+    #   (used_ref_bitmask, matches, next_i, last_end, covered, chunks,
+    #    dist, stage_sum)
+    beam = [(0, (), 0, None, 0, 0, 0, 0)]
     for i in range(len(hyp)):
         nxt = []
-        for used, pairs, last, mt, ch, dist, ss in beam:
-            nxt.append((used, pairs, last, mt, ch, dist, ss))  # leave i unmatched
-            for j, st in cands[i]:
-                if used >> j & 1:
+        for state in beam:
+            used, ms, ni, last, cov, ch, dist, ss = state
+            if i < ni:  # inside a span this state already matched
+                nxt.append(state)
+                continue
+            nxt.append((used, ms, i + 1, last, cov, ch, dist, ss))  # skip i
+            for unit in cands[i]:
+                _, hl, j, jl, st = unit
+                span_mask = ((1 << jl) - 1) << j
+                if used & span_mask:
                     continue
-                cont = last == (i - 1, j - 1)
-                nxt.append((used | (1 << j), pairs + ((i, j, st),), (i, j),
-                            mt + 1, ch + (0 if cont else 1),
+                cont = last == (i, j)
+                nxt.append((used | span_mask, ms + (unit,), i + hl,
+                            (i + hl, j + jl), cov + hl + jl,
+                            ch + (0 if cont else 1),
                             dist + abs(i - j), ss + st))
-        nxt.sort(key=lambda s: (-s[3], s[4], s[5], s[6]))
+        nxt.sort(key=lambda s: (-s[4], s[5], s[6], s[7]))
         beam = nxt[:_ALIGN_BEAM_SIZE]
     return list(beam[0][1])
+
+
+def _align_pairs(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, int]]:
+    """Word-level view of :func:`_align_matches`: [(hyp_idx, ref_idx, stage)].
+    Exact for the word-level stages; a multi-word paraphrase unit is expanded
+    positionally up to the shorter side (use :func:`_align_matches` when a
+    paraphrase table is loaded and per-word pairing matters)."""
+    return [(i + k, j + k, st)
+            for i, hl, j, jl, st in _align_matches(hyp, ref)
+            for k in range(min(hl, jl))]
 
 
 def _align_pairs_greedy(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, int]]:
@@ -151,7 +292,7 @@ def _align_pairs_greedy(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, 
 
 
 def _chunks(pairs: List[Tuple[int, int, int]]) -> int:
-    """Chunk count: contiguous runs in both hyp and ref order."""
+    """Chunk count over word-level pairs: contiguous runs in both orders."""
     if not pairs:
         return 0
     spairs = sorted(p[:2] for p in pairs)
@@ -162,10 +303,23 @@ def _chunks(pairs: List[Tuple[int, int, int]]) -> int:
     return chunks
 
 
-def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
-    """Two-stage alignment (exact, then stem). Returns (matches, chunks)."""
-    pairs = _align_pairs(hyp, ref)
-    return len(pairs), _chunks(pairs)
+def _chunks_m(matches: List[Match]) -> int:
+    """Chunk count over match units: a unit continues the previous chunk iff
+    it starts exactly where the previous one ends on both sides (a multi-word
+    unit is internally one contiguous run by construction)."""
+    if not matches:
+        return 0
+    sm = sorted(matches)
+    chunks = 1
+    for (i1, hl1, j1, jl1, _), (i2, _, j2, _, _) in zip(sm, sm[1:]):
+        if not (i2 == i1 + hl1 and j2 == j1 + jl1):
+            chunks += 1
+    return chunks
+
+
+def _covered(matches: List[Match]) -> Tuple[int, int]:
+    """(hyp words covered, ref words covered) by a match-unit set."""
+    return (sum(m[1] for m in matches), sum(m[3] for m in matches))
 
 
 def meteor_single(hyp: str, ref: str,
@@ -173,13 +327,15 @@ def meteor_single(hyp: str, ref: str,
     h, r = tokenize(hyp), tokenize(ref)
     if not h or not r:
         return 0.0
-    matches, chunks = _align(h, r)
-    if matches == 0:
+    matches = _align_matches(h, r)
+    if not matches:
         return 0.0
-    precision = matches / len(h)
-    recall = matches / len(r)
+    cov_h, cov_r = _covered(matches)
+    m_avg = (cov_h + cov_r) / 2  # == word-match count when all units are 1:1
+    precision = cov_h / len(h)
+    recall = cov_r / len(r)
     fmean = precision * recall / (alpha * precision + (1 - alpha) * recall)
-    frag = chunks / matches
+    frag = _chunks_m(matches) / m_avg
     penalty = gamma * (frag ** beta)
     return (1 - penalty) * fmean
 
@@ -212,9 +368,11 @@ there here very just only also too quite rather
 
 # English 'rank'-task parameters from the Meteor 1.5 distribution:
 # alpha=.85 beta=.2 gamma=.6 delta=.75; matcher weights exact=1.0 stem=0.6
-# (synonym=0.8 / paraphrase=0.6 stages need WordNet + paraphrase tables,
-# unavailable offline — documented deviation, PARITY.md).
-_M15_STAGE_WEIGHTS = (1.0, 0.6)
+# synonym=0.8 paraphrase=0.6 (`-w '1.0 0.6 0.8 0.6'`). The synonym and
+# paraphrase STAGES are implemented; their data files (WordNet synsets /
+# paraphrase-en) are env-blocked, so they stay inert until a table is
+# installed via set_meteor_resources — documented deviation, PARITY.md.
+_M15_STAGE_WEIGHTS = (1.0, 0.6, 0.8, 0.6)
 
 
 def meteor15_single(hyp: str, ref: str, alpha: float = 0.85, beta: float = 0.2,
@@ -227,13 +385,16 @@ def meteor15_single(hyp: str, ref: str, alpha: float = 0.85, beta: float = 0.2,
         Pen = γ·(chunks / matches)^β
         score = (1 − Pen)·Fmean
 
-    where h_c/h_f split the hypothesis into content/function words and
-    m_i(·) counts words matched by stage i (exact, stem)."""
+    where h_c/h_f split the hypothesis into content/function words, m_i(·)
+    counts words covered by stage-i match units (exact, stem, synonym,
+    paraphrase — the latter two only when resources are installed), and
+    `matches` is the hyp/ref average of covered words (they differ only for
+    unequal-length paraphrase spans)."""
     h, r = tokenize(hyp), tokenize(ref)
     if not h or not r:
         return 0.0
-    pairs = _align_pairs(h, r)
-    if not pairs:
+    matches = _align_matches(h, r)
+    if not matches:
         return 0.0
 
     def weighted(tokens, matched):  # matched: {idx: stage}
@@ -244,15 +405,18 @@ def meteor15_single(hyp: str, ref: str, alpha: float = 0.85, beta: float = 0.2,
                   for t in tokens)
         return num, den
 
-    h_num, h_den = weighted(h, {i: st for i, _, st in pairs})
-    r_num, r_den = weighted(r, {j: st for _, j, st in pairs})
+    h_matched = {i + k: st for i, hl, _, _, st in matches for k in range(hl)}
+    r_matched = {j + k: st for _, _, j, jl, st in matches for k in range(jl)}
+    h_num, h_den = weighted(h, h_matched)
+    r_num, r_den = weighted(r, r_matched)
     if h_den == 0 or r_den == 0:
         return 0.0
     p, rec = h_num / h_den, r_num / r_den
     if p == 0 or rec == 0:
         return 0.0
     fmean = p * rec / (alpha * p + (1 - alpha) * rec)
-    pen = gamma * (_chunks(pairs) / len(pairs)) ** beta
+    cov_h, cov_r = _covered(matches)
+    pen = gamma * (_chunks_m(matches) / ((cov_h + cov_r) / 2)) ** beta
     return (1 - pen) * fmean
 
 
