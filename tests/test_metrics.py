@@ -552,3 +552,21 @@ def test_wordnet_table_absent_is_none():
     # to None, not raise (a deployment with nltk_data gets a dict).
     table = m.wordnet_synonym_table()
     assert table is None or isinstance(table, dict)
+
+
+def test_configure_meteor_resources_cli_adapter(_clean_resources, tmp_path):
+    syn = tmp_path / "syn.tsv"
+    syn.write_text("feline\ts1\ncat\ts1\n")
+    para = tmp_path / "para.tsv"
+    para.write_text("big dog\tcanine\n")
+    s = m.configure_meteor_resources(str(syn), str(para))
+    assert "2 words" in s and "1 pairs" in s
+    assert m._align_pairs(["feline"], ["cat"]) == [(0, 0, 2)]
+    # "wordnet" degrades gracefully where nltk_data is absent
+    m.set_meteor_resources()
+    import warnings as w
+    with w.catch_warnings():
+        w.simplefilter("ignore")
+        s2 = m.configure_meteor_resources("wordnet", "")
+    assert ("inert" in s2) or ("wordnet (" in s2)
+    assert m.configure_meteor_resources() == ""  # both off: no-op

@@ -35,6 +35,12 @@ def main(argv=None) -> None:
         enable_compile_cache(cfg.compile_cache_dir)
     else:
         maybe_enable_compile_cache()
+    if cfg.meteor_synonyms or cfg.meteor_paraphrases:
+        from vcr_tpu.evals.metrics import configure_meteor_resources
+        summary = configure_meteor_resources(cfg.meteor_synonyms,
+                                             cfg.meteor_paraphrases)
+        if summary:
+            print(summary)
     dispatch(cfg)
 
 

@@ -121,6 +121,14 @@ class Config:
     serve_port: int = 8000
     serve_slots: int = 64
     serve_admit_chunk: int = 8
+    # METEOR matcher-stage resources (evals/metrics.py). The synonym (w=0.8)
+    # and paraphrase (w=0.6) stages of the Meteor 1.5 jar are implemented but
+    # inert without data (their files are env-blocked here). synonyms: "" =
+    # off, "wordnet" = build from nltk_data where installed, else a
+    # `word<TAB>synset ids` TSV path; paraphrases: "" = off, else a
+    # `phrase<TAB>phrase` TSV path.
+    meteor_synonyms: str = ""
+    meteor_paraphrases: str = ""
     # eval_attention export inputs (reference eval_attention.py:119-126)
     spatial_net_file: str = ""
     vid_file: str = ""
@@ -168,6 +176,7 @@ _CLI_OVERRIDE_FIELDS = (
     "pretrained_base", "spatial_net_file", "log_dir", "log_iter",
     "mesh_dp", "mesh_mp", "compile_cache_dir",
     "serve_port", "serve_slots", "serve_admit_chunk",
+    "meteor_synonyms", "meteor_paraphrases",
 )
 
 

@@ -138,6 +138,31 @@ def _paraphrase_pairs():
     return [(a, b) for a, bs in _PARAPHRASES.items() for b in bs]
 
 
+def configure_meteor_resources(synonyms: str = "", paraphrases: str = "") -> str:
+    """CLI adapter (--meteor_synonyms / --meteor_paraphrases): "" leaves a
+    stage inert; synonyms="wordnet" builds the table from nltk's corpus where
+    nltk_data is installed (degrades with a warning where it isn't — e.g.
+    this zero-egress image); anything else is a TSV path for the file
+    loaders. Returns a one-line human-readable summary."""
+    parts = []
+    if synonyms == "wordnet":
+        table = wordnet_synonym_table()
+        if table is None:
+            import warnings
+            warnings.warn("--meteor_synonyms wordnet: nltk WordNet data is "
+                          "not installed; the synonym stage stays inert")
+            parts.append("synonyms: wordnet unavailable (stage inert)")
+        else:
+            set_meteor_resources(synonyms=table,
+                                 paraphrases=_paraphrase_pairs())
+            parts.append(f"synonyms: wordnet ({len(table)} words)")
+    elif synonyms:
+        parts.append(f"synonyms: {load_meteor_synonyms(synonyms)} words")
+    if paraphrases:
+        parts.append(f"paraphrases: {load_meteor_paraphrases(paraphrases)} pairs")
+    return "METEOR stages — " + "; ".join(parts) if parts else ""
+
+
 def wordnet_synonym_table() -> Optional[Dict[str, FrozenSet]]:
     """Build a synonym table from nltk's WordNet corpus if its data is
     installed (it is not in this environment — zero egress; this hook exists
