@@ -253,3 +253,72 @@ def test_export_feats_loader_pads_and_truncates(tmp_path):
     out2 = _load_feats_padded(str(p2), 4)
     assert out2.shape == (1, 4, 3)
     np.testing.assert_array_equal(out2[0], long[:4])
+
+
+def test_extract_video_feats_resnet_path(tmp_path):
+    """Offline CNN feature extraction end-to-end on a synthetic clip:
+    cv2 decode -> preprocess -> linspace subsample -> jitted JAX ResNet
+    (random init, warned) -> feats/<vid>.npy with only the real-frame rows.
+    Reference: data/extract_video_feats.py:71-120."""
+    cv2 = pytest.importorskip("cv2")
+    from vcr_tpu.data.prep.video_feats import extract_video_feats
+
+    clips_dir = tmp_path / "data" / "msvd" / "clips"
+    os.makedirs(clips_dir)
+    w = cv2.VideoWriter(str(clips_dir / "vidA.avi"),
+                        cv2.VideoWriter_fourcc(*"MJPG"), 5, (80, 60))
+    for i in range(9):
+        w.write(np.full((60, 80, 3), 20 * i, np.uint8))
+    w.release()
+
+    cfg = Config(data_dir=str(tmp_path / "data"), corpus="msvd",
+                 num_frames=4, img_size=64, vision_arch="resnet18", seed=0)
+    extract_video_feats(cfg)
+
+    out = np.load(tmp_path / "data" / "msvd" / "feats" / "vidA.npy")
+    assert out.shape == (4, 512) and out.dtype == np.float32
+    assert np.isfinite(out).all()
+
+    cfg_short = cfg.replace(num_frames=16)  # clip shorter than num_frames:
+    extract_video_feats(cfg_short)          # only real frames are saved
+    out2 = np.load(tmp_path / "data" / "msvd" / "feats" / "vidA.npy")
+    assert out2.shape == (9, 512)
+
+    with pytest.raises(NotImplementedError):
+        extract_video_feats(cfg.replace(vision_arch="alexnet"))
+
+
+def test_extract_video_feats_msvd_vgg_repackager(tmp_path):
+    """The VGG fc7 CSV repackager: 4097-column rows keyed vidN_frame_M are
+    grouped per video, frame-sorted (numerically, not lexically), linspace-
+    subsampled, saved per-video. Reference: data/msvd_vgg/
+    extract_video_feats.py:14-53 (incl. the 4097-column assert)."""
+    from vcr_tpu.data.prep.video_feats import extract_video_feats_msvd_vgg
+
+    corpus_dir = tmp_path / "data" / "msvd_vgg"
+    os.makedirs(corpus_dir)
+    rows = []
+    # frame numbers deliberately out of order + >9 to catch lexical sorting
+    for frame in (10, 2, 1, 30):
+        rows.append(",".join([f"vid1_frame_{frame}"]
+                             + [str(float(frame))] * 4096))
+    rows.append(",".join(["vid2_frame_1"] + ["7.5"] * 4096))
+    (corpus_dir / "yt_allframes_vgg_fc7_test.csv").write_text(
+        "\n".join(rows) + "\n")
+
+    cfg = Config(data_dir=str(tmp_path / "data"), corpus="msvd_vgg",
+                 num_frames=3)
+    extract_video_feats_msvd_vgg(cfg)
+
+    v1 = np.load(corpus_dir / "feats" / "vid1.npy")
+    assert v1.shape == (3, 4096)
+    # sorted frame order is [1, 2, 10, 30]; linspace(0, 4, 3,
+    # endpoint=False) -> rows 0, 1, 2 (reference subsampling semantics)
+    np.testing.assert_array_equal(v1[:, 0], [1.0, 2.0, 10.0])
+    v2 = np.load(corpus_dir / "feats" / "vid2.npy")
+    assert v2.shape == (1, 4096) and (v2 == 7.5).all()
+
+    bad = corpus_dir / "yt_allframes_vgg_fc7_bad.csv"
+    bad.write_text("vid9_frame_1," + ",".join(["1.0"] * 2) + "\n")
+    with pytest.raises(AssertionError):
+        extract_video_feats_msvd_vgg(cfg)
