@@ -220,3 +220,54 @@ def test_sample_tokens_topk1_equals_greedy_all_families(tiny_vocab, rng):
     greedy_sp = np.asarray(jnp.argmax(logits_sp, axis=-1))
     check_vs(greedy_sp, sample_tokens(p_sp, spec_sp, vid_sp, eos,
                                       jax.random.PRNGKey(5), top_k=1))
+
+
+def test_sample_search_top_p_nucleus_membership():
+    """top_p nucleus filtering: with a fixed step distribution, sampled
+    tokens must come only from the smallest prefix of probability-sorted
+    tokens whose mass reaches top_p (applied after top_k — HF semantics)."""
+    from vcr_tpu.decode import sample_search
+
+    # probs ~ [0.5, 0.3, 0.15, 0.05] over 4 tokens (token 3 is eos-free)
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]], jnp.float32))
+
+    def step_fn(state, words, i):
+        return state, jnp.broadcast_to(logits, (words.shape[0], 4))
+
+    def sampled_set(top_p, top_k=0, n=256):
+        toks = sample_search(step_fn, (), n, 4, sos_id=0, eos_id=3,
+                             rng=jax.random.PRNGKey(0), temperature=1.0,
+                             top_k=top_k, top_p=top_p)
+        t = np.asarray(toks)
+        live = t[:, 0]  # first step: no eos clamping yet
+        return set(live.tolist())
+
+    assert sampled_set(0.5) == {0}            # 0.5 reaches p -> only token 0
+    assert sampled_set(0.79) == {0, 1}        # 0.5+0.3 crosses 0.79
+    assert sampled_set(0.94) == {0, 1, 2}
+    assert sampled_set(0.999) == {0, 1, 2, 3}
+    assert sampled_set(0.0) == {0, 1, 2, 3}   # 0 = off
+    # top_k first, then nucleus over the renormalized survivors:
+    # top_k=2 keeps {0.5, 0.3} -> renorm {0.625, 0.375}; 0.625 >= p=0.6
+    # so the nucleus is {0}; p=0.7 needs token 1 as well
+    assert sampled_set(0.6, top_k=2) == {0}
+    assert sampled_set(0.7, top_k=2) == {0, 1}
+
+
+def test_sample_tokens_tiny_top_p_equals_greedy(tiny_vocab, rng):
+    """A vanishing nucleus (top_p -> 0) keeps exactly the argmax token, so
+    sample_tokens(top_p=1e-9) reproduces greedy like top_k=1 does."""
+    from vcr_tpu.decode import sample_tokens
+
+    spec = make_spec(tiny_vocab, "s2vt")
+    params = s2vt.init_params(jax.random.PRNGKey(0), spec, tiny_vocab.vectors)
+    vid = jnp.asarray(rng.standard_normal((3, 4, 12)), dtype=jnp.float32)
+    greedy = _greedy_tokens(s2vt, params, spec, vid)
+    toks = np.asarray(sample_tokens(params, spec, vid, tiny_vocab.eos_id,
+                                    jax.random.PRNGKey(7), top_p=1e-9))
+    eos = tiny_vocab.eos_id
+    for b in range(toks.shape[0]):
+        for i in range(greedy.shape[1]):
+            assert toks[b, i] == greedy[b, i]
+            if greedy[b, i] == eos:
+                break
