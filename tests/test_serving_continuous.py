@@ -317,3 +317,92 @@ def test_rejects_unknown_arch(tiny_vocab):
 
     with pytest.raises(NotImplementedError):
         ContinuousCaptioner({}, FakeSpec())
+
+
+# ------------------------------------------------- per-slot sampling (round 3)
+
+@pytest.mark.parametrize("arch", ["s2vt", "transformer"])
+def test_sampling_topk1_equals_greedy_pool(tiny_vocab, rng, arch):
+    """top_k=1 collapses the per-slot categorical to argmax, so the sampling
+    pool must be token-exact vs the greedy pool (and thus vs batch greedy)
+    regardless of keys — the exactness anchor for the sampling machinery."""
+    kw = dict(tf_layers=2, tf_heads=2) if arch == "transformer" else {}
+    spec = _spec(tiny_vocab, arch, **kw)
+    model = base.build_model(arch)[0]
+    params = model(jax.random.PRNGKey(3), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 6, spec)
+    want = _greedy_truncated(params, spec, feats, tiny_vocab.eos_id)
+
+    cc = ContinuousCaptioner(params, spec, slots=3, admit_chunk=2,
+                             step_chunk=2, eos_id=tiny_vocab.eos_id,
+                             sample_temperature=0.7, sample_top_k=1)
+    got = cc.caption_all({i: feats[i] for i in range(6)})
+    for i in range(6):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_sampling_deterministic_per_rng_and_rerollable(tiny_vocab, rng):
+    """Same rng + same admission order -> identical captions (reproducible
+    serving); a different rng re-rolls the streams. Sampled outputs respect
+    the eos/max_len protocol like greedy ones."""
+    spec = _spec(tiny_vocab, "s2vt")
+    model = base.build_model("s2vt")[0]
+    params = model(jax.random.PRNGKey(3), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 8, spec)
+    reqs = {i: feats[i] for i in range(8)}
+
+    def serve(seed):
+        cc = ContinuousCaptioner(params, spec, slots=4, admit_chunk=2,
+                                 step_chunk=3, eos_id=tiny_vocab.eos_id,
+                                 sample_temperature=5.0,  # hot: streams differ
+                                 rng=jax.random.PRNGKey(seed))
+        return cc.caption_all(reqs)
+
+    a1, a2, b = serve(0), serve(0), serve(1)
+    for i in range(8):
+        np.testing.assert_array_equal(a1[i], a2[i])
+        toks = a1[i]
+        assert 1 <= len(toks) <= spec.max_len
+        eos_hits = np.nonzero(toks == tiny_vocab.eos_id)[0]
+        if len(eos_hits):
+            assert eos_hits[0] == len(toks) - 1  # cut at first eos
+    assert any(not np.array_equal(a1[i], b[i]) for i in range(8)), \
+        "independent rngs produced identical streams for all 8 requests"
+
+
+def test_sampling_slot_stream_is_admission_indexed(tiny_vocab, rng):
+    """A request's stream depends on its admission index, not on pool
+    geometry: the same ordered request stream through differently-sized
+    pools yields identical captions."""
+    spec = _spec(tiny_vocab, "s2vt")
+    model = base.build_model("s2vt")[0]
+    params = model(jax.random.PRNGKey(3), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 5, spec)
+
+    def serve(slots, admit):
+        cc = ContinuousCaptioner(params, spec, slots=slots, admit_chunk=admit,
+                                 step_chunk=2, eos_id=tiny_vocab.eos_id,
+                                 sample_temperature=5.0,
+                                 rng=jax.random.PRNGKey(9))
+        # ordered stream -> admission chunks are [0,1], [2,3], [4] for
+        # admit=2 irrespective of slot count >= 2
+        return dict(cc.caption_stream((i, feats[i]) for i in range(5)))
+
+    a = serve(2, 2)
+    b = serve(4, 2)
+    for i in range(5):
+        np.testing.assert_array_equal(a[i], b[i])
+
+
+def test_sampling_rejects_beam_and_frozen_export(tiny_vocab, rng, tmp_path):
+    spec = _spec(tiny_vocab, "s2vt")
+    model = base.build_model("s2vt")[0]
+    params = model(jax.random.PRNGKey(3), spec, tiny_vocab.vectors)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ContinuousCaptioner(params, spec, sample_temperature=0.5, beam_size=3)
+
+    from vcr_tpu.config import Config
+    from vcr_tpu.tools import export_continuous_artifact
+    with pytest.raises(NotImplementedError, match="live-pool only"):
+        export_continuous_artifact(Config(sample_temperature=0.5),
+                                   str(tmp_path / "nonexistent"))

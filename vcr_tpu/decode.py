@@ -108,6 +108,27 @@ def beam_search(
     return tokens.reshape(batch, k, max_len), scores.reshape(batch, k)
 
 
+def apply_sampling_filters(logits: jax.Array, temperature: float = 1.0,
+                           top_k: int = 0, top_p: float = 0.0) -> jax.Array:
+    """(rows, V) logits -> float32 logits scaled by 1/temperature with
+    non-candidates masked to NEG_INF: optional top_k restriction, then
+    optional top_p nucleus (smallest probability-sorted set reaching mass
+    top_p, over the already-filtered distribution — HF semantics). Shared by
+    sample_search and the continuous slot pool's sampling mode."""
+    logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    if top_p and 0.0 < top_p < 1.0:
+        probs = jax.nn.softmax(logits, axis=-1)
+        sp = jnp.sort(probs, axis=-1)[:, ::-1]          # descending
+        before = jnp.cumsum(sp, axis=-1) - sp           # mass strictly above
+        keep = jnp.sum(before < top_p, axis=-1, keepdims=True)  # >= 1
+        thresh = jnp.take_along_axis(sp, keep - 1, axis=-1)
+        logits = jnp.where(probs < thresh, NEG_INF, logits)
+    return logits
+
+
 def sample_search(
     step_fn: Callable,
     init_state,
@@ -135,17 +156,7 @@ def sample_search(
         state, words, finished = carry
         i, key = inp
         state, logits = step_fn(state, words, i)
-        logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
-        if top_k and top_k > 0:
-            kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
-            logits = jnp.where(logits < kth, NEG_INF, logits)
-        if top_p and 0.0 < top_p < 1.0:
-            probs = jax.nn.softmax(logits, axis=-1)
-            sp = jnp.sort(probs, axis=-1)[:, ::-1]          # descending
-            before = jnp.cumsum(sp, axis=-1) - sp           # mass strictly above
-            keep = jnp.sum(before < top_p, axis=-1, keepdims=True)  # >= 1
-            thresh = jnp.take_along_axis(sp, keep - 1, axis=-1)
-            logits = jnp.where(probs < thresh, NEG_INF, logits)
+        logits = apply_sampling_filters(logits, temperature, top_k, top_p)
         sampled = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
         words = jnp.where(finished, eos_id, sampled)
         finished = finished | (words == eos_id)

@@ -56,7 +56,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vcr_tpu.decode import NEG_INF, _s2vt_att_stepper, _s2vt_stepper
+from vcr_tpu.decode import (NEG_INF, _s2vt_att_stepper, _s2vt_stepper,
+                            apply_sampling_filters)
 from vcr_tpu.models import base as model_base
 from vcr_tpu.models import s2vt, s2vt_att
 from vcr_tpu.models import transformer as tr
@@ -174,6 +175,15 @@ class ContinuousCaptioner:
         stepper (make_slot_stepper(lineage=True) — per-row positions AND
         gather-free beam: only the ancestry matrix is permuted, never the
         KV caches).
+      sample_temperature / sample_top_k / sample_top_p: temperature > 0
+        switches the (beam_size=1) pool to per-slot stochastic decoding:
+        logits pass decode.apply_sampling_filters and each slot draws from
+        its own PRNG stream — a per-request key scattered at admission
+        (fold_in of the admission counter, split per chunk row), folded with
+        the slot's step index per token. Deterministic per (rng, admission
+        order): re-serving the same stream reproduces the same captions;
+        top_k=1 collapses to argmax and equals greedy mode exactly. Live
+        pool only (the frozen export_continuous artifact stays greedy/beam).
       mesh: optional jax.sharding.Mesh (parallel.mesh.make_mesh) — the slot
         axis is sharded over its "dp" axis (slots % dp == 0), params are
         replicated, and every tick's matmuls run dp-wide under GSPMD.
@@ -186,12 +196,18 @@ class ContinuousCaptioner:
     def __init__(self, params, spec: model_base.ModelSpec, *,
                  slots: int = 64, admit_chunk: int = 8, step_chunk: int = 4,
                  eos_id: Optional[int] = None, vocab=None, rng=None,
-                 mesh=None, beam_size: int = 1):
+                 mesh=None, beam_size: int = 1,
+                 sample_temperature: float = 0.0, sample_top_k: int = 0,
+                 sample_top_p: float = 0.0):
         if spec.arch not in _ARCHS:
             raise NotImplementedError(
                 f"continuous serving covers {_ARCHS}; got {spec.arch!r}")
         if not 1 <= admit_chunk <= slots:
             raise ValueError("need 1 <= admit_chunk <= slots")
+        if sample_temperature > 0 and beam_size > 1:
+            raise ValueError("per-slot sampling and beam search are "
+                             "mutually exclusive (beam maximizes sequence "
+                             "log-prob; sampling draws from it)")
         self.spec = spec
         self.params = params
         self.slots = slots
@@ -200,6 +216,16 @@ class ContinuousCaptioner:
         self.beam_size = beam_size
         self.eos_id = resolve_eos_id(spec, eos_id, vocab)
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.sample_temperature = sample_temperature
+        self.sample_top_k = sample_top_k
+        self.sample_top_p = sample_top_p
+        self._sample = sample_temperature > 0
+        # per-slot sampling keys ride the state pytree as RAW uint32 key data
+        # (scatter-friendly); derive the base from `rng` in raw form
+        base = self._rng
+        if jnp.issubdtype(jnp.asarray(base).dtype, jax.dtypes.prng_key):
+            base = jax.random.key_data(base)
+        self._sample_base = jnp.asarray(base, jnp.uint32)
         self._admit_count = 0
         self.stats = {"ticks": 0, "admit_chunks": 0, "served": 0,
                       "useful_steps": 0, "slot_steps": 0}
@@ -275,11 +301,15 @@ class ContinuousCaptioner:
             "toks": jnp.zeros((r, l), jnp.int32),
         }
         if self.beam_size == 1:
-            return {
+            st = {
                 "dec": self._zeros_dec_state(r),
                 "last": jnp.full((r,), self.spec.sos_id, jnp.int32),
                 **common,
             }
+            if self._sample:
+                st["skey"] = jnp.zeros((r, *self._sample_base.shape),
+                                       jnp.uint32)
+            return st
         rows = r * self.beam_size
         # beam mode: each slot owns K adjacent rows (beam-major-inner, like
         # decode._tile_beam); "steps" stays the HARVEST length the scheduler
@@ -339,16 +369,17 @@ class ContinuousCaptioner:
                 "pk": bahdanau_project_keys(params["decoder"]["attention"],
                                             eo, spec.cdtype)}
 
-    def _admit(self, state, new_dec, slot_ids, valid):
+    def _admit(self, state, new_dec, slot_ids, valid, row_keys=None):
         """Scatter `new_dec` rows into `slot_ids` (invalid rows -> the R
-        drop-sentinel) and reset the slots' decode bookkeeping."""
+        drop-sentinel) and reset the slots' decode bookkeeping. Sampling
+        mode also installs each request's PRNG key (`row_keys`, raw data)."""
         ids = jnp.where(valid, slot_ids, self.slots).astype(jnp.int32)
         if self.beam_size == 1:
             dec = jax.tree_util.tree_map(
                 lambda leaf, new: leaf.at[ids].set(
                     new.astype(leaf.dtype), mode="drop"),
                 state["dec"], new_dec)
-            return {
+            st = {
                 "dec": dec,
                 "last": state["last"].at[ids].set(self.spec.sos_id,
                                                   mode="drop"),
@@ -356,6 +387,9 @@ class ContinuousCaptioner:
                 "active": state["active"].at[ids].set(True, mode="drop"),
                 "toks": state["toks"].at[ids].set(0, mode="drop"),
             }
+            if self._sample:
+                st["skey"] = state["skey"].at[ids].set(row_keys, mode="drop")
+            return st
         k = self.beam_size
         a = ids.shape[0]
         row_ids = (ids[:, None] * k + jnp.arange(k)[None, :]).reshape(-1)
@@ -417,7 +451,19 @@ class ContinuousCaptioner:
                     inner = {"h": dec["h"]}
                 new_inner, logits = step_fn(inner, st["last"], jnp.int32(0))
                 dec = dict(dec, **new_inner)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if self._sample:
+                filt = apply_sampling_filters(logits, self.sample_temperature,
+                                              self.sample_top_k,
+                                              self.sample_top_p)
+                # per-slot stream: request key (installed at admission)
+                # folded with the slot's step index — independent of pool
+                # geometry and of whatever other slots are doing
+                nxt = jax.vmap(
+                    lambda kd, s, lg: jax.random.categorical(
+                        jax.random.fold_in(kd, s), lg)
+                )(st["skey"], st["steps"], filt).astype(jnp.int32)
+            else:
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
             pos = jnp.minimum(st["steps"], spec.max_len - 1)
             old = st["toks"][rows, pos]
@@ -529,8 +575,16 @@ class ContinuousCaptioner:
         self._admit_count += 1
         chunk_rng = jax.random.fold_in(self._rng, self._admit_count)
         new_dec = self._jit_encode(self.params, jnp.asarray(feats), chunk_rng)
-        self.state = self._jit_admit(self.state, new_dec, jnp.asarray(ids),
-                                     jnp.asarray(valid))
+        if self._sample:
+            row_keys = jax.random.split(
+                jax.random.fold_in(self._sample_base, self._admit_count),
+                ids.shape[0])
+            self.state = self._jit_admit(self.state, new_dec,
+                                         jnp.asarray(ids), jnp.asarray(valid),
+                                         jnp.asarray(row_keys, jnp.uint32))
+        else:
+            self.state = self._jit_admit(self.state, new_dec,
+                                         jnp.asarray(ids), jnp.asarray(valid))
 
     def tick(self) -> None:
         self.state = self._jit_step(self.params, self.state)

@@ -82,6 +82,8 @@ def serve_captions(cfg: Config, checkpoint_path: str = "",
     (serving_continuous.py). ``--serve_port/--serve_slots/--serve_admit_chunk``
     size it; ``--mesh_dp N`` shards the slot pool over a dp mesh. Serves
     until SIGINT. Returns the started server when ``block=False`` (tests)."""
+    import jax
+
     from vcr_tpu.server import CaptionServer
     from vcr_tpu.serving_continuous import ContinuousCaptioner
 
@@ -106,7 +108,11 @@ def serve_captions(cfg: Config, checkpoint_path: str = "",
         cc = ContinuousCaptioner(params, spec, slots=cfg.serve_slots,
                                  admit_chunk=cfg.serve_admit_chunk,
                                  vocab=vocab, mesh=mesh,
-                                 beam_size=max(cfg.beam_size, 1))
+                                 beam_size=max(cfg.beam_size, 1),
+                                 sample_temperature=cfg.sample_temperature,
+                                 sample_top_k=cfg.sample_top_k,
+                                 sample_top_p=cfg.sample_top_p,
+                                 rng=jax.random.PRNGKey(cfg.seed))
     server = CaptionServer(cc, vocab=vocab, port=cfg.serve_port).start()
     print(f"serving {arch} captions on http://127.0.0.1:{server.port} "
           f"(R={cc.slots}, A={cc.admit_chunk}) — POST /caption, "
@@ -134,6 +140,13 @@ def export_continuous_artifact(cfg: Config, checkpoint_path: str = "",
     --pretrained_base <dir>`` (no model code runs on that host)."""
     from vcr_tpu.export_continuous import export_continuous
 
+    # fail fast: sample_temperature is a CLI-override field, so the incoming
+    # value IS the post-adoption one — no need to load the checkpoint first
+    if cfg.sample_temperature > 0:
+        raise NotImplementedError(
+            "per-slot sampling is live-pool only (--mode serve); the frozen "
+            "continuous artifact bakes greedy/beam argmax into its step "
+            "graph — export without --sample_temperature")
     cfg, params, spec, vocab = load_inference_state(cfg, checkpoint_path)
     out = out_dir or os.path.join(cfg.save_path, "continuous_artifact")
     return export_continuous(params, spec, out, slots=cfg.serve_slots,
