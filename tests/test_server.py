@@ -178,3 +178,50 @@ def test_submit_api_without_http(tiny_vocab, rng):
         np.testing.assert_array_equal(got, want)
     finally:
         server.close()
+
+
+def test_http_per_request_sampling(tiny_vocab, rng):
+    """?temperature=&top_k=&top_p= set vLLM-style per-request sampling:
+    top_k=1 stays greedy-exact, a hot request samples, bad/unknown params
+    are 400s, and a pool built without sampling refuses opts with a 400."""
+    spec = _spec(tiny_vocab)
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    feats = rng.standard_normal((2, 4, 12)).astype(np.float32)
+    toks, _ = decode_tokens(params, spec, feats, tiny_vocab.eos_id,
+                            beam_size=1)
+    row = np.asarray(toks)[0, 0]
+    hits = np.nonzero(row == tiny_vocab.eos_id)[0]
+    want = [int(t) for t in (row[: hits[0] + 1] if len(hits) else row)]
+
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                             eos_id=tiny_vocab.eos_id, request_sampling=True,
+                             rng=jax.random.PRNGKey(1))
+    with CaptionServer(cc, vocab=tiny_vocab) as server:
+        # no params and explicit argmax params are both greedy-exact
+        got = _post_npy(server.port, feats[0])
+        assert [int(t) for t in got["tokens"]] == want
+        got = _post_npy(server.port, feats[0],
+                        path="/caption?temperature=0.9&top_k=1")
+        assert [int(t) for t in got["tokens"]] == want
+        # a hot request completes under the eos/max_len protocol
+        got = _post_npy(server.port, feats[1],
+                        path="/caption?temperature=8.0&top_p=0.95")
+        assert 1 <= len(got["tokens"]) <= spec.max_len
+        # malformed / unknown params -> 400 before touching the pool
+        for q in ("temperature=hot", "beam=3"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post_npy(server.port, feats[0], path=f"/caption?{q}")
+            assert e.value.code == 400
+    assert server.error is None
+
+    # greedy-built pool: sampling params are refused, not ignored
+    cc2 = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                              eos_id=tiny_vocab.eos_id)
+    with CaptionServer(cc2, vocab=tiny_vocab) as server:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_npy(server.port, feats[0], path="/caption?temperature=2.0")
+        assert e.value.code == 400
+        with pytest.raises(ValueError):
+            server.submit(feats[0], opts={"temperature": 2.0})
+    assert server.error is None

@@ -406,3 +406,125 @@ def test_sampling_rejects_beam_and_frozen_export(tiny_vocab, rng, tmp_path):
     with pytest.raises(NotImplementedError, match="live-pool only"):
         export_continuous_artifact(Config(sample_temperature=0.5),
                                    str(tmp_path / "nonexistent"))
+
+
+# --------------------------------- per-REQUEST sampling (vLLM-style, round 3)
+
+def test_row_sampling_filters_match_scalar():
+    """Uniform-row _row_sampling_filters must equal the scalar
+    decode.apply_sampling_filters row-for-row across every filter combo
+    (off, temperature-only, top_k, top_p, all three, argmax-collapse)."""
+    from vcr_tpu.decode import apply_sampling_filters
+    from vcr_tpu.serving_continuous import _row_sampling_filters
+
+    g = np.random.default_rng(0)
+    logits = jnp.asarray(g.standard_normal((5, 13)).astype(np.float32))
+    for t, k, p in [(1.0, 0, 0.0), (0.7, 0, 0.0), (1.3, 4, 0.0),
+                    (1.0, 0, 0.6), (0.5, 3, 0.8), (1.0, 1, 0.0),
+                    (5.0, 0, 0.3)]:
+        want = np.asarray(apply_sampling_filters(logits, t, k, p))
+        got = np.asarray(_row_sampling_filters(
+            logits, jnp.full((5,), t, jnp.float32),
+            jnp.full((5,), k, jnp.int32), jnp.full((5,), p, jnp.float32)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6,
+                                   err_msg=f"combo t={t} k={k} p={p}")
+
+
+def test_request_sampling_no_opts_is_greedy(tiny_vocab, rng):
+    """A request_sampling pool whose pool-level temperature is 0 serves
+    opt-less requests EXACTLY greedily (the per-row default T=1/top_k=1
+    collapses the categorical to argmax) — the anchor that turning the
+    capability on costs zero fidelity for plain requests."""
+    spec = _spec(tiny_vocab, "s2vt")
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    feats = _feats(rng, 6, spec)
+    want = _greedy_truncated(params, spec, feats, tiny_vocab.eos_id)
+
+    cc = ContinuousCaptioner(params, spec, slots=3, admit_chunk=2,
+                             step_chunk=2, eos_id=tiny_vocab.eos_id,
+                             request_sampling=True)
+    assert cc.accepts_request_opts
+    got = cc.caption_all({i: feats[i] for i in range(6)})
+    for i in range(6):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_per_request_opts_match_pool_level_config(tiny_vocab, rng):
+    """A request carrying {"temperature": 5.0} through a greedy-default
+    request_sampling pool must decode token-identically to the same stream
+    through a pool BUILT with sample_temperature=5.0 (same rng -> same
+    admission-indexed keys; opts start from neutral (1, 0, 0), not the
+    greedy argmax trick)."""
+    spec = _spec(tiny_vocab, "s2vt")
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    feats = _feats(rng, 5, spec)
+
+    pool_kw = dict(slots=2, admit_chunk=2, step_chunk=2,
+                   eos_id=tiny_vocab.eos_id)
+    cc_req = ContinuousCaptioner(params, spec, request_sampling=True,
+                                 rng=jax.random.PRNGKey(7), **pool_kw)
+    got = dict(cc_req.caption_stream(
+        (i, feats[i], {"temperature": 5.0}) for i in range(5)))
+
+    cc_pool = ContinuousCaptioner(params, spec, sample_temperature=5.0,
+                                  rng=jax.random.PRNGKey(7), **pool_kw)
+    want = dict(cc_pool.caption_stream((i, feats[i]) for i in range(5)))
+    for i in range(5):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_mixed_greedy_and_hot_requests_share_a_pool(tiny_vocab, rng):
+    """Greedy and hot-nucleus requests decode side by side in one pool:
+    opt-less rows and explicit temperature<=0 rows stay batch-greedy-exact
+    while hot rows sample — per-slot parameters really are per-slot."""
+    spec = _spec(tiny_vocab, "s2vt")
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    feats = _feats(rng, 8, spec)
+    want = _greedy_truncated(params, spec, feats, tiny_vocab.eos_id)
+
+    def reqs():
+        for i in range(8):
+            if i % 4 == 1:
+                yield i, feats[i], {"temperature": 8.0, "top_p": 0.95}
+            elif i % 4 == 3:
+                yield i, feats[i], {"temperature": 0.0}  # explicit greedy
+            else:
+                yield i, feats[i]
+
+    cc = ContinuousCaptioner(params, spec, slots=4, admit_chunk=2,
+                             step_chunk=2, eos_id=tiny_vocab.eos_id,
+                             request_sampling=True,
+                             rng=jax.random.PRNGKey(2))
+    got = dict(cc.caption_stream(reqs()))
+    assert sorted(got) == list(range(8))
+    for i in range(8):
+        if i % 4 != 1:
+            np.testing.assert_array_equal(got[i], want[i])
+        else:
+            assert 1 <= len(got[i]) <= spec.max_len
+    hot = [i for i in range(8) if i % 4 == 1]
+    assert any(not np.array_equal(got[i], want[i]) for i in hot), \
+        "T=8 nucleus requests all reproduced greedy output"
+
+
+def test_opts_rejected_by_non_sampling_pools(tiny_vocab, rng):
+    """Forwarding per-request opts to a pool that can't honor them is a loud
+    ValueError (never a silently-ignored parameter): plain greedy pools and
+    beam pools both refuse."""
+    spec = _spec(tiny_vocab, "s2vt")
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    feats = _feats(rng, 2, spec)
+
+    for kw in (dict(), dict(beam_size=2)):
+        cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                                 eos_id=tiny_vocab.eos_id, **kw)
+        assert not getattr(cc, "accepts_request_opts", False)
+        with pytest.raises(ValueError, match="per-request options"):
+            list(cc.caption_stream([(0, feats[0], {"temperature": 2.0})]))
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ContinuousCaptioner(params, spec, request_sampling=True, beam_size=2)

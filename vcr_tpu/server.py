@@ -17,6 +17,10 @@ API:
                   (client: ``np.save(buf, feats)`` — no framework needed)
                   -> {"tokens": [...], "caption": "..."}   (caption iff the
                   server was built with a vocab)
+                  Optional query params ?temperature=&top_k=&top_p= set
+                  PER-REQUEST sampling (vLLM-style) when the pool was built
+                  with sampling enabled (serving_continuous
+                  request_sampling / --sample_temperature); 400 otherwise.
   GET  /healthz   -> {"status": "ok", "in_flight": N, ...scheduler stats}
   GET  /metrics   -> Prometheus text exposition (counters for every
                   scheduler stat, occupancy + in-flight gauges, a request-
@@ -107,8 +111,35 @@ class CaptionServer:
                 self._json(500 if server.error else 200, stats)
 
             def do_POST(self):
-                if self.path != "/caption":
+                from urllib.parse import parse_qsl, urlsplit
+
+                parts = urlsplit(self.path)
+                if parts.path != "/caption":
                     return self._json(404, {"error": "unknown path"})
+                opts = None
+                if parts.query:
+                    try:
+                        q = dict(parse_qsl(parts.query))
+                        opts = {}
+                        if "temperature" in q:
+                            opts["temperature"] = float(q["temperature"])
+                        if "top_k" in q:
+                            opts["top_k"] = int(q["top_k"])
+                        if "top_p" in q:
+                            opts["top_p"] = float(q["top_p"])
+                        unknown = set(q) - {"temperature", "top_k", "top_p"}
+                        if unknown:
+                            raise ValueError(
+                                f"unknown query params {sorted(unknown)}")
+                    except ValueError as e:
+                        return self._json(400, {"error": str(e)})
+                if opts and not getattr(server.captioner,
+                                        "accepts_request_opts", False):
+                    return self._json(400, {
+                        "error": "per-request sampling params need a pool "
+                                 "built with sampling enabled (--mode serve "
+                                 "does this; frozen artifacts and beam pools "
+                                 "do not accept them)"})
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     feats = np.load(io.BytesIO(self.rfile.read(length)),
@@ -116,7 +147,7 @@ class CaptionServer:
                 except Exception as e:
                     return self._json(400, {"error": f"bad .npy body: {e}"})
                 try:
-                    toks = server.submit(feats)
+                    toks = server.submit(feats, opts=opts)
                 except ValueError as e:
                     return self._json(400, {"error": str(e)})
                 if toks is None:
@@ -137,11 +168,17 @@ class CaptionServer:
 
     # -------------------------------------------------------------- plumbing
 
-    def submit(self, feats: np.ndarray) -> Optional[np.ndarray]:
+    def submit(self, feats: np.ndarray, opts: Optional[dict] = None
+               ) -> Optional[np.ndarray]:
         """Enqueue one request and block until its caption (or timeout /
         server shutdown -> None). Thread-safe; usable directly without HTTP.
-        Raises ValueError on a feature-shape mismatch (all requests must
-        share one shape — the slot pool is fixed-shape by design)."""
+        ``opts`` carries per-request options (sampling params) to pools that
+        accept them. Raises ValueError on a feature-shape mismatch (all
+        requests must share one shape — the slot pool is fixed-shape by
+        design)."""
+        if opts and not getattr(self.captioner, "accepts_request_opts",
+                                False):
+            raise ValueError("this pool does not accept per-request options")
         feats = np.asarray(feats, np.float32)
         with self._lock:
             if self._feat_shape is None:
@@ -155,7 +192,7 @@ class CaptionServer:
         with self._lock:
             self._events[rid] = ev
         t0 = time.monotonic()
-        self._queue.put((rid, feats))
+        self._queue.put((rid, feats, opts) if opts else (rid, feats))
         ok = ev.wait(self.request_timeout_s)
         with self._lock:
             self._events.pop(rid, None)

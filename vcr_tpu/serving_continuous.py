@@ -56,8 +56,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vcr_tpu.decode import (NEG_INF, _s2vt_att_stepper, _s2vt_stepper,
-                            apply_sampling_filters)
+from vcr_tpu.decode import NEG_INF, _s2vt_att_stepper, _s2vt_stepper
 from vcr_tpu.models import base as model_base
 from vcr_tpu.models import s2vt, s2vt_att
 from vcr_tpu.models import transformer as tr
@@ -65,6 +64,27 @@ from vcr_tpu.nn.attention import bahdanau_project_keys
 from vcr_tpu.serving import resolve_eos_id
 
 _ARCHS = ("s2vt", "s2vt-att", "spatial", "rationale", "transformer")
+
+
+def _row_sampling_filters(logits: jax.Array, temp: jax.Array, topk: jax.Array,
+                          topp: jax.Array) -> jax.Array:
+    """Row-wise decode.apply_sampling_filters: (R, V) logits filtered by
+    per-row temperature / top_k / top_p arrays (0 disables a filter for that
+    row, like the scalar version). Equal to the scalar filters on uniform
+    rows (differential-tested)."""
+    v = logits.shape[-1]
+    lg = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-6)[:, None]
+    sorted_lg = -jnp.sort(-lg, axis=-1)                       # descending
+    k_idx = jnp.clip(topk - 1, 0, v - 1)[:, None]
+    kth = jnp.take_along_axis(sorted_lg, k_idx, axis=-1)
+    lg = jnp.where((topk[:, None] > 0) & (lg < kth), NEG_INF, lg)
+    probs = jax.nn.softmax(lg, axis=-1)
+    sp = jnp.sort(probs, axis=-1)[:, ::-1]
+    before = jnp.cumsum(sp, axis=-1) - sp                     # mass above
+    keep = jnp.sum(before < topp[:, None], axis=-1, keepdims=True)
+    thresh = jnp.take_along_axis(sp, jnp.clip(keep - 1, 0, v - 1), axis=-1)
+    apply_p = (topp > 0.0) & (topp < 1.0)
+    return jnp.where(apply_p[:, None] & (probs < thresh), NEG_INF, lg)
 
 
 def run_slot_scheduler(ops, requests: Iterable[Optional[Tuple[object,
@@ -82,14 +102,19 @@ def run_slot_scheduler(ops, requests: Iterable[Optional[Tuple[object,
       poll_active() -> np.bool_ (R,)   : which slots still decode
       read_tokens() -> (toks (R, L), steps (R,)) numpy
 
-    ``requests``: iterable of (key, feats); pulled lazily, so a generator
-    models live arrivals. A live source (e.g. a server draining a socket)
-    may yield ``None`` as a poll marker — "nothing available right now" —
-    which skips admission for that round instead of blocking in-flight
-    decodes; raise StopIteration (return) to drain and finish. Yields
-    (key, tokens (n,) int32 ending at <eos> or max_len) in COMPLETION order.
+    ``requests``: iterable of (key, feats) — or (key, feats, opts) where
+    ``opts`` is a per-request dict (e.g. sampling parameters); forwarding
+    opts requires ``ops.accepts_request_opts`` (a ValueError otherwise —
+    loud beats a silently-ignored request parameter). Pulled lazily, so a
+    generator models live arrivals. A live source (e.g. a server draining a
+    socket) may yield ``None`` as a poll marker — "nothing available right
+    now" — which skips admission for that round instead of blocking
+    in-flight decodes; raise StopIteration (return) to drain and finish.
+    Yields (key, tokens (n,) int32 ending at <eos> or max_len) in COMPLETION
+    order.
     """
     a = ops.admit_chunk
+    accepts_opts = getattr(ops, "accepts_request_opts", False)
     queue: deque = deque()
     req_iter = iter(requests)
     pending: Dict[int, object] = {}       # slot -> request key
@@ -118,14 +143,26 @@ def run_slot_scheduler(ops, requests: Iterable[Optional[Tuple[object,
             ids = np.zeros((a,), np.int32)
             valid = np.zeros((a,), bool)
             keys = []
+            chunk_opts = [None] * a
             for j in range(n):
-                key, f = queue.popleft()
+                item = queue.popleft()
+                key, f = item[0], item[1]
+                opt = item[2] if len(item) > 2 else None
+                if opt and not accepts_opts:
+                    raise ValueError(
+                        f"request {key!r} carries opts {sorted(opt)} but "
+                        "this pool does not accept per-request options "
+                        "(greedy/beam mode, or a frozen artifact)")
                 feats[j] = np.asarray(f, np.float32).reshape(feat_shape)
                 ids[j] = free.pop()
                 valid[j] = True
                 keys.append(key)
+                chunk_opts[j] = opt
             ops.stats["admit_chunks"] += 1
-            ops.encode_admit(feats, ids, valid)
+            if accepts_opts:
+                ops.encode_admit(feats, ids, valid, chunk_opts)
+            else:
+                ops.encode_admit(feats, ids, valid)
             for j in range(n):
                 pending[int(ids[j])] = keys[j]
             ops.in_flight = len(pending)
@@ -177,13 +214,22 @@ class ContinuousCaptioner:
         KV caches).
       sample_temperature / sample_top_k / sample_top_p: temperature > 0
         switches the (beam_size=1) pool to per-slot stochastic decoding:
-        logits pass decode.apply_sampling_filters and each slot draws from
-        its own PRNG stream — a per-request key scattered at admission
-        (fold_in of the admission counter, split per chunk row), folded with
-        the slot's step index per token. Deterministic per (rng, admission
-        order): re-serving the same stream reproduces the same captions;
-        top_k=1 collapses to argmax and equals greedy mode exactly. Live
-        pool only (the frozen export_continuous artifact stays greedy/beam).
+        logits pass the row-wise equivalent of decode.apply_sampling_filters
+        and each slot draws from its own PRNG stream — a per-request key
+        scattered at admission (fold_in of the admission counter, split per
+        chunk row), folded with the slot's step index per token.
+        Deterministic per (rng, admission order): re-serving the same stream
+        reproduces the same captions; top_k=1 collapses to argmax and equals
+        greedy mode exactly. Live pool only (the frozen export_continuous
+        artifact stays greedy/beam).
+      request_sampling: accept PER-REQUEST sampling parameters (vLLM-style):
+        scheduler requests may carry an opts dict ({"temperature", "top_k",
+        "top_p"}, any subset) that overrides the pool defaults for that
+        slot only — temperature/top_k/top_p live in per-slot state arrays
+        and every filter is row-wise, so a greedy request (the default when
+        the pool-level temperature is 0: T=1, top_k=1 == argmax) and a hot
+        nucleus request decode side by side in one pool. Implied by
+        sample_temperature > 0.
       mesh: optional jax.sharding.Mesh (parallel.mesh.make_mesh) — the slot
         axis is sharded over its "dp" axis (slots % dp == 0), params are
         replicated, and every tick's matmuls run dp-wide under GSPMD.
@@ -198,13 +244,13 @@ class ContinuousCaptioner:
                  eos_id: Optional[int] = None, vocab=None, rng=None,
                  mesh=None, beam_size: int = 1,
                  sample_temperature: float = 0.0, sample_top_k: int = 0,
-                 sample_top_p: float = 0.0):
+                 sample_top_p: float = 0.0, request_sampling: bool = False):
         if spec.arch not in _ARCHS:
             raise NotImplementedError(
                 f"continuous serving covers {_ARCHS}; got {spec.arch!r}")
         if not 1 <= admit_chunk <= slots:
             raise ValueError("need 1 <= admit_chunk <= slots")
-        if sample_temperature > 0 and beam_size > 1:
+        if (sample_temperature > 0 or request_sampling) and beam_size > 1:
             raise ValueError("per-slot sampling and beam search are "
                              "mutually exclusive (beam maximizes sequence "
                              "log-prob; sampling draws from it)")
@@ -219,7 +265,14 @@ class ContinuousCaptioner:
         self.sample_temperature = sample_temperature
         self.sample_top_k = sample_top_k
         self.sample_top_p = sample_top_p
-        self._sample = sample_temperature > 0
+        self._sample = sample_temperature > 0 or request_sampling
+        # scheduler protocol capability flag (run_slot_scheduler checks it
+        # before forwarding per-request opts)
+        self.accepts_request_opts = self._sample
+        # per-row defaults for requests that carry no opts: the pool-level
+        # sampling knobs when set, else exact greedy (T=1, top_k=1 == argmax)
+        self._row_defaults = ((sample_temperature, sample_top_k, sample_top_p)
+                              if sample_temperature > 0 else (1.0, 1, 0.0))
         # per-slot sampling keys ride the state pytree as RAW uint32 key data
         # (scatter-friendly); derive the base from `rng` in raw form
         base = self._rng
@@ -309,6 +362,10 @@ class ContinuousCaptioner:
             if self._sample:
                 st["skey"] = jnp.zeros((r, *self._sample_base.shape),
                                        jnp.uint32)
+                t0, k0, p0 = self._row_defaults
+                st["stemp"] = jnp.full((r,), t0, jnp.float32)
+                st["stopk"] = jnp.full((r,), k0, jnp.int32)
+                st["stopp"] = jnp.full((r,), p0, jnp.float32)
             return st
         rows = r * self.beam_size
         # beam mode: each slot owns K adjacent rows (beam-major-inner, like
@@ -369,10 +426,13 @@ class ContinuousCaptioner:
                 "pk": bahdanau_project_keys(params["decoder"]["attention"],
                                             eo, spec.cdtype)}
 
-    def _admit(self, state, new_dec, slot_ids, valid, row_keys=None):
+    def _admit(self, state, new_dec, slot_ids, valid, row_keys=None,
+               row_opts=None):
         """Scatter `new_dec` rows into `slot_ids` (invalid rows -> the R
         drop-sentinel) and reset the slots' decode bookkeeping. Sampling
-        mode also installs each request's PRNG key (`row_keys`, raw data)."""
+        mode also installs each request's PRNG key (`row_keys`, raw data)
+        and its sampling parameters (`row_opts` = (temp, top_k, top_p)
+        arrays, pool defaults where the request carried none)."""
         ids = jnp.where(valid, slot_ids, self.slots).astype(jnp.int32)
         if self.beam_size == 1:
             dec = jax.tree_util.tree_map(
@@ -388,7 +448,11 @@ class ContinuousCaptioner:
                 "toks": state["toks"].at[ids].set(0, mode="drop"),
             }
             if self._sample:
+                temp, topk, topp = row_opts
                 st["skey"] = state["skey"].at[ids].set(row_keys, mode="drop")
+                st["stemp"] = state["stemp"].at[ids].set(temp, mode="drop")
+                st["stopk"] = state["stopk"].at[ids].set(topk, mode="drop")
+                st["stopp"] = state["stopp"].at[ids].set(topp, mode="drop")
             return st
         k = self.beam_size
         a = ids.shape[0]
@@ -452,9 +516,13 @@ class ContinuousCaptioner:
                 new_inner, logits = step_fn(inner, st["last"], jnp.int32(0))
                 dec = dict(dec, **new_inner)
             if self._sample:
-                filt = apply_sampling_filters(logits, self.sample_temperature,
-                                              self.sample_top_k,
-                                              self.sample_top_p)
+                # row-wise apply_sampling_filters: each slot filters by ITS
+                # request's (temperature, top_k, top_p); rows with
+                # (1, 1, 0) — the no-opts default of a greedy pool — reduce
+                # exactly to argmax (locked by the row/scalar differential
+                # and greedy-anchor tests)
+                filt = _row_sampling_filters(logits, st["stemp"],
+                                             st["stopk"], st["stopp"])
                 # per-slot stream: request key (installed at admission)
                 # folded with the slot's step index — independent of pool
                 # geometry and of whatever other slots are doing
@@ -571,17 +639,38 @@ class ContinuousCaptioner:
     # ----------------------------------------------- scheduler ops protocol
 
     def encode_admit(self, feats: np.ndarray, ids: np.ndarray,
-                     valid: np.ndarray) -> None:
+                     valid: np.ndarray, opts=None) -> None:
         self._admit_count += 1
         chunk_rng = jax.random.fold_in(self._rng, self._admit_count)
         new_dec = self._jit_encode(self.params, jnp.asarray(feats), chunk_rng)
         if self._sample:
+            a = ids.shape[0]
             row_keys = jax.random.split(
-                jax.random.fold_in(self._sample_base, self._admit_count),
-                ids.shape[0])
-            self.state = self._jit_admit(self.state, new_dec,
-                                         jnp.asarray(ids), jnp.asarray(valid),
-                                         jnp.asarray(row_keys, jnp.uint32))
+                jax.random.fold_in(self._sample_base, self._admit_count), a)
+            t0, k0, p0 = self._row_defaults
+            temp = np.full((a,), t0, np.float32)
+            topk = np.full((a,), k0, np.int32)
+            topp = np.full((a,), p0, np.float32)
+            # a request that DOES carry opts starts from the pool's sampling
+            # config — or neutral (T=1, no top_k/top_p) when the pool is
+            # greedy-by-default — NOT from the greedy argmax trick (1, 1, 0):
+            # otherwise ?temperature=5 against a greedy-default pool would
+            # keep top_k=1 and silently stay greedy
+            bt, bk, bp = ((self.sample_temperature, self.sample_top_k,
+                           self.sample_top_p)
+                          if self.sample_temperature > 0 else (1.0, 0, 0.0))
+            for j, o in enumerate(opts or []):
+                if not o:
+                    continue
+                temp[j] = float(o.get("temperature", bt))
+                topk[j] = int(o.get("top_k", bk))
+                topp[j] = float(o.get("top_p", bp))
+                if temp[j] <= 0:  # "temperature 0" request = exact greedy
+                    temp[j], topk[j], topp[j] = 1.0, 1, 0.0
+            self.state = self._jit_admit(
+                self.state, new_dec, jnp.asarray(ids), jnp.asarray(valid),
+                jnp.asarray(row_keys, jnp.uint32),
+                (jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp)))
         else:
             self.state = self._jit_admit(self.state, new_dec,
                                          jnp.asarray(ids), jnp.asarray(valid))

@@ -105,13 +105,16 @@ def serve_captions(cfg: Config, checkpoint_path: str = "",
             from vcr_tpu.parallel import make_mesh
 
             mesh = make_mesh(cfg.mesh_dp, 1)
+        beam = max(cfg.beam_size, 1)
         cc = ContinuousCaptioner(params, spec, slots=cfg.serve_slots,
                                  admit_chunk=cfg.serve_admit_chunk,
-                                 vocab=vocab, mesh=mesh,
-                                 beam_size=max(cfg.beam_size, 1),
+                                 vocab=vocab, mesh=mesh, beam_size=beam,
                                  sample_temperature=cfg.sample_temperature,
                                  sample_top_k=cfg.sample_top_k,
                                  sample_top_p=cfg.sample_top_p,
+                                 # non-beam serve pools always accept
+                                 # ?temperature=&top_k=&top_p= per request
+                                 request_sampling=beam == 1,
                                  rng=jax.random.PRNGKey(cfg.seed))
     server = CaptionServer(cc, vocab=vocab, port=cfg.serve_port).start()
     print(f"serving {arch} captions on http://127.0.0.1:{server.port} "
