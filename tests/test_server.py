@@ -225,3 +225,82 @@ def test_http_per_request_sampling(tiny_vocab, rng):
         with pytest.raises(ValueError):
             server.submit(feats[0], opts={"temperature": 2.0})
     assert server.error is None
+
+
+def test_backpressure_rejects_at_max_pending(tiny_vocab, rng):
+    """Outstanding requests beyond max_pending are refused (ServerOverloaded
+    from submit, 503 + Retry-After over HTTP) instead of queueing without
+    bound."""
+    from vcr_tpu.server import ServerOverloaded
+
+    spec = _spec(tiny_vocab)
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                             eos_id=tiny_vocab.eos_id)
+    feats = rng.standard_normal((4, 12)).astype(np.float32)
+
+    # scheduler NOT started: the first submit parks on its event, the second
+    # must bounce deterministically
+    server = CaptionServer(cc, max_pending=1, request_timeout_s=1.0)
+    t = threading.Thread(target=server.submit, args=(feats,))
+    t.start()
+    for _ in range(100):
+        with server._lock:
+            if server._events:
+                break
+        import time
+        time.sleep(0.01)
+    with pytest.raises(ServerOverloaded):
+        server.submit(feats)
+    assert server._rejected == 1
+    t.join(timeout=10)
+    assert not t.is_alive()
+
+    # HTTP mapping: 503 + Retry-After (patch submit so no pool is needed)
+    cc2 = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                              eos_id=tiny_vocab.eos_id)
+    with CaptionServer(cc2, vocab=tiny_vocab) as srv:
+        srv.submit = lambda *a, **k: (_ for _ in ()).throw(
+            ServerOverloaded("full"))
+        try:
+            _post_npy(srv.port, feats)
+            assert False, "expected HTTP 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert e.headers["Retry-After"] == "1"
+            assert "full" in json.loads(e.read())["error"]
+
+
+def test_client_timeout_cancels_and_slot_is_reclaimed(tiny_vocab, rng):
+    """A request whose client gave up (timeout 0) is cancelled scheduler-side:
+    the cancel set drains, no slot stays occupied, and later requests are
+    served normally."""
+    import time
+
+    spec = _spec(tiny_vocab)
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                             step_chunk=1, eos_id=tiny_vocab.eos_id)
+    feats = rng.standard_normal((4, 12)).astype(np.float32)
+
+    with CaptionServer(cc, vocab=tiny_vocab) as server:
+        # warm the pool so the timed-out request isn't also paying compiles
+        assert server.submit(feats) is not None
+        server.request_timeout_s = 0.0
+        assert server.submit(feats) is None         # client gives up at once
+        server.request_timeout_s = 120.0
+        toks = server.submit(feats)                 # pool still healthy
+        assert toks is not None and len(toks) >= 1
+        # the abandoned request resolves: cancel set drains, nothing pinned
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            with server._lock:
+                if not server._cancelled and cc.in_flight == 0:
+                    break
+            time.sleep(0.05)
+        with server._lock:
+            assert not server._cancelled
+        assert cc.in_flight == 0
+        assert cc.stats["served"] + cc.stats["cancelled"] >= 2

@@ -528,3 +528,44 @@ def test_opts_rejected_by_non_sampling_pools(tiny_vocab, rng):
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         ContinuousCaptioner(params, spec, request_sampling=True, beam_size=2)
+
+
+def test_inflight_cancel_releases_slot_and_pool_stays_correct(tiny_vocab,
+                                                              rng):
+    """Cancelling an admitted request (client timed out) releases its slot
+    immediately; later requests reuse the slot and still match the batch
+    greedy oracle — release touches only `active`, never the decode state of
+    other slots."""
+    spec = _spec(tiny_vocab, "s2vt")
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    feats = _feats(rng, 5, spec)
+    want = _greedy_truncated(params, spec, feats, tiny_vocab.eos_id)
+    # the cancel must land while key 0 is mid-decode: need >= 2 tokens
+    assert len(want[0]) >= 2, "pick a different rng seed for this test"
+
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                             step_chunk=1, eos_id=tiny_vocab.eos_id)
+    offers = []
+
+    def poll_cancelled(outstanding):
+        if 0 in outstanding:
+            offers.append(True)
+            if len(offers) == 2:          # second offer = in flight
+                return {0}
+        return set()
+
+    got = dict(cc.caption_stream(((i, feats[i]) for i in range(5)),
+                                 poll_cancelled=poll_cancelled))
+    assert 0 not in got
+    assert sorted(got) == [1, 2, 3, 4]
+    for i in range(1, 5):
+        np.testing.assert_array_equal(got[i], want[i])
+    assert cc.stats["cancelled"] == 1
+    assert cc.stats["served"] == 4
+    assert cc.in_flight == 0
+
+    # the pool keeps serving correctly after a cancellation cycle
+    got2 = cc.caption_all({10 + i: feats[i] for i in range(5)})
+    for i in range(5):
+        np.testing.assert_array_equal(got2[10 + i], want[i])

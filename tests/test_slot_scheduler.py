@@ -89,6 +89,111 @@ def test_scheduler_fuzz_never_loses_or_crosswires():
         assert ops.in_flight == 0
 
 
+class MockOpsRelease(MockOps):
+    """MockOps + the optional release_slots op (in-flight cancellation)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.released = []
+
+    def release_slots(self, ids):
+        self.released.extend(int(s) for s in ids)
+        for s in ids:
+            self._active[int(s)] = False
+
+
+def test_cancel_queued_request_dropped_before_admission():
+    """A cancelled request still waiting in the host queue is dropped without
+    ever touching the device (works even without release_slots)."""
+    lengths = {0: 3, 1: 2}
+    ops = MockOps(1, 1, 1, 4, lengths)  # one slot: key 1 must queue behind 0
+    seen = []
+
+    def poll_cancelled(outstanding):
+        seen.append(set(outstanding))
+        return {1} & outstanding
+
+    def requests():
+        yield 0, np.zeros((2, 2), np.float32)
+        yield 1, np.full((2, 2), 1.0, np.float32)
+
+    got = dict(run_slot_scheduler(ops, requests(),
+                                  poll_cancelled=poll_cancelled))
+    assert sorted(got) == [0]
+    assert list(got[0]) == [0, 0, 0]
+    assert ops.stats["cancelled"] == 1
+    # without release_slots, key 0 is offered only while QUEUED (the first
+    # sweep, pre-admission) — never again once in flight
+    assert all(0 not in s for s in seen[1:])
+
+
+def test_cancel_inflight_releases_slot_for_next_request():
+    """Cancelling an admitted request frees its slot immediately; the next
+    request reuses it and the cancelled key is never yielded."""
+    lengths = {0: 10, 1: 2}
+    ops = MockOpsRelease(1, 1, 2, 10, lengths)
+    offers = []
+
+    def poll_cancelled(outstanding):
+        # first offer of key 0 is pre-admission (queued sweep): let it
+        # through so the cancel lands while it is IN FLIGHT
+        if 0 in outstanding:
+            offers.append(True)
+            if len(offers) == 2:
+                return {0}
+        return set()
+
+    def requests():
+        yield 0, np.zeros((2, 2), np.float32)
+        yield 1, np.full((2, 2), 1.0, np.float32)
+
+    got = dict(run_slot_scheduler(ops, requests(),
+                                  poll_cancelled=poll_cancelled))
+    assert sorted(got) == [1]
+    assert list(got[1]) == [1, 1]
+    assert ops.released == [0]
+    assert ops.stats["cancelled"] == 1
+    assert ops.stats["served"] == 1
+    assert ops.in_flight == 0
+
+
+def test_cancel_fuzz_subset_never_breaks_the_rest():
+    """Randomly cancel a subset mid-stream: survivors are always complete and
+    correct, cancelled keys never appear, counts reconcile."""
+    rng = np.random.default_rng(7)
+    for trial in range(15):
+        slots = int(rng.integers(1, 5))
+        n_req = int(rng.integers(2, 20))
+        max_len = int(rng.integers(2, 8))
+        lengths = {k: int(rng.integers(1, max_len + 2)) for k in range(n_req)}
+        to_cancel = {k for k in range(n_req) if rng.random() < 0.3}
+        ops = MockOpsRelease(slots, int(rng.integers(1, slots + 1)),
+                             int(rng.integers(1, 3)), max_len, lengths)
+
+        def poll_cancelled(outstanding, to_cancel=to_cancel):
+            return to_cancel & outstanding
+
+        def requests():
+            for k in range(n_req):
+                yield k, np.full((2, 2), float(k), np.float32)
+
+        got = dict(run_slot_scheduler(ops, requests(),
+                                      poll_cancelled=poll_cancelled))
+        # a to-cancel key may still complete if it finishes before any sweep
+        # sees it — but a yielded key must NEVER be wrong, and every
+        # un-cancelled key must be served exactly once
+        for k in range(n_req):
+            if k not in to_cancel:
+                assert k in got, (trial, k)
+            if k in got:
+                assert (got[k] == k).all()
+                assert len(got[k]) == min(lengths[k], max_len)
+        assert ops.stats["served"] == len(got)
+        assert (ops.stats["served"]
+                + ops.stats.get("cancelled", 0)) == n_req
+        assert ops.in_flight == 0
+
+
 def test_scheduler_all_poll_markers_then_requests():
     """A source that stalls (markers only) before producing must not deadlock
     or drop; results still complete."""

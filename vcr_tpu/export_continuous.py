@@ -252,8 +252,11 @@ class ContinuousArtifact:
 
     # --------------------------------------------------------------- driving
 
-    def caption_stream(self, requests):
-        return run_slot_scheduler(self, requests)
+    def caption_stream(self, requests, poll_cancelled=None):
+        # no release_slots graph in the artifact: in-flight cancels are
+        # skipped by the scheduler; queued cancels still drop pre-admission
+        return run_slot_scheduler(self, requests,
+                                  poll_cancelled=poll_cancelled)
 
     def caption_all(self, feats_by_key: Dict) -> Dict:
         return dict(self.caption_stream(feats_by_key.items()))

@@ -32,8 +32,14 @@ Usage:
     ...
     server.close()
 
-The per-request timeout bounds a client's wait, not the chip's work: on
-timeout the request's slot finishes and is simply dropped at harvest.
+Production bounds: ``max_pending`` caps outstanding requests (queued +
+in-flight) — beyond it POST /caption returns 503 + Retry-After instead of
+queueing unboundedly (each queued HTTP request holds a handler thread). A
+request whose client times out is CANCELLED: its rid lands in a cancel set
+the scheduler sweeps each round (run_slot_scheduler poll_cancelled), so a
+queued request is dropped before admission and an in-flight one has its slot
+released (ContinuousCaptioner.release_slots) — capacity returns to live
+clients instead of decoding to max_len for nobody.
 """
 
 from __future__ import annotations
@@ -50,15 +56,28 @@ from typing import Optional
 import numpy as np
 
 
+class ServerOverloaded(Exception):
+    """submit() rejection: outstanding requests hit ``max_pending``. The HTTP
+    layer maps it to 503 + Retry-After; direct submit() callers should back
+    off and retry."""
+
+
 class CaptionServer:
     """See module docstring. ``captioner`` is a ContinuousCaptioner (any
-    family); ``vocab`` (optional) adds detokenized captions to responses."""
+    family); ``vocab`` (optional) adds detokenized captions to responses.
+    ``max_pending`` bounds outstanding requests (default 4x the pool's slot
+    count; 0 disables the bound)."""
 
     def __init__(self, captioner, vocab=None, host: str = "127.0.0.1",
-                 port: int = 0, request_timeout_s: float = 120.0):
+                 port: int = 0, request_timeout_s: float = 120.0,
+                 max_pending: Optional[int] = None):
         self.captioner = captioner
         self.vocab = vocab
         self.request_timeout_s = request_timeout_s
+        self.max_pending = (4 * captioner.slots if max_pending is None
+                            else max_pending)
+        self._rejected = 0
+        self._cancelled: set = set()
         self._queue: queue.Queue = queue.Queue()
         self._events: dict = {}
         self._tokens: dict = {}
@@ -102,6 +121,7 @@ class CaptionServer:
                     return self._json(404, {"error": "unknown path"})
                 stats = dict(server.captioner.stats,
                              in_flight=server.captioner.in_flight,
+                             rejected=server._rejected,
                              status="error" if server.error else "ok",
                              error=server.error)
                 p50, p95 = server._latency_quantiles()
@@ -148,6 +168,15 @@ class CaptionServer:
                     return self._json(400, {"error": f"bad .npy body: {e}"})
                 try:
                     toks = server.submit(feats, opts=opts)
+                except ServerOverloaded as e:
+                    self.send_response(503)
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.send_header("Retry-After", "1")
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 except ValueError as e:
                     return self._json(400, {"error": str(e)})
                 if toks is None:
@@ -175,12 +204,19 @@ class CaptionServer:
         ``opts`` carries per-request options (sampling params) to pools that
         accept them. Raises ValueError on a feature-shape mismatch (all
         requests must share one shape — the slot pool is fixed-shape by
-        design)."""
+        design) and ServerOverloaded when outstanding requests hit
+        ``max_pending``. A timed-out request is cancelled scheduler-side
+        (queued: dropped; in-flight: slot released)."""
         if opts and not getattr(self.captioner, "accepts_request_opts",
                                 False):
             raise ValueError("this pool does not accept per-request options")
         feats = np.asarray(feats, np.float32)
         with self._lock:
+            if self.max_pending and len(self._events) >= self.max_pending:
+                self._rejected += 1
+                raise ServerOverloaded(
+                    f"{len(self._events)} requests outstanding >= "
+                    f"max_pending={self.max_pending}")
             if self._feat_shape is None:
                 self._feat_shape = feats.shape
             elif feats.shape != self._feat_shape:
@@ -197,6 +233,9 @@ class CaptionServer:
         with self._lock:
             self._events.pop(rid, None)
             toks = self._tokens.pop(rid, None) if ok else None
+            if toks is None and not self._stopping.is_set():
+                # client gives up: reclaim the request's queue entry / slot
+                self._cancelled.add(rid)
             if toks is not None:
                 dt = time.monotonic() - t0
                 self._latencies.append(dt)
@@ -248,6 +287,12 @@ class CaptionServer:
         metric("vcr_occupancy", "gauge",
                "useful_steps / slot_steps (continuous-batching efficiency)",
                f"{occ:.6f}")
+        metric("vcr_requests_rejected_total", "counter",
+               "Requests refused with 503 (max_pending back-pressure)",
+               self._rejected)
+        metric("vcr_requests_cancelled_total", "counter",
+               "Requests cancelled after client timeout (queued dropped "
+               "or slot released)", stats.get("cancelled", 0))
         metric("vcr_in_flight", "gauge",
                "Requests currently occupying slots", c.in_flight)
         metric("vcr_up", "gauge",
@@ -283,10 +328,24 @@ class CaptionServer:
             except queue.Empty:
                 yield None
 
+    def _poll_cancelled(self, outstanding):
+        """run_slot_scheduler hook: the subset of the cancel set the
+        scheduler can currently see. Rids not yet visible (still in the
+        HTTP-side queue, not pulled into the scheduler's deque) STAY in the
+        set for a later sweep; rids that complete anyway are removed at
+        harvest (_scheduler) — every entry resolves one way or the other, so
+        the set cannot leak."""
+        with self._lock:
+            gone = self._cancelled & outstanding
+            self._cancelled -= gone
+            return gone
+
     def _scheduler(self):
         try:
-            for rid, toks in self.captioner.caption_stream(self._requests()):
+            for rid, toks in self.captioner.caption_stream(
+                    self._requests(), poll_cancelled=self._poll_cancelled):
                 with self._lock:
+                    self._cancelled.discard(rid)  # completed before the sweep
                     ev = self._events.get(rid)
                     if ev is not None:  # dropped if the client timed out
                         self._tokens[rid] = toks

@@ -88,7 +88,8 @@ def _row_sampling_filters(logits: jax.Array, temp: jax.Array, topk: jax.Array,
 
 
 def run_slot_scheduler(ops, requests: Iterable[Optional[Tuple[object,
-                                                               np.ndarray]]]
+                                                               np.ndarray]]],
+                       *, poll_cancelled=None
                        ) -> Iterator[Tuple[object, np.ndarray]]:
     """The host-side slot scheduler, shared by the live ContinuousCaptioner
     and the exported-artifact server (export_continuous.py). ``ops`` supplies
@@ -112,9 +113,19 @@ def run_slot_scheduler(ops, requests: Iterable[Optional[Tuple[object,
     in-flight decodes; raise StopIteration (return) to drain and finish.
     Yields (key, tokens (n,) int32 ending at <eos> or max_len) in COMPLETION
     order.
+
+    ``poll_cancelled`` (optional): callable taking the set of outstanding
+    request keys (queued + in-flight) and returning the subset to CANCEL —
+    e.g. requests whose client timed out or disconnected. Queued cancels are
+    simply dropped; in-flight cancels release their slots immediately via
+    ``ops.release_slots(ids)`` (required for in-flight cancellation — pools
+    without it only drop queued cancels) so capacity returns to the pool
+    instead of decoding to max_len for nobody. Cancelled keys are never
+    yielded; ``ops.stats["cancelled"]`` counts them.
     """
     a = ops.admit_chunk
     accepts_opts = getattr(ops, "accepts_request_opts", False)
+    can_release = hasattr(ops, "release_slots")
     queue: deque = deque()
     req_iter = iter(requests)
     pending: Dict[int, object] = {}       # slot -> request key
@@ -134,6 +145,28 @@ def run_slot_scheduler(ops, requests: Iterable[Optional[Tuple[object,
             if item is None:      # poll marker: keep ticking
                 break
             queue.append(item)
+        # sweep cancellations AFTER the refill, BEFORE admission: a freshly
+        # pulled request is checked before it ever touches the device, and a
+        # released slot is admittable this same round
+        if poll_cancelled is not None and (pending or queue):
+            outstanding = {it[0] for it in queue}
+            if can_release:
+                outstanding |= set(pending.values())
+            gone = poll_cancelled(outstanding)
+            if gone:
+                n_q = len(queue)
+                queue = deque(it for it in queue if it[0] not in gone)
+                n_cancel = n_q - len(queue)
+                slot_ids = [s for s, key in pending.items() if key in gone]
+                if slot_ids:
+                    ops.release_slots(np.asarray(slot_ids, np.int32))
+                    for s in slot_ids:
+                        pending.pop(s)
+                        free.append(s)
+                    n_cancel += len(slot_ids)
+                    ops.in_flight = len(pending)
+                ops.stats["cancelled"] = (ops.stats.get("cancelled", 0)
+                                          + n_cancel)
         # admit up to A requests into free slots (fixed-shape chunk)
         if queue and free:
             n = min(len(queue), len(free), a)
@@ -281,7 +314,7 @@ class ContinuousCaptioner:
         self._sample_base = jnp.asarray(base, jnp.uint32)
         self._admit_count = 0
         self.stats = {"ticks": 0, "admit_chunks": 0, "served": 0,
-                      "useful_steps": 0, "slot_steps": 0}
+                      "useful_steps": 0, "slot_steps": 0, "cancelled": 0}
         # live count of occupied slots, maintained by caption_stream — a
         # polling request source reads it to choose between a blocking wait
         # (pool idle: no harm) and a non-blocking poll (decodes in flight:
@@ -299,6 +332,9 @@ class ContinuousCaptioner:
 
         self._jit_encode = jax.jit(self._encode_chunk)
         self._jit_admit = jax.jit(self._admit)
+        self._jit_release = jax.jit(
+            lambda state, ids: dict(state, active=state["active"].at[ids].set(
+                False, mode="drop")))
         self._jit_step = jax.jit(self._step_n if beam_size == 1
                                  else self._step_n_beam)
         self.state = self._init_state()
@@ -684,18 +720,31 @@ class ContinuousCaptioner:
     def read_tokens(self) -> Tuple[np.ndarray, np.ndarray]:
         return np.asarray(self.state["toks"]), np.asarray(self.state["steps"])
 
+    def release_slots(self, ids: np.ndarray) -> None:
+        """Deactivate slots whose requests were cancelled (client timed out /
+        disconnected): their rows become dead weight until the next admission
+        instead of decoding to max_len for nobody. Padded to a fixed (R,)
+        shape with the drop sentinel so one compiled scatter covers every
+        cancellation count."""
+        padded = np.full((self.slots,), self.slots, np.int32)
+        padded[: len(ids)] = ids
+        self.state = self._jit_release(self.state, jnp.asarray(padded))
+
     # ------------------------------------------------------------ host loop
 
-    def caption_stream(self, requests: Iterable[Tuple[object, np.ndarray]]
+    def caption_stream(self, requests: Iterable[Tuple[object, np.ndarray]],
+                       poll_cancelled=None
                        ) -> Iterator[Tuple[object, np.ndarray]]:
         """Drive the slot pool over a request stream — see
         :func:`run_slot_scheduler` for the protocol (poll markers, completion
-        order). ``self.stats`` accumulates scheduler observability across
-        calls: occupancy = useful_steps / slot_steps is the fraction of
-        slot-steps that produced a kept token (whole-batch serving's
-        equivalent is mean_caption_len / max_len; continuous refilling keeps
-        it higher on length-skewed workloads)."""
-        return run_slot_scheduler(self, requests)
+        order, ``poll_cancelled`` slot reclamation). ``self.stats``
+        accumulates scheduler observability across calls: occupancy =
+        useful_steps / slot_steps is the fraction of slot-steps that produced
+        a kept token (whole-batch serving's equivalent is mean_caption_len /
+        max_len; continuous refilling keeps it higher on length-skewed
+        workloads)."""
+        return run_slot_scheduler(self, requests,
+                                  poll_cancelled=poll_cancelled)
 
     def caption_all(self, feats_by_key: Dict[object, np.ndarray]
                     ) -> Dict[object, np.ndarray]:
