@@ -122,6 +122,13 @@ class Config:
     serve_port: int = 8000
     serve_slots: int = 64
     serve_admit_chunk: int = 8
+    # serve_max_pending bounds outstanding requests (queued + in-flight):
+    # beyond it POST /caption returns 503 + Retry-After. 0 = unbounded,
+    # -1 (default) = 4 * serve_slots. serve_timeout_s bounds each client's
+    # wait; on timeout the request is cancelled (queued: dropped; decoding:
+    # slot released back to the pool).
+    serve_max_pending: int = -1
+    serve_timeout_s: float = 120.0
     # METEOR matcher-stage resources (evals/metrics.py). The synonym (w=0.8)
     # and paraphrase (w=0.6) stages of the Meteor 1.5 jar are implemented but
     # inert without data (their files are env-blocked here). synonyms: "" =
@@ -178,6 +185,7 @@ _CLI_OVERRIDE_FIELDS = (
     "pretrained_base", "spatial_net_file", "log_dir", "log_iter",
     "mesh_dp", "mesh_mp", "compile_cache_dir",
     "serve_port", "serve_slots", "serve_admit_chunk",
+    "serve_max_pending", "serve_timeout_s",
     "meteor_synonyms", "meteor_paraphrases",
 )
 

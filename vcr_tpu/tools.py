@@ -116,7 +116,11 @@ def serve_captions(cfg: Config, checkpoint_path: str = "",
                                  # ?temperature=&top_k=&top_p= per request
                                  request_sampling=beam == 1,
                                  rng=jax.random.PRNGKey(cfg.seed))
-    server = CaptionServer(cc, vocab=vocab, port=cfg.serve_port).start()
+    server = CaptionServer(
+        cc, vocab=vocab, port=cfg.serve_port,
+        request_timeout_s=cfg.serve_timeout_s,
+        max_pending=(None if cfg.serve_max_pending < 0
+                     else cfg.serve_max_pending)).start()
     print(f"serving {arch} captions on http://127.0.0.1:{server.port} "
           f"(R={cc.slots}, A={cc.admit_chunk}) — POST /caption, "
           "GET /healthz; Ctrl-C to stop", flush=True)
