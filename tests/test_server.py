@@ -304,3 +304,104 @@ def test_client_timeout_cancels_and_slot_is_reclaimed(tiny_vocab, rng):
             assert not server._cancelled
         assert cc.in_flight == 0
         assert cc.stats["served"] + cc.stats["cancelled"] >= 2
+
+
+def test_hostile_sampling_params_rejected_server_survives(tiny_vocab, rng):
+    """Adversarial query params must 400 at the API layer and must NEVER
+    kill the scheduler thread: top_k past int32 raised OverflowError inside
+    encode_admit before validation existed (a one-request remote DoS), and
+    NaN temperature slips past a plain `t <= 0` greedy check."""
+    spec = _spec(tiny_vocab)
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                             eos_id=tiny_vocab.eos_id, request_sampling=True,
+                             rng=jax.random.PRNGKey(0))
+    feats = rng.standard_normal((3, 4, 12)).astype(np.float32)
+    hostile = ["top_k=99999999999", "top_k=-1", "temperature=nan",
+               "temperature=inf", "temperature=-1", "top_p=1.5",
+               "top_p=-0.1", "top_p=nan", "temperature="]
+    with CaptionServer(cc, vocab=tiny_vocab) as server:
+        # a malformed FIRST request (wrong rank) must 400, not become the
+        # server's adopted shape and crash the encode on the scheduler thread
+        for bad in (feats[0, 0], feats[0, :, :6], feats):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post_npy(server.port, bad)
+            assert ei.value.code == 400
+            assert "expected (4, 12)" in json.loads(ei.value.read())["error"]
+        for q in hostile:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post_npy(server.port, feats[0], path=f"/caption?{q}")
+            assert ei.value.code == 400, q
+        # the daemon is still healthy and still serves
+        r = _post_npy(server.port, feats[0])
+        assert len(r["tokens"]) >= 1
+        assert server.error is None
+
+    # defense in depth: even if a front end skips validation, the pool's
+    # encode_admit sanitizes instead of crashing the scheduler thread
+    got = dict(cc.caption_stream([
+        (0, feats[0], {"top_k": 99999999999}),
+        (1, feats[1], {"temperature": float("nan")}),
+        (2, feats[2], {"temperature": float("inf")}),
+    ]))
+    assert sorted(got) == [0, 1, 2]
+
+    # family-aware shape validation, spatial included
+    assert cc.check_feat_shape((4, 12)) is None
+    assert "expected (4, 12)" in cc.check_feat_shape((12,))
+    sspec = base.ModelSpec(
+        arch="spatial", base_arch="s2vt", vocab_size=tiny_vocab.vocab_size,
+        embed_size=tiny_vocab.embed_size, hidden_size=8, vid_feat_size=6,
+        max_len=7, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+        compute_dtype="float32")
+    sparams = base.build_model("spatial")[0](jax.random.PRNGKey(2), sspec,
+                                             tiny_vocab.vectors)
+    scc = ContinuousCaptioner(sparams, sspec, slots=2, admit_chunk=1,
+                              eos_id=tiny_vocab.eos_id)
+    assert scc.check_feat_shape((4, 6, 3, 3)) is None
+    assert scc.check_feat_shape((4, 6, 3, 2)) is not None
+    assert scc.check_feat_shape((4, 6)) is not None
+
+
+def test_serve_request_sampling_is_opt_in(tiny_vocab, rng, tmp_path):
+    """--mode serve defaults to the pure-greedy step path (argmax, no
+    sampling tax); --serve_request_sampling true switches the pool to accept
+    per-request params."""
+    from tests.util_corpus import build_corpus
+    from vcr_tpu.config import get_config
+    from vcr_tpu.tools import serve_captions
+
+    data = tmp_path / "data"
+    models = tmp_path / "models"
+    build_corpus(str(data))
+    common = ["--data_dir", str(data), "--corpus", "msvd_vgg",
+              "--glove_emb_file", "glove_tiny.txt", "--num_frames", "4",
+              "--vid_feat_size", "12", "--max_len", "6", "--hidden_size",
+              "8", "--bsize", "4", "--save_path", str(models),
+              "--log_dir", "", "--seed", "123",
+              "--compute_dtype", "float32"]
+    from vcr_tpu.cli import main as cli_main
+    cli_main(["--mode", "train", *common, "--arch", "s2vt",
+              "--epochs", "1", "--lr", "1e-2"])
+
+    cfg = get_config(["--mode", "serve", *common, "--serve_port", "0",
+                      "--serve_slots", "2", "--serve_admit_chunk", "1"])
+    srv = serve_captions(cfg, block=False)
+    try:
+        assert not srv.captioner.accepts_request_opts
+        assert not srv.captioner._sample
+    finally:
+        srv.close()
+
+    cfg = get_config(["--mode", "serve", *common, "--serve_port", "0",
+                      "--serve_slots", "2", "--serve_admit_chunk", "1",
+                      "--serve_request_sampling", "true"])
+    srv = serve_captions(cfg, block=False)
+    try:
+        assert srv.captioner.accepts_request_opts
+        feats = rng.standard_normal((4, 12)).astype(np.float32)
+        r = _post_npy(srv.port, feats, path="/caption?temperature=2.0")
+        assert len(r["tokens"]) >= 1
+    finally:
+        srv.close()

@@ -129,6 +129,12 @@ class Config:
     # slot released back to the pool).
     serve_max_pending: int = -1
     serve_timeout_s: float = 120.0
+    # Accept per-request ?temperature=&top_k=&top_p= on POST /caption.
+    # OFF by default: the sampling step path pays two full-vocab sorts +
+    # a categorical draw per token where greedy pays one argmax — only the
+    # pools that need it should carry that. --sample_temperature > 0 also
+    # enables it (the pool is already on the sampling path then).
+    serve_request_sampling: bool = False
     # METEOR matcher-stage resources (evals/metrics.py). The synonym (w=0.8)
     # and paraphrase (w=0.6) stages of the Meteor 1.5 jar are implemented but
     # inert without data (their files are env-blocked here). synonyms: "" =
@@ -185,7 +191,7 @@ _CLI_OVERRIDE_FIELDS = (
     "pretrained_base", "spatial_net_file", "log_dir", "log_iter",
     "mesh_dp", "mesh_mp", "compile_cache_dir",
     "serve_port", "serve_slots", "serve_admit_chunk",
-    "serve_max_pending", "serve_timeout_s",
+    "serve_max_pending", "serve_timeout_s", "serve_request_sampling",
     "meteor_synonyms", "meteor_paraphrases",
 )
 

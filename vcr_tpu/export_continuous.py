@@ -144,6 +144,7 @@ def export_continuous(params, spec, out_dir: str, *,
         "format_version": FORMAT_VERSION,
         "kind": "continuous",
         "spec": dataclasses.asdict(spec),
+        "feat_item_shape": [int(d) for d in item_shape],
         "slots": int(slots),
         "admit_chunk": int(admit_chunk),
         "step_chunk": int(cc.step_chunk),
@@ -229,6 +230,21 @@ class ContinuousArtifact:
                       if "id_to_word" in self.meta else None)
 
     # ----------------------------------------------- scheduler ops protocol
+
+    def check_feat_shape(self, shape):
+        """Same front-door validation as ContinuousCaptioner.check_feat_shape
+        (a wrong-shape request must 400 at the API layer, not crash the
+        scheduler inside a StableHLO call) — exact here, since the encode
+        graph's item shape is baked in at export and recorded in the meta."""
+        want = self.meta.get("feat_item_shape")
+        if want is None:  # older artifact: fall back to the spec-derived shape
+            s = self.meta["spec"]
+            want = ([s["num_frames"], s["vid_feat_size"], s["grid_size"],
+                     s["grid_size"]] if s["arch"] == "spatial"
+                    else [s["num_frames"], s["vid_feat_size"]])
+        if list(shape) == list(want):
+            return None
+        return f"expected {tuple(want)} features, got {tuple(shape)}"
 
     def encode_admit(self, feats, ids, valid) -> None:
         import jax.numpy as jnp

@@ -20,7 +20,8 @@ API:
                   Optional query params ?temperature=&top_k=&top_p= set
                   PER-REQUEST sampling (vLLM-style) when the pool was built
                   with sampling enabled (serving_continuous
-                  request_sampling / --sample_temperature); 400 otherwise.
+                  request_sampling / --serve_request_sampling /
+                  --sample_temperature); 400 otherwise.
   GET  /healthz   -> {"status": "ok", "in_flight": N, ...scheduler stats}
   GET  /metrics   -> Prometheus text exposition (counters for every
                   scheduler stat, occupancy + in-flight gauges, a request-
@@ -99,11 +100,13 @@ class CaptionServer:
             def log_message(self, *a):  # quiet by default
                 pass
 
-            def _json(self, code: int, payload: dict):
+            def _json(self, code: int, payload: dict, headers=None):
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -139,14 +142,34 @@ class CaptionServer:
                 opts = None
                 if parts.query:
                     try:
-                        q = dict(parse_qsl(parts.query))
+                        # keep_blank_values: '?temperature=' must 400, not
+                        # silently serve greedy (loud beats ignored params)
+                        q = dict(parse_qsl(parts.query,
+                                           keep_blank_values=True))
                         opts = {}
                         if "temperature" in q:
-                            opts["temperature"] = float(q["temperature"])
+                            t = float(q["temperature"])
+                            # reject NaN/inf/negative here: NaN would slip
+                            # past the temp<=0 greedy normalization (NaN
+                            # comparisons are False) and decode NaN logits
+                            if not (0.0 <= t < float("inf")):
+                                raise ValueError(
+                                    f"temperature must be finite and >= 0, "
+                                    f"got {q['temperature']}")
+                            opts["temperature"] = t
                         if "top_k" in q:
-                            opts["top_k"] = int(q["top_k"])
+                            k = int(q["top_k"])
+                            if not 0 <= k < 2**31:
+                                raise ValueError(
+                                    f"top_k must be in [0, 2^31), got {k}")
+                            opts["top_k"] = k
                         if "top_p" in q:
-                            opts["top_p"] = float(q["top_p"])
+                            tp = float(q["top_p"])
+                            if not 0.0 <= tp <= 1.0:
+                                raise ValueError(
+                                    f"top_p must be in [0, 1], got "
+                                    f"{q['top_p']}")
+                            opts["top_p"] = tp
                         unknown = set(q) - {"temperature", "top_k", "top_p"}
                         if unknown:
                             raise ValueError(
@@ -157,9 +180,10 @@ class CaptionServer:
                                         "accepts_request_opts", False):
                     return self._json(400, {
                         "error": "per-request sampling params need a pool "
-                                 "built with sampling enabled (--mode serve "
-                                 "does this; frozen artifacts and beam pools "
-                                 "do not accept them)"})
+                                 "built with sampling enabled "
+                                 "(--serve_request_sampling true or "
+                                 "--sample_temperature > 0; frozen artifacts "
+                                 "and beam pools do not accept them)"})
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     feats = np.load(io.BytesIO(self.rfile.read(length)),
@@ -169,14 +193,8 @@ class CaptionServer:
                 try:
                     toks = server.submit(feats, opts=opts)
                 except ServerOverloaded as e:
-                    self.send_response(503)
-                    body = json.dumps({"error": str(e)}).encode()
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.send_header("Retry-After", "1")
-                    self.end_headers()
-                    self.wfile.write(body)
-                    return
+                    return self._json(503, {"error": str(e)},
+                                      headers={"Retry-After": "1"})
                 except ValueError as e:
                     return self._json(400, {"error": str(e)})
                 if toks is None:
@@ -211,28 +229,41 @@ class CaptionServer:
                                 False):
             raise ValueError("this pool does not accept per-request options")
         feats = np.asarray(feats, np.float32)
+        rid = uuid.uuid4().hex
+        ev = threading.Event()
         with self._lock:
+            # bound-check and register under ONE lock hold: checking in a
+            # separate critical section would let M concurrent submits all
+            # pass the check and overshoot the cap by M-1
             if self.max_pending and len(self._events) >= self.max_pending:
                 self._rejected += 1
                 raise ServerOverloaded(
                     f"{len(self._events)} requests outstanding >= "
                     f"max_pending={self.max_pending}")
             if self._feat_shape is None:
+                # validate against the pool's spec BEFORE adopting: blindly
+                # adopting a malformed first request's shape would crash the
+                # encode on the scheduler thread and kill the daemon
+                check = getattr(self.captioner, "check_feat_shape", None)
+                reason = check(feats.shape) if check else None
+                if reason is not None:
+                    raise ValueError(reason)
                 self._feat_shape = feats.shape
             elif feats.shape != self._feat_shape:
                 raise ValueError(
                     f"feature shape {feats.shape} != this server's "
                     f"{self._feat_shape}")
-        rid = uuid.uuid4().hex
-        ev = threading.Event()
-        with self._lock:
             self._events[rid] = ev
         t0 = time.monotonic()
         self._queue.put((rid, feats, opts) if opts else (rid, feats))
-        ok = ev.wait(self.request_timeout_s)
+        ev.wait(self.request_timeout_s)
         with self._lock:
             self._events.pop(rid, None)
-            toks = self._tokens.pop(rid, None) if ok else None
+            # pop unconditionally: the scheduler may have harvested between
+            # ev.wait timing out and us reacquiring the lock — leaving the
+            # entry would leak it forever. If the caption DID land in that
+            # window, return it (the client is still connected).
+            toks = self._tokens.pop(rid, None)
             if toks is None and not self._stopping.is_set():
                 # client gives up: reclaim the request's queue entry / slot
                 self._cancelled.add(rid)

@@ -698,10 +698,18 @@ class ContinuousCaptioner:
             for j, o in enumerate(opts or []):
                 if not o:
                     continue
-                temp[j] = float(o.get("temperature", bt))
-                topk[j] = int(o.get("top_k", bk))
-                topp[j] = float(o.get("top_p", bp))
-                if temp[j] <= 0:  # "temperature 0" request = exact greedy
+                # sanitize defensively — this runs on the scheduler thread,
+                # where an exception kills the whole daemon: clamp top_k into
+                # int32 (np assignment would raise OverflowError past 2^31),
+                # and catch non-finite/<=0 temperature via `not (t > 0)`
+                # (NaN fails every comparison, so a plain `t <= 0` would let
+                # NaN through to the logits)
+                t = float(o.get("temperature", bt))
+                topk[j] = min(max(int(o.get("top_k", bk)), 0), 2**31 - 1)
+                p = float(o.get("top_p", bp))
+                temp[j] = t if np.isfinite(t) else 0.0
+                topp[j] = p if 0.0 <= p <= 1.0 else 0.0
+                if not (temp[j] > 0):  # "temperature 0" request = greedy
                     temp[j], topk[j], topp[j] = 1.0, 1, 0.0
             self.state = self._jit_admit(
                 self.state, new_dec, jnp.asarray(ids), jnp.asarray(valid),
@@ -719,6 +727,25 @@ class ContinuousCaptioner:
 
     def read_tokens(self) -> Tuple[np.ndarray, np.ndarray]:
         return np.asarray(self.state["toks"]), np.asarray(self.state["steps"])
+
+    def check_feat_shape(self, shape) -> Optional[str]:
+        """None if one request of this feature shape is admissible, else a
+        reason string. The HTTP front end rejects bad shapes with a 400
+        BEFORE they reach the scheduler thread — without this, the first
+        request's shape was adopted blindly and a malformed first request
+        (wrong rank/widths) crashed the encode and killed the daemon."""
+        spec = self.spec
+        if spec.arch == "spatial":
+            if (len(shape) == 4 and shape[0] == spec.num_frames
+                    and shape[1] == spec.vid_feat_size
+                    and shape[2] == shape[3] and shape[2] >= 1):
+                return None
+            return (f"expected ({spec.num_frames}, {spec.vid_feat_size}, "
+                    f"K, K) spatial grid features, got {tuple(shape)}")
+        if tuple(shape) == (spec.num_frames, spec.vid_feat_size):
+            return None
+        return (f"expected ({spec.num_frames}, {spec.vid_feat_size}) "
+                f"features, got {tuple(shape)}")
 
     def release_slots(self, ids: np.ndarray) -> None:
         """Deactivate slots whose requests were cancelled (client timed out /

@@ -112,9 +112,10 @@ def serve_captions(cfg: Config, checkpoint_path: str = "",
                                  sample_temperature=cfg.sample_temperature,
                                  sample_top_k=cfg.sample_top_k,
                                  sample_top_p=cfg.sample_top_p,
-                                 # non-beam serve pools always accept
-                                 # ?temperature=&top_k=&top_p= per request
-                                 request_sampling=beam == 1,
+                                 # per-request sampling is OPT-IN (it swaps
+                                 # argmax for a sort-heavy sampling step on
+                                 # every token); with beam it raises loudly
+                                 request_sampling=cfg.serve_request_sampling,
                                  rng=jax.random.PRNGKey(cfg.seed))
     server = CaptionServer(
         cc, vocab=vocab, port=cfg.serve_port,
