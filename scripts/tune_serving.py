@@ -1,0 +1,181 @@
+"""Serving-pool autotuner: size the continuous-batching pool for a workload.
+
+The continuous pool (vcr_tpu/serving_continuous.py) has three geometry knobs
+— slots R, admit_chunk A, step_chunk S — whose best values depend on the
+hardware, the model, and the arrival pattern. This script answers "how do I
+size my pool?" empirically: it drives each candidate geometry over the SAME
+reproducible synthetic workload (Poisson arrivals at --rate req/s, or an
+offline burst with --rate 0) and reports per-config completion throughput,
+occupancy (useful token-steps / slot-steps), and request latency p50/p95.
+
+    python scripts/tune_serving.py --save_path ./trained_models \
+        --rate 200 --n_requests 400 --slots 16,32,64 --admit_chunk 4,8 \
+        --step_chunk 2,4,8
+
+or, with no checkpoint, a synthetic s2vt model (--synthetic) for harness
+testing on any backend. One JSON line per config on stdout + a final "best"
+line (max throughput, ties by p95). The reference has no serving story at
+all — this tool belongs to the deployment surface this framework adds
+(server.py, serving_continuous.py).
+
+Workload model: request k arrives at cumulative-exponential time t_k
+(seeded; identical across configs). The driver feeds caption_stream with the
+poll-marker protocol — None while nothing is due — exactly like the live
+HTTP server's queue drain, so measured behavior transfers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def build_pool(args, geometry, params, spec, eos_id):
+    import jax
+
+    from vcr_tpu.serving_continuous import ContinuousCaptioner
+
+    r, a, s = geometry
+    return ContinuousCaptioner(params, spec, slots=r, admit_chunk=a,
+                               step_chunk=s, eos_id=eos_id,
+                               beam_size=max(args.beam_size, 1),
+                               rng=jax.random.PRNGKey(args.seed))
+
+
+def run_config(cc, feats, arrivals):
+    """Drive one pool over the timed workload; return metrics."""
+    n = len(arrivals)
+    t_done = {}
+    t0 = time.monotonic()
+
+    def requests():
+        i = 0
+        while i < n:
+            if time.monotonic() - t0 >= arrivals[i]:
+                yield i, feats[i % len(feats)]
+                i += 1
+            else:
+                yield None
+
+    for key, _toks in cc.caption_stream(requests()):
+        t_done[key] = time.monotonic() - t0
+    wall = time.monotonic() - t0
+
+    lat = np.asarray(sorted(t_done[k] - arrivals[k] for k in t_done))
+    st = cc.stats
+    occ = st["useful_steps"] / max(st["slot_steps"], 1)
+    return {
+        "served": len(t_done),
+        "wall_s": round(wall, 3),
+        "throughput_caps_s": round(len(t_done) / wall, 1),
+        "occupancy": round(occ, 4),
+        "latency_p50_ms": round(1e3 * float(lat[len(lat) // 2]), 2),
+        "latency_p95_ms": round(
+            1e3 * float(lat[min(len(lat) - 1, int(len(lat) * 0.95))]), 2),
+        "ticks": st["ticks"],
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--save_path", default="",
+                   help="checkpoint dir (tools.load_inference_state); "
+                        "omit with --synthetic")
+    p.add_argument("--data_dir", default="")
+    p.add_argument("--corpus", default="msvd_vgg")
+    p.add_argument("--glove_emb_file", default="glove.6B.300d.txt")
+    p.add_argument("--synthetic", action="store_true",
+                   help="tiny randomly-initialized s2vt instead of a "
+                        "checkpoint (harness testing)")
+    p.add_argument("--slots", default="16,32,64")
+    p.add_argument("--admit_chunk", default="4,8")
+    p.add_argument("--step_chunk", default="2,4")
+    p.add_argument("--rate", type=float, default=100.0,
+                   help="mean Poisson arrival rate, requests/s "
+                        "(0 = all arrive at t=0: offline burst)")
+    p.add_argument("--n_requests", type=int, default=200)
+    p.add_argument("--beam_size", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (e.g. cpu) before first use")
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    if args.synthetic:
+        from vcr_tpu.models import base as mbase
+        from vcr_tpu.models import s2vt
+
+        rng = np.random.default_rng(args.seed)
+        spec = mbase.ModelSpec(
+            arch="s2vt", vocab_size=512, embed_size=300, hidden_size=256,
+            vid_feat_size=512, max_len=12, num_frames=8, dropout_p=0.0,
+            sos_id=508, compute_dtype="float32")
+        params = s2vt.init_params(
+            jax.random.PRNGKey(args.seed), spec,
+            rng.standard_normal((512, 300)).astype(np.float32))
+        eos_id = 509
+    else:
+        from vcr_tpu.config import Config
+        from vcr_tpu.serving import resolve_eos_id
+        from vcr_tpu.tools import load_inference_state
+
+        cfg = Config(data_dir=args.data_dir, corpus=args.corpus,
+                     glove_emb_file=args.glove_emb_file,
+                     save_path=args.save_path)
+        cfg, params, spec, vocab = load_inference_state(cfg)
+        eos_id = resolve_eos_id(spec, None, vocab)
+
+    rng = np.random.default_rng(args.seed)
+    if spec.arch == "spatial":
+        g = spec.grid_size
+        shape = (32, spec.num_frames, spec.vid_feat_size, g, g)
+    else:
+        shape = (32, spec.num_frames, spec.vid_feat_size)
+    feats = rng.standard_normal(shape).astype(np.float32)
+    if args.rate > 0:
+        gaps = rng.exponential(1.0 / args.rate, args.n_requests)
+        arrivals = np.cumsum(gaps)
+    else:
+        arrivals = np.zeros(args.n_requests)
+
+    grid = [(r, a, s)
+            for r in map(int, args.slots.split(","))
+            for a in map(int, args.admit_chunk.split(","))
+            for s in map(int, args.step_chunk.split(","))
+            if 1 <= a <= r]
+    results = []
+    for geom in grid:
+        cc = build_pool(args, geom, params, spec, eos_id)
+        # warm the compiles outside the timed window (one admission + ticks)
+        list(cc.caption_stream([(-(j + 1), feats[j])
+                                for j in range(min(2, geom[0]))]))
+        for k in cc.stats:
+            cc.stats[k] = 0
+        m = run_config(cc, feats, arrivals)
+        row = {"slots": geom[0], "admit_chunk": geom[1],
+               "step_chunk": geom[2], **m}
+        print(json.dumps(row), flush=True)
+        results.append(row)
+    if results:
+        best = max(results,
+                   key=lambda r: (r["throughput_caps_s"],
+                                  -r["latency_p95_ms"]))
+        print(json.dumps({"best": best}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

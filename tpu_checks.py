@@ -219,6 +219,40 @@ def main() -> int:
     print(f"{'PASS' if cb_ok else 'FAIL'}  continuous beam ≡ batch beam (compiled)")
     ok &= cb_ok
 
+    # ... and the per-request-sampling pool + cancellation, compiled: rows
+    # carrying the greedy default (T=1, top_k=1) through the row-wise
+    # sampling filters must STILL equal the batch greedy rollout (the
+    # sampling step path's sorts/softmax/categorical are exercised on the
+    # chip), one hot row must produce a valid caption, and a mid-stream
+    # release_slots must free capacity without perturbing other slots.
+    sgt, _ = decode_tokens(bparams, bspec, jnp.asarray(bfeats), 509,
+                           beam_size=1)
+    sgrows = np.asarray(sgt)[:, 0]
+    scc = ContinuousCaptioner(bparams, bspec, slots=2, admit_chunk=1,
+                              step_chunk=2, eos_id=509,
+                              request_sampling=True,
+                              rng=jax.random.PRNGKey(9))
+
+    def s_reqs():
+        yield 0, bfeats[0], {"top_k": 1}
+        yield 1, bfeats[1], {"top_k": 1}
+        yield "hot", bfeats[2], {"temperature": 4.0, "top_p": 0.9}
+        yield 3, bfeats[3], {"top_k": 1}
+
+    def s_cancel(outstanding):
+        return {3} & outstanding       # cancel key 3 whenever visible
+
+    got_s = dict(scc.caption_stream(s_reqs(), poll_cancelled=s_cancel))
+    cs_ok = 3 not in got_s and scc.stats["cancelled"] == 1
+    cs_ok &= "hot" in got_s and 1 <= len(got_s["hot"]) <= bspec.max_len
+    for i in (0, 1):
+        row = sgrows[i]
+        hits = np.nonzero(row == 509)[0]
+        want_row = row[: hits[0] + 1] if len(hits) else row
+        cs_ok &= np.array_equal(got_s[i], want_row)
+    print(f"{'PASS' if cs_ok else 'FAIL'}  per-request sampling + cancel (compiled)")
+    ok &= cs_ok
+
     print("ALL PASS" if ok else "FAILURES")
     return 0 if ok else 1
 
