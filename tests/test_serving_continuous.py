@@ -569,3 +569,36 @@ def test_inflight_cancel_releases_slot_and_pool_stays_correct(tiny_vocab,
     got2 = cc.caption_all({10 + i: feats[i] for i in range(5)})
     for i in range(5):
         np.testing.assert_array_equal(got2[10 + i], want[i])
+
+
+def test_inflight_cancel_under_dp_mesh(tiny_vocab, rng):
+    """release_slots' fixed-shape active-scatter partitions cleanly under a
+    dp-sharded slot pool: cancelled key gone, survivors token-exact vs the
+    unsharded pool."""
+    from vcr_tpu.parallel.mesh import make_mesh
+
+    spec = _spec(tiny_vocab, "s2vt")
+    model = base.build_model("s2vt")[0]
+    params = model(jax.random.PRNGKey(8), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 6, spec)
+    want = _greedy_truncated(params, spec, feats, tiny_vocab.eos_id)
+    assert len(want[0]) >= 2, "pick a different rng seed for this test"
+
+    cc = ContinuousCaptioner(params, spec, slots=4, admit_chunk=2,
+                             step_chunk=1, eos_id=tiny_vocab.eos_id,
+                             mesh=make_mesh(4))
+    offers = []
+
+    def poll_cancelled(outstanding):
+        if 0 in outstanding:
+            offers.append(True)
+            if len(offers) == 2:
+                return {0}
+        return set()
+
+    got = dict(cc.caption_stream(((i, feats[i]) for i in range(6)),
+                                 poll_cancelled=poll_cancelled))
+    assert 0 not in got and sorted(got) == [1, 2, 3, 4, 5]
+    for i in range(1, 6):
+        np.testing.assert_array_equal(got[i], want[i])
+    assert cc.stats["cancelled"] == 1
