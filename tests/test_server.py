@@ -405,3 +405,46 @@ def test_serve_request_sampling_is_opt_in(tiny_vocab, rng, tmp_path):
         assert len(r["tokens"]) >= 1
     finally:
         srv.close()
+
+
+def test_profile_endpoint(tiny_vocab, rng, tmp_path):
+    """POST /profile captures a real jax.profiler trace of live serving into
+    the opt-in directory; disabled servers 403; concurrent captures 409."""
+    spec = _spec(tiny_vocab)
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    feats = rng.standard_normal((4, 12)).astype(np.float32)
+
+    def post_profile(port, q=""):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/profile{q}", data=b"")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())
+
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                             eos_id=tiny_vocab.eos_id)
+    # disabled by default
+    with CaptionServer(cc) as server:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post_profile(server.port)
+        assert ei.value.code == 403
+
+    cc2 = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                              eos_id=tiny_vocab.eos_id)
+    pdir = str(tmp_path / "traces")
+    import os as _os
+    _os.makedirs(pdir)
+    with CaptionServer(cc2, vocab=tiny_vocab, profile_dir=pdir) as server:
+        # capture while a request decodes: drive one in a thread
+        t = threading.Thread(target=server.submit, args=(feats,))
+        t.start()
+        r = post_profile(server.port, "?seconds=0.3")
+        t.join(timeout=60)
+        assert r["trace_dir"].startswith(pdir)
+        files = [f for _, _, fs in _os.walk(r["trace_dir"]) for f in fs]
+        assert files, "trace dir is empty"
+        # bad params
+        for q in ("?seconds=0", "?seconds=120", "?seconds=abc", "?foo=1"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post_profile(server.port, q)
+            assert ei.value.code == 400, q

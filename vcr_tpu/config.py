@@ -135,6 +135,10 @@ class Config:
     # pools that need it should carry that. --sample_temperature > 0 also
     # enables it (the pool is already on the sampling path then).
     serve_request_sampling: bool = False
+    # Enable POST /profile?seconds=S: capture a jax.profiler trace of live
+    # serving under this directory. "" (default) = endpoint disabled (an
+    # unauthenticated capture holds a handler thread and costs memory).
+    serve_profile_dir: str = ""
     # METEOR matcher-stage resources (evals/metrics.py). The synonym (w=0.8)
     # and paraphrase (w=0.6) stages of the Meteor 1.5 jar are implemented but
     # inert without data (their files are env-blocked here). synonyms: "" =
@@ -192,6 +196,7 @@ _CLI_OVERRIDE_FIELDS = (
     "mesh_dp", "mesh_mp", "compile_cache_dir",
     "serve_port", "serve_slots", "serve_admit_chunk",
     "serve_max_pending", "serve_timeout_s", "serve_request_sampling",
+    "serve_profile_dir",
     "meteor_synonyms", "meteor_paraphrases",
 )
 

@@ -23,6 +23,11 @@ API:
                   request_sampling / --serve_request_sampling /
                   --sample_temperature); 400 otherwise.
   GET  /healthz   -> {"status": "ok", "in_flight": N, ...scheduler stats}
+  POST /profile?seconds=S  capture a jax.profiler trace of live serving
+                  (the scheduler thread's ticks) for S seconds (cap 60)
+                  -> {"trace_dir": ...}; requires the server to be built
+                  with profile_dir= (--serve_profile_dir), 403 otherwise;
+                  409 while a capture is already running
   GET  /metrics   -> Prometheus text exposition (counters for every
                   scheduler stat, occupancy + in-flight gauges, a request-
                   latency summary) — point a scraper at it as-is
@@ -47,6 +52,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import queue
 import threading
 import time
@@ -71,12 +77,15 @@ class CaptionServer:
 
     def __init__(self, captioner, vocab=None, host: str = "127.0.0.1",
                  port: int = 0, request_timeout_s: float = 120.0,
-                 max_pending: Optional[int] = None):
+                 max_pending: Optional[int] = None,
+                 profile_dir: Optional[str] = None):
         self.captioner = captioner
         self.vocab = vocab
         self.request_timeout_s = request_timeout_s
         self.max_pending = (4 * captioner.slots if max_pending is None
                             else max_pending)
+        self.profile_dir = profile_dir
+        self._profiling = False
         self._rejected = 0
         self._cancelled: set = set()
         self._queue: queue.Queue = queue.Queue()
@@ -137,6 +146,21 @@ class CaptionServer:
                 from urllib.parse import parse_qsl, urlsplit
 
                 parts = urlsplit(self.path)
+                if parts.path == "/profile":
+                    try:
+                        q = dict(parse_qsl(parts.query,
+                                           keep_blank_values=True))
+                        seconds = float(q.pop("seconds", 3.0))
+                        if q:
+                            raise ValueError(
+                                f"unknown query params {sorted(q)}")
+                        if not 0 < seconds <= 60:
+                            raise ValueError(
+                                f"seconds must be in (0, 60], got {seconds}")
+                    except ValueError as e:
+                        return self._json(400, {"error": str(e)})
+                    code, payload = server._capture_profile(seconds)
+                    return self._json(code, payload)
                 if parts.path != "/caption":
                     return self._json(404, {"error": "unknown path"})
                 opts = None
@@ -358,6 +382,37 @@ class CaptionServer:
                     yield self._queue.get(timeout=timeout)
             except queue.Empty:
                 yield None
+
+    def _capture_profile(self, seconds: float):
+        """POST /profile: capture a jax.profiler trace of live serving for
+        ``seconds``. The profiler is process-global, so starting it from the
+        handler thread traces the scheduler thread's device ticks — exactly
+        the work a serving operator needs to see. Returns (http_code,
+        payload). Disabled unless the server was built with profile_dir
+        (an unauthenticated trace both holds a handler thread and costs
+        memory — operators must opt in)."""
+        if not self.profile_dir:
+            return 403, {"error": "profiling disabled (start the server "
+                                  "with profile_dir= / --serve_profile_dir)"}
+        with self._lock:
+            if self._profiling:
+                return 409, {"error": "a profile capture is already running"}
+            self._profiling = True
+        try:
+            import jax
+
+            out = os.path.join(
+                self.profile_dir,
+                time.strftime("serve_trace_%Y%m%d_%H%M%S"))
+            jax.profiler.start_trace(out)
+            time.sleep(seconds)
+            jax.profiler.stop_trace()
+            return 200, {"trace_dir": out, "seconds": seconds}
+        except Exception as e:  # profiler raise must not kill the handler
+            return 500, {"error": repr(e)}
+        finally:
+            with self._lock:
+                self._profiling = False
 
     def _poll_cancelled(self, outstanding):
         """run_slot_scheduler hook: the subset of the cancel set the

@@ -121,7 +121,8 @@ def serve_captions(cfg: Config, checkpoint_path: str = "",
         cc, vocab=vocab, port=cfg.serve_port,
         request_timeout_s=cfg.serve_timeout_s,
         max_pending=(None if cfg.serve_max_pending < 0
-                     else cfg.serve_max_pending)).start()
+                     else cfg.serve_max_pending),
+        profile_dir=cfg.serve_profile_dir or None).start()
     print(f"serving {arch} captions on http://127.0.0.1:{server.port} "
           f"(R={cc.slots}, A={cc.admit_chunk}) — POST /caption, "
           "GET /healthz; Ctrl-C to stop", flush=True)
