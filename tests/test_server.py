@@ -448,3 +448,45 @@ def test_profile_endpoint(tiny_vocab, rng, tmp_path):
             with pytest.raises(urllib.error.HTTPError) as ei:
                 post_profile(server.port, q)
             assert ei.value.code == 400, q
+
+
+def test_caption_batch_endpoint(tiny_vocab, rng):
+    """POST /caption_batch: one request carries a (B, ...) batch; rows come
+    back in input order, token-exact vs the batch greedy oracle, through
+    CaptionClient.caption_batch."""
+    from vcr_tpu.client import CaptionClient
+
+    spec = _spec(tiny_vocab)
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    feats = rng.standard_normal((5, 4, 12)).astype(np.float32)
+    toks, _ = decode_tokens(params, spec, feats, tiny_vocab.eos_id,
+                            beam_size=1)
+    rows = np.asarray(toks)[:, 0]
+    want = []
+    for row in rows:
+        hits = np.nonzero(row == tiny_vocab.eos_id)[0]
+        want.append([int(t) for t in
+                     (row[: hits[0] + 1] if len(hits) else row)])
+
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=2,
+                             step_chunk=2, eos_id=tiny_vocab.eos_id)
+    with CaptionServer(cc, vocab=tiny_vocab) as server:
+        client = CaptionClient(f"http://127.0.0.1:{server.port}")
+        results = client.caption_batch(feats)
+        assert len(results) == 5
+        for r, w in zip(results, want):
+            assert r is not None
+            tokens, caption = r
+            assert tokens == w
+            assert isinstance(caption, str)
+        # a 1-D body (not a batch) and an overlarge batch both fail loudly
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post_npy(server.port, feats[0, 0], path="/caption_batch")
+        assert ei.value.code == 400
+        server.max_pending = 3
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post_npy(server.port, feats, path="/caption_batch")
+        assert ei.value.code == 503
+        assert server._rejected == 5
+    assert server.error is None

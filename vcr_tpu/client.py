@@ -103,6 +103,22 @@ class CaptionClient:
         out = self._request("/caption", data=buf.getvalue())
         return [int(t) for t in out["tokens"]], out.get("caption")
 
+    def caption_batch(self, feats_batch: np.ndarray
+                      ) -> List[Optional[Tuple[List[int], Optional[str]]]]:
+        """POST /caption_batch: one request carries a whole (B, ...) feature
+        batch; returns a length-B list of (tokens, caption-or-None) in input
+        order, with None for rows the server timed out. One connection and
+        one .npy payload instead of B concurrent POSTs — the bulk path for
+        offline corpora; for live traffic prefer caption_many (per-request
+        latency accounting, per-row retries)."""
+        buf = io.BytesIO()
+        np.save(buf, np.ascontiguousarray(
+            np.asarray(feats_batch, np.float32)))
+        out = self._request("/caption_batch", data=buf.getvalue())
+        return [None if row is None
+                else ([int(t) for t in row["tokens"]], row.get("caption"))
+                for row in out["results"]]
+
     def caption_many(self, feats_list: Sequence[np.ndarray],
                      max_workers: int = 16
                      ) -> List[Tuple[List[int], Optional[str]]]:

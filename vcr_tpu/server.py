@@ -22,6 +22,11 @@ API:
                   with sampling enabled (serving_continuous
                   request_sampling / --serve_request_sampling /
                   --sample_temperature); 400 otherwise.
+  POST /caption_batch  body = raw .npy bytes of (B, num_frames, feat_dim)
+                  float32: the whole batch rides one request; rows fill
+                  slots by admission chunks -> {"results": [row | null,
+                  ...]} in input order (null = that row timed out). Same
+                  optional sampling query params, applied to every row.
   GET  /healthz   -> {"status": "ok", "in_flight": N, ...scheduler stats}
   POST /profile?seconds=S  capture a jax.profiler trace of live serving
                   (the scheduler thread's ticks) for S seconds (cap 60)
@@ -161,7 +166,7 @@ class CaptionServer:
                         return self._json(400, {"error": str(e)})
                     code, payload = server._capture_profile(seconds)
                     return self._json(code, payload)
-                if parts.path != "/caption":
+                if parts.path not in ("/caption", "/caption_batch"):
                     return self._json(404, {"error": "unknown path"})
                 opts = None
                 if parts.query:
@@ -214,7 +219,21 @@ class CaptionServer:
                                     allow_pickle=False)
                 except Exception as e:
                     return self._json(400, {"error": f"bad .npy body: {e}"})
+
+                def row_payload(toks):
+                    if toks is None:
+                        return None
+                    p = {"tokens": [int(t) for t in toks]}
+                    if server.vocab is not None:
+                        p["caption"] = server.vocab.get_sent_from_index(
+                            [int(t) for t in toks])
+                    return p
+
                 try:
+                    if parts.path == "/caption_batch":
+                        rows = server.submit_many(feats, opts=opts)
+                        return self._json(200, {
+                            "results": [row_payload(t) for t in rows]})
                     toks = server.submit(feats, opts=opts)
                 except ServerOverloaded as e:
                     return self._json(503, {"error": str(e)},
@@ -223,11 +242,7 @@ class CaptionServer:
                     return self._json(400, {"error": str(e)})
                 if toks is None:
                     return self._json(504, {"error": "caption timed out"})
-                payload = {"tokens": [int(t) for t in toks]}
-                if server.vocab is not None:
-                    payload["caption"] = server.vocab.get_sent_from_index(
-                        [int(t) for t in toks])
-                self._json(200, payload)
+                self._json(200, row_payload(toks))
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
@@ -299,6 +314,67 @@ class CaptionServer:
                 if len(self._latencies) > 512:
                     del self._latencies[:256]
             return toks
+
+    def submit_many(self, feats_batch: np.ndarray,
+                    opts: Optional[dict] = None) -> list:
+        """Enqueue a whole (B, *item_shape) batch (POST /caption_batch) and
+        block until every caption or the shared deadline
+        (``request_timeout_s`` from enqueue). Returns a length-B list with
+        None for rows that timed out (those are cancelled scheduler-side).
+        One admission-bound check covers the batch: B + outstanding must fit
+        max_pending or the whole batch is refused (ServerOverloaded) — a
+        half-admitted batch would be worse than a clean retry."""
+        if opts and not getattr(self.captioner, "accepts_request_opts",
+                                False):
+            raise ValueError("this pool does not accept per-request options")
+        fb = np.asarray(feats_batch, np.float32)
+        if fb.ndim < 2 or len(fb) == 0:
+            raise ValueError(
+                f"need a non-empty (B, ...) feature batch, got {fb.shape}")
+        b = len(fb)
+        item_shape = fb.shape[1:]
+        rids = [uuid.uuid4().hex for _ in range(b)]
+        evs = [threading.Event() for _ in range(b)]
+        with self._lock:
+            if self.max_pending and len(self._events) + b > self.max_pending:
+                self._rejected += b
+                raise ServerOverloaded(
+                    f"batch of {b} + {len(self._events)} outstanding > "
+                    f"max_pending={self.max_pending}")
+            if self._feat_shape is None:
+                check = getattr(self.captioner, "check_feat_shape", None)
+                reason = check(item_shape) if check else None
+                if reason is not None:
+                    raise ValueError(reason)
+                self._feat_shape = item_shape
+            elif item_shape != self._feat_shape:
+                raise ValueError(
+                    f"feature shape {item_shape} != this server's "
+                    f"{self._feat_shape}")
+            for rid, ev in zip(rids, evs):
+                self._events[rid] = ev
+        t0 = time.monotonic()
+        for rid, row in zip(rids, fb):
+            self._queue.put((rid, row, opts) if opts else (rid, row))
+        deadline = t0 + self.request_timeout_s
+        for ev in evs:
+            ev.wait(max(0.0, deadline - time.monotonic()))
+        out = []
+        with self._lock:
+            for rid in rids:
+                self._events.pop(rid, None)
+                toks = self._tokens.pop(rid, None)
+                if toks is None and not self._stopping.is_set():
+                    self._cancelled.add(rid)
+                elif toks is not None:
+                    dt = time.monotonic() - t0
+                    self._latencies.append(dt)
+                    self._lat_sum += dt
+                    self._lat_count += 1
+                out.append(toks)
+            if len(self._latencies) > 512:
+                del self._latencies[:256]
+        return out
 
     def _latency_quantiles(self):
         """(p50, p95) seconds over the recent-latency ring, or (None, None)."""
