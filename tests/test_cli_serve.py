@@ -75,3 +75,50 @@ def test_serve_mode_end_to_end(tmp_path):
         assert all(isinstance(t, int) for t in resp["tokens"])
     finally:
         server2.close()
+
+
+def test_serve_models_multi_end_to_end(tmp_path):
+    """--serve_models name=path,...: one daemon, several backends — here a
+    LIVE checkpoint and its FROZEN continuous artifact side by side (same
+    weights -> identical captions through both routes)."""
+    from vcr_tpu.tools import export_continuous_artifact, serve_captions
+    from vcr_tpu.train.loop import train
+
+    tmp = str(tmp_path)
+    _build(tmp)
+    cfg = tiny_config(tmp, epochs=1, dropout_p=0.0)
+    train(cfg)
+    art_dir = export_continuous_artifact(
+        cfg.replace(mode="export_continuous", serve_slots=2,
+                    serve_admit_chunk=1))
+
+    serve_cfg = cfg.replace(
+        mode="serve", serve_port=0, serve_slots=2, serve_admit_chunk=1,
+        serve_models=f"live={cfg.save_path},frozen={art_dir}")
+    server = serve_captions(serve_cfg, block=False)
+    try:
+        assert set(server.servers) == {"live", "frozen"}
+        feats = np.random.default_rng(0).standard_normal(
+            (4, 12)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, feats)
+        outs = {}
+        for name in ("live", "frozen"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/caption/{name}",
+                data=buf.getvalue())
+            outs[name] = json.loads(
+                urllib.request.urlopen(req, timeout=120).read())
+        assert outs["live"]["tokens"] == outs["frozen"]["tokens"]
+        assert outs["live"]["caption"] == outs["frozen"]["caption"]
+
+        models = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/models", timeout=30).read())
+        assert set(models["models"]) == {"live", "frozen"}
+        health = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/healthz", timeout=30).read())
+        assert health["status"] == "ok"
+        assert health["models"]["live"]["served"] == 1
+        assert health["models"]["frozen"]["served"] == 1
+    finally:
+        server.close()

@@ -24,7 +24,7 @@ __version__ = "0.1.0"
 __all__ = ["Config", "Vocab", "train", "decode_tokens", "sample_tokens",
            "build_model", "ModelSpec", "build_captioner", "export_captioner",
            "load_artifact", "ContinuousCaptioner", "CaptionServer",
-           "load_continuous", "CaptionClient"]
+           "load_continuous", "CaptionClient", "MultiCaptionServer"]
 
 
 def __getattr__(name):
@@ -61,4 +61,7 @@ def __getattr__(name):
     if name == "CaptionClient":
         from vcr_tpu.client import CaptionClient
         return CaptionClient
+    if name == "MultiCaptionServer":
+        from vcr_tpu.multiserver import MultiCaptionServer
+        return MultiCaptionServer
     raise AttributeError(name)

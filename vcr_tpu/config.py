@@ -139,6 +139,11 @@ class Config:
     # serving under this directory. "" (default) = endpoint disabled (an
     # unauthenticated capture holds a handler thread and costs memory).
     serve_profile_dir: str = ""
+    # Multi-model serving: "name1=path1,name2=path2" serves several
+    # checkpoints / frozen artifacts from one port (vcr_tpu/multiserver.py:
+    # POST /caption/<name>, GET /models; per-model pools share the chip
+    # through interleaved scheduler threads). "" = single-model daemon.
+    serve_models: str = ""
     # METEOR matcher-stage resources (evals/metrics.py). The synonym (w=0.8)
     # and paraphrase (w=0.6) stages of the Meteor 1.5 jar are implemented but
     # inert without data (their files are env-blocked here). synonyms: "" =
@@ -196,7 +201,7 @@ _CLI_OVERRIDE_FIELDS = (
     "mesh_dp", "mesh_mp", "compile_cache_dir",
     "serve_port", "serve_slots", "serve_admit_chunk",
     "serve_max_pending", "serve_timeout_s", "serve_request_sampling",
-    "serve_profile_dir",
+    "serve_profile_dir", "serve_models",
     "meteor_synonyms", "meteor_paraphrases",
 )
 

@@ -74,6 +74,81 @@ class ServerOverloaded(Exception):
     off and retry."""
 
 
+def parse_sampling_query(query: str) -> Optional[dict]:
+    """?temperature=&top_k=&top_p= -> a per-request opts dict (None when the
+    query string is empty). Raises ValueError on unknown params or values
+    outside their safe ranges — validated HERE at the API layer because bad
+    values on the scheduler thread kill the daemon: top_k past int32 raised
+    OverflowError in the per-slot array scatter, and NaN temperature slips
+    past a plain ``t <= 0`` greedy check (NaN comparisons are all False).
+    keep_blank_values so '?temperature=' is a loud 400, not silently greedy.
+    """
+    from urllib.parse import parse_qsl
+
+    if not query:
+        return None
+    q = dict(parse_qsl(query, keep_blank_values=True))
+    opts = {}
+    if "temperature" in q:
+        t = float(q["temperature"])
+        if not (0.0 <= t < float("inf")):
+            raise ValueError(
+                f"temperature must be finite and >= 0, got "
+                f"{q['temperature']}")
+        opts["temperature"] = t
+    if "top_k" in q:
+        k = int(q["top_k"])
+        if not 0 <= k < 2**31:
+            raise ValueError(f"top_k must be in [0, 2^31), got {k}")
+        opts["top_k"] = k
+    if "top_p" in q:
+        tp = float(q["top_p"])
+        if not 0.0 <= tp <= 1.0:
+            raise ValueError(f"top_p must be in [0, 1], got {q['top_p']}")
+        opts["top_p"] = tp
+    unknown = set(q) - {"temperature", "top_k", "top_p"}
+    if unknown:
+        raise ValueError(f"unknown query params {sorted(unknown)}")
+    return opts
+
+
+def prometheus_text(servers: dict) -> str:
+    """Valid Prometheus text exposition over one or many model backends.
+    ``servers``: {label: CaptionServer}; the single-model daemon passes
+    {"": self} (no labels), the multi-model daemon one entry per model
+    (samples labeled ``model="name"``). HELP/TYPE emitted once per metric
+    name — repeating them per model would be an invalid exposition."""
+    names = list(servers)
+    per = {lb: servers[lb]._metric_samples() for lb in names}
+    lines = []
+    for i, (name, mtype, help_, _v) in enumerate(per[names[0]]):
+        lines.append(f"# HELP {name} {help_}")
+        lines.append(f"# TYPE {name} {mtype}")
+        for lb in names:
+            label = f'{{model="{lb}"}}' if lb else ""
+            lines.append(f"{name}{label} {per[lb][i][3]}")
+    lines.append("# HELP vcr_request_latency_seconds "
+                 "submit-to-caption wall time")
+    lines.append("# TYPE vcr_request_latency_seconds summary")
+    for lb in names:
+        s = servers[lb]
+        base = f'model="{lb}",' if lb else ""
+        p50, p95 = s._latency_quantiles()
+        if p50 is not None:
+            lines.append(f'vcr_request_latency_seconds{{{base}quantile="0.5"}}'
+                         f" {p50:.6f}")
+            lines.append(
+                f'vcr_request_latency_seconds{{{base}quantile="0.95"}}'
+                f" {p95:.6f}")
+        label = f'{{model="{lb}"}}' if lb else ""
+        with s._lock:
+            lines.append(f"vcr_request_latency_seconds_sum{label} "
+                         f"{s._lat_sum:.6f}")
+            lines.append(f"vcr_request_latency_seconds_count{label} "
+                         f"{s._lat_count}")
+    return "\n".join(lines) + "\n"
+
+
 class CaptionServer:
     """See module docstring. ``captioner`` is a ContinuousCaptioner (any
     family); ``vocab`` (optional) adds detokenized captions to responses.
@@ -83,7 +158,7 @@ class CaptionServer:
     def __init__(self, captioner, vocab=None, host: str = "127.0.0.1",
                  port: int = 0, request_timeout_s: float = 120.0,
                  max_pending: Optional[int] = None,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None, http: bool = True):
         self.captioner = captioner
         self.vocab = vocab
         self.request_timeout_s = request_timeout_s
@@ -168,43 +243,10 @@ class CaptionServer:
                     return self._json(code, payload)
                 if parts.path not in ("/caption", "/caption_batch"):
                     return self._json(404, {"error": "unknown path"})
-                opts = None
-                if parts.query:
-                    try:
-                        # keep_blank_values: '?temperature=' must 400, not
-                        # silently serve greedy (loud beats ignored params)
-                        q = dict(parse_qsl(parts.query,
-                                           keep_blank_values=True))
-                        opts = {}
-                        if "temperature" in q:
-                            t = float(q["temperature"])
-                            # reject NaN/inf/negative here: NaN would slip
-                            # past the temp<=0 greedy normalization (NaN
-                            # comparisons are False) and decode NaN logits
-                            if not (0.0 <= t < float("inf")):
-                                raise ValueError(
-                                    f"temperature must be finite and >= 0, "
-                                    f"got {q['temperature']}")
-                            opts["temperature"] = t
-                        if "top_k" in q:
-                            k = int(q["top_k"])
-                            if not 0 <= k < 2**31:
-                                raise ValueError(
-                                    f"top_k must be in [0, 2^31), got {k}")
-                            opts["top_k"] = k
-                        if "top_p" in q:
-                            tp = float(q["top_p"])
-                            if not 0.0 <= tp <= 1.0:
-                                raise ValueError(
-                                    f"top_p must be in [0, 1], got "
-                                    f"{q['top_p']}")
-                            opts["top_p"] = tp
-                        unknown = set(q) - {"temperature", "top_k", "top_p"}
-                        if unknown:
-                            raise ValueError(
-                                f"unknown query params {sorted(unknown)}")
-                    except ValueError as e:
-                        return self._json(400, {"error": str(e)})
+                try:
+                    opts = parse_sampling_query(parts.query)
+                except ValueError as e:
+                    return self._json(400, {"error": str(e)})
                 if opts and not getattr(server.captioner,
                                         "accepts_request_opts", False):
                     return self._json(400, {
@@ -244,13 +286,16 @@ class CaptionServer:
                     return self._json(504, {"error": "caption timed out"})
                 self._json(200, row_payload(toks))
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
-        self.port = self._httpd.server_address[1]
+        # http=False runs headless: submit()/submit_many() + the scheduler
+        # thread with no socket — the per-model backend of MultiCaptionServer
+        self._httpd = (ThreadingHTTPServer((host, port), Handler)
+                       if http else None)
+        self.port = self._httpd.server_address[1] if http else None
         self._sched = threading.Thread(target=self._scheduler, daemon=True,
                                        name="vcr-caption-scheduler")
-        self._http_thread = threading.Thread(
+        self._http_thread = (threading.Thread(
             target=self._httpd.serve_forever, daemon=True,
-            name="vcr-caption-http")
+            name="vcr-caption-http") if http else None)
 
     # -------------------------------------------------------------- plumbing
 
@@ -391,59 +436,44 @@ class CaptionServer:
         per slot-step, the continuous-batching efficiency headline) and
         in-flight are gauges; request latency is a summary over submit() ->
         caption wall time."""
+        return prometheus_text({"": self})
+
+    def _metric_samples(self):
+        """[(name, mtype, help, value), ...] for prometheus_text — one
+        sample per metric for THIS server (latency summary handled there)."""
         c = self.captioner
         stats = dict(c.stats)
-        lines = []
-
-        def metric(name, mtype, help_, value, labels=""):
-            lines.append(f"# HELP {name} {help_}")
-            lines.append(f"# TYPE {name} {mtype}")
-            lines.append(f"{name}{labels} {value}")
-
-        metric("vcr_requests_served_total", "counter",
-               "Captions completed and harvested", stats["served"])
-        metric("vcr_ticks_total", "counter",
-               "Device tick calls (step_chunk micro-steps each)",
-               stats["ticks"])
-        metric("vcr_admit_chunks_total", "counter",
-               "Fixed-shape admission chunks encoded", stats["admit_chunks"])
-        metric("vcr_slot_steps_total", "counter",
-               "Slot micro-steps executed (slots * step_chunk per tick)",
-               stats["slot_steps"])
-        metric("vcr_useful_steps_total", "counter",
-               "Slot micro-steps that produced a kept token",
-               stats["useful_steps"])
         occ = (stats["useful_steps"] / stats["slot_steps"]
                if stats["slot_steps"] else 0.0)
-        metric("vcr_occupancy", "gauge",
-               "useful_steps / slot_steps (continuous-batching efficiency)",
-               f"{occ:.6f}")
-        metric("vcr_requests_rejected_total", "counter",
-               "Requests refused with 503 (max_pending back-pressure)",
-               self._rejected)
-        metric("vcr_requests_cancelled_total", "counter",
-               "Requests cancelled after client timeout (queued dropped "
-               "or slot released)", stats.get("cancelled", 0))
-        metric("vcr_in_flight", "gauge",
-               "Requests currently occupying slots", c.in_flight)
-        metric("vcr_up", "gauge",
-               "1 if the scheduler thread is healthy",
-               0 if self.error else 1)
-        p50, p95 = self._latency_quantiles()
-        lines.append("# HELP vcr_request_latency_seconds "
-                     "submit-to-caption wall time")
-        lines.append("# TYPE vcr_request_latency_seconds summary")
-        if p50 is not None:
-            lines.append('vcr_request_latency_seconds{quantile="0.5"} '
-                         f"{p50:.6f}")
-            lines.append('vcr_request_latency_seconds{quantile="0.95"} '
-                         f"{p95:.6f}")
-        with self._lock:
-            lines.append(f"vcr_request_latency_seconds_sum "
-                         f"{self._lat_sum:.6f}")
-            lines.append(f"vcr_request_latency_seconds_count "
-                         f"{self._lat_count}")
-        return "\n".join(lines) + "\n"
+        return [
+            ("vcr_requests_served_total", "counter",
+             "Captions completed and harvested", stats["served"]),
+            ("vcr_ticks_total", "counter",
+             "Device tick calls (step_chunk micro-steps each)",
+             stats["ticks"]),
+            ("vcr_admit_chunks_total", "counter",
+             "Fixed-shape admission chunks encoded", stats["admit_chunks"]),
+            ("vcr_slot_steps_total", "counter",
+             "Slot micro-steps executed (slots * step_chunk per tick)",
+             stats["slot_steps"]),
+            ("vcr_useful_steps_total", "counter",
+             "Slot micro-steps that produced a kept token",
+             stats["useful_steps"]),
+            ("vcr_occupancy", "gauge",
+             "useful_steps / slot_steps (continuous-batching efficiency)",
+             f"{occ:.6f}"),
+            ("vcr_requests_rejected_total", "counter",
+             "Requests refused with 503 (max_pending back-pressure)",
+             self._rejected),
+            ("vcr_requests_cancelled_total", "counter",
+             "Requests cancelled after client timeout (queued dropped "
+             "or slot released)", stats.get("cancelled", 0)),
+            ("vcr_in_flight", "gauge",
+             "Requests currently occupying slots", c.in_flight),
+            ("vcr_up", "gauge",
+             "1 if the scheduler thread is healthy",
+             0 if self.error else 1),
+        ]
 
     def _requests(self):
         """Live request source for caption_stream: blocking wait while the
@@ -526,14 +556,17 @@ class CaptionServer:
 
     def start(self) -> "CaptionServer":
         self._sched.start()
-        self._http_thread.start()
+        if self._http_thread is not None:
+            self._http_thread.start()
         return self
 
     def close(self):
         self._stopping.set()
-        self._httpd.shutdown()
+        if self._httpd is not None:
+            self._httpd.shutdown()
         self._sched.join(timeout=30)
-        self._httpd.server_close()
+        if self._httpd is not None:
+            self._httpd.server_close()
 
     def __enter__(self):
         return self.start()

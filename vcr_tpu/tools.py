@@ -75,57 +75,94 @@ def load_inference_state(cfg: Config, checkpoint_path: str = ""):
     return cfg, params, spec, vocab
 
 
-def serve_captions(cfg: Config, checkpoint_path: str = "",
-                   block: bool = True):
-    """``--mode serve``: load a checkpoint and run the HTTP caption daemon
-    (vcr_tpu/server.py) over a continuous-batching slot pool
-    (serving_continuous.py). ``--serve_port/--serve_slots/--serve_admit_chunk``
-    size it; ``--mesh_dp N`` shards the slot pool over a dp mesh. Serves
-    until SIGINT. Returns the started server when ``block=False`` (tests)."""
+def _build_serving_pool(cfg: Config, checkpoint_path: str = ""):
+    """(cfg, path) -> (continuous pool, vocab, arch). ``checkpoint_path``
+    may be a frozen continuous artifact (--mode export_continuous output —
+    served directly, no model code, no checkpoint) or a checkpoint
+    save_path/dir (load_inference_state). Shared by the single- and
+    multi-model serve daemons."""
     import jax
 
-    from vcr_tpu.server import CaptionServer
     from vcr_tpu.serving_continuous import ContinuousCaptioner
 
     meta_path = os.path.join(checkpoint_path or "", "meta.json")
     if checkpoint_path and os.path.isfile(meta_path) and \
             json.load(open(meta_path)).get("kind") == "continuous":
-        # a frozen continuous artifact (--mode export_continuous): serve it
-        # directly — no model code, no checkpoint
         from vcr_tpu.export_continuous import load_continuous
 
         cc = load_continuous(checkpoint_path)
-        arch = cc.meta["spec"]["arch"]
-        vocab = cc.vocab  # detokenizer embedded in the artifact meta
-    else:
-        cfg, params, spec, vocab = load_inference_state(cfg, checkpoint_path)
-        arch = spec.arch
-        mesh = None
-        if cfg.mesh_dp > 1:
-            from vcr_tpu.parallel import make_mesh
+        return cc, cc.vocab, cc.meta["spec"]["arch"]
+    if checkpoint_path and os.path.isdir(
+            os.path.join(checkpoint_path, "model_best")):
+        # a save_path directory (holds model_best/model_latest), as passed
+        # in --serve_models entries: resolve through the normal best-path
+        cfg = cfg.replace(save_path=checkpoint_path)
+        checkpoint_path = ""
+    cfg, params, spec, vocab = load_inference_state(cfg, checkpoint_path)
+    mesh = None
+    if cfg.mesh_dp > 1:
+        from vcr_tpu.parallel import make_mesh
 
-            mesh = make_mesh(cfg.mesh_dp, 1)
-        beam = max(cfg.beam_size, 1)
-        cc = ContinuousCaptioner(params, spec, slots=cfg.serve_slots,
-                                 admit_chunk=cfg.serve_admit_chunk,
-                                 vocab=vocab, mesh=mesh, beam_size=beam,
-                                 sample_temperature=cfg.sample_temperature,
-                                 sample_top_k=cfg.sample_top_k,
-                                 sample_top_p=cfg.sample_top_p,
-                                 # per-request sampling is OPT-IN (it swaps
-                                 # argmax for a sort-heavy sampling step on
-                                 # every token); with beam it raises loudly
-                                 request_sampling=cfg.serve_request_sampling,
-                                 rng=jax.random.PRNGKey(cfg.seed))
-    server = CaptionServer(
-        cc, vocab=vocab, port=cfg.serve_port,
-        request_timeout_s=cfg.serve_timeout_s,
-        max_pending=(None if cfg.serve_max_pending < 0
-                     else cfg.serve_max_pending),
-        profile_dir=cfg.serve_profile_dir or None).start()
-    print(f"serving {arch} captions on http://127.0.0.1:{server.port} "
-          f"(R={cc.slots}, A={cc.admit_chunk}) — POST /caption, "
-          "GET /healthz; Ctrl-C to stop", flush=True)
+        mesh = make_mesh(cfg.mesh_dp, 1)
+    beam = max(cfg.beam_size, 1)
+    cc = ContinuousCaptioner(params, spec, slots=cfg.serve_slots,
+                             admit_chunk=cfg.serve_admit_chunk,
+                             vocab=vocab, mesh=mesh, beam_size=beam,
+                             sample_temperature=cfg.sample_temperature,
+                             sample_top_k=cfg.sample_top_k,
+                             sample_top_p=cfg.sample_top_p,
+                             # per-request sampling is OPT-IN (it swaps
+                             # argmax for a sort-heavy sampling step on
+                             # every token); with beam it raises loudly
+                             request_sampling=cfg.serve_request_sampling,
+                             rng=jax.random.PRNGKey(cfg.seed))
+    return cc, vocab, spec.arch
+
+
+def serve_captions(cfg: Config, checkpoint_path: str = "",
+                   block: bool = True):
+    """``--mode serve``: load a checkpoint and run the HTTP caption daemon
+    (vcr_tpu/server.py) over a continuous-batching slot pool
+    (serving_continuous.py). ``--serve_port/--serve_slots/--serve_admit_chunk``
+    size it; ``--mesh_dp N`` shards the slot pool over a dp mesh;
+    ``--serve_models name1=path1,name2=path2`` serves SEVERAL models from
+    one port (vcr_tpu/multiserver.py: POST /caption/<name>, GET /models).
+    Serves until SIGINT. Returns the started server when ``block=False``
+    (tests)."""
+    from vcr_tpu.server import CaptionServer
+
+    max_pending = (None if cfg.serve_max_pending < 0
+                   else cfg.serve_max_pending)
+    if cfg.serve_models:
+        from vcr_tpu.multiserver import MultiCaptionServer
+
+        backends = {}
+        for entry in cfg.serve_models.split(","):
+            name, _, path = entry.partition("=")
+            name, path = name.strip(), path.strip()
+            if not name or not path:
+                raise ValueError(
+                    f"--serve_models entry {entry!r} is not name=path")
+            cc, vocab, arch = _build_serving_pool(cfg, path)
+            backends[name] = (cc, vocab)
+        server = MultiCaptionServer(
+            backends, port=cfg.serve_port,
+            request_timeout_s=cfg.serve_timeout_s, max_pending=max_pending,
+            profile_dir=cfg.serve_profile_dir or None).start()
+        print(f"serving {len(backends)} models "
+              f"({', '.join(sorted(backends))}) on "
+              f"http://127.0.0.1:{server.port} — POST /caption/<model>, "
+              "GET /models, GET /healthz; Ctrl-C to stop", flush=True)
+    else:
+        cc, vocab, arch = _build_serving_pool(cfg, checkpoint_path)
+        server = CaptionServer(
+            cc, vocab=vocab, port=cfg.serve_port,
+            request_timeout_s=cfg.serve_timeout_s,
+            max_pending=max_pending,
+            profile_dir=cfg.serve_profile_dir or None).start()
+        print(f"serving {arch} captions on http://127.0.0.1:{server.port} "
+              f"(R={cc.slots}, A={cc.admit_chunk}) — POST /caption, "
+              "GET /healthz; Ctrl-C to stop", flush=True)
     if not block:
         return server
     import time
