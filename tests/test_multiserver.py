@@ -132,3 +132,32 @@ def test_multi_model_constructor_validation(tiny_vocab):
         MultiCaptionServer({})
     with pytest.raises(ValueError, match="must match"):
         MultiCaptionServer({"bad/name": cc})
+
+
+def test_caption_client_model_routing(tiny_vocab, rng):
+    """CaptionClient(model=...) talks to a multi daemon: routed captions,
+    caption_batch, and the models() listing."""
+    from vcr_tpu.client import CaptionClient
+
+    spec = _spec(tiny_vocab)
+    init = base.build_model("s2vt")[0]
+    params_a = init(jax.random.PRNGKey(3), spec, tiny_vocab.vectors)
+    params_b = init(jax.random.PRNGKey(77), spec, tiny_vocab.vectors)
+    feats = rng.standard_normal((3, 4, 12)).astype(np.float32)
+    want_a = _want(params_a, spec, feats, tiny_vocab.eos_id)
+    want_b = _want(params_b, spec, feats, tiny_vocab.eos_id)
+
+    cc_a = ContinuousCaptioner(params_a, spec, slots=2, admit_chunk=1,
+                               eos_id=tiny_vocab.eos_id)
+    cc_b = ContinuousCaptioner(params_b, spec, slots=2, admit_chunk=1,
+                               eos_id=tiny_vocab.eos_id)
+    with MultiCaptionServer({"a": (cc_a, tiny_vocab),
+                             "b": (cc_b, tiny_vocab)}) as ms:
+        url = f"http://127.0.0.1:{ms.port}"
+        ca = CaptionClient(url, model="a")
+        cb = CaptionClient(url, model="b")
+        assert set(ca.models()) == {"a", "b"}
+        toks, cap = ca.caption(feats[0])
+        assert toks == want_a[0] and isinstance(cap, str)
+        rows = cb.caption_batch(feats)
+        assert [t for t, _ in rows] == want_b

@@ -52,11 +52,16 @@ class CaptionClient:
     """
 
     def __init__(self, base_url: str, *, timeout_s: float = 120.0,
-                 retries: int = 3, backoff_s: float = 0.2):
+                 retries: int = 3, backoff_s: float = 0.2,
+                 model: Optional[str] = None):
         self.base_url = base_url.rstrip("/")
         self.timeout_s = timeout_s
         self.retries = retries
         self.backoff_s = backoff_s
+        # against a MULTI-model daemon (MultiCaptionServer), name the model
+        # to talk to: caption routes become /caption/<model>. None = the
+        # single-model daemon's routes.
+        self.model = model
 
     # ------------------------------------------------------------- plumbing
 
@@ -100,8 +105,15 @@ class CaptionClient:
         the server's model expects — spatial models take (N, F, K, K))."""
         buf = io.BytesIO()
         np.save(buf, np.ascontiguousarray(np.asarray(feats, np.float32)))
-        out = self._request("/caption", data=buf.getvalue())
+        out = self._request(self._route("/caption"), data=buf.getvalue())
         return [int(t) for t in out["tokens"]], out.get("caption")
+
+    def _route(self, path: str) -> str:
+        return f"{path}/{self.model}" if self.model else path
+
+    def models(self) -> dict:
+        """GET /models (multi-model daemons): {name: {arch, slots, ...}}."""
+        return self._request("/models")["models"]
 
     def caption_batch(self, feats_batch: np.ndarray
                       ) -> List[Optional[Tuple[List[int], Optional[str]]]]:
@@ -114,7 +126,8 @@ class CaptionClient:
         buf = io.BytesIO()
         np.save(buf, np.ascontiguousarray(
             np.asarray(feats_batch, np.float32)))
-        out = self._request("/caption_batch", data=buf.getvalue())
+        out = self._request(self._route("/caption_batch"),
+                            data=buf.getvalue())
         return [None if row is None
                 else ([int(t) for t in row["tokens"]], row.get("caption"))
                 for row in out["results"]]
