@@ -79,6 +79,56 @@ def main() -> None:
         print(f"\n[smoke] ==== {name} ====")
         cli(args)
 
+    # serve blocks, so drive it through the non-blocking API: the single
+    # daemon on the checkpoint, then the multi daemon mixing the live
+    # checkpoint with the frozen artifact exported above
+    print("\n[smoke] ==== serve (single + multi) ====")
+    import io
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from vcr_tpu.config import get_config
+    from vcr_tpu.tools import serve_captions
+
+    art = os.path.join(models, "continuous_artifact")
+    feats = np.random.default_rng(0).standard_normal((4, 12)).astype(
+        np.float32)
+    buf = io.BytesIO()
+    np.save(buf, feats)
+    body = buf.getvalue()
+
+    def post(port, path):
+        req = urllib.request.Request(f"http://127.0.0.1:{port}{path}",
+                                     data=body)
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    srv = serve_captions(get_config(
+        ["--mode", "serve", "--serve_port", "0", "--serve_slots", "2",
+         "--serve_admit_chunk", "1", "--save_path", models] + common),
+        block=False)
+    try:
+        out = post(srv.port, "/caption")
+        assert out["tokens"], out
+        print(f"[smoke] single serve: {out}")
+    finally:
+        srv.close()
+
+    srv = serve_captions(get_config(
+        ["--mode", "serve", "--serve_port", "0", "--serve_slots", "2",
+         "--serve_admit_chunk", "1", "--save_path", models,
+         "--serve_models", f"live={models},frozen={art}"] + common),
+        block=False)
+    try:
+        a = post(srv.port, "/caption/live")
+        b = post(srv.port, "/caption/frozen")
+        assert a["tokens"] == b["tokens"], (a, b)
+        print(f"[smoke] multi serve live==frozen: {a}")
+    finally:
+        srv.close()
+
     print("\n[smoke] ALL MODES OK")
     shutil.rmtree(root, ignore_errors=True)
 
