@@ -31,6 +31,15 @@ run bench_train    python bench_train.py all
 run bench_all      python bench_all.py
 run tpu_checks     python tpu_checks.py
 
+# 1b. serving-pool geometry sweep on the real chip (scripts/tune_serving.py
+#     --synthetic: same model family as bench_all's slot-decode row) — the
+#     empirical pool-sizing answer for the serving docs
+# (small grid: each geometry compiles its own encode/admit/step programs,
+#  20-40s each through the tunnel even with the compile cache cold)
+run tune_serving   python scripts/tune_serving.py --synthetic \
+  --slots 16,64 --admit_chunk 8 --step_chunk 2,4 --rate 0 \
+  --n_requests 256
+
 # 2. round-3 specifics: lineage-vs-gather beam A/B is inside bench_all;
 #    s2vt-att anomaly diagnosis; SpatialNet B=32 repro (the HTTP-413 question
 #    — our HLO is B-independent, so if this now passes the 413 was data
