@@ -59,29 +59,37 @@ def run_config(cc, feats, arrivals):
     def requests():
         i = 0
         while i < n:
-            if time.monotonic() - t0 >= arrivals[i]:
+            remaining = arrivals[i] - (time.monotonic() - t0)
+            if remaining <= 0:
                 yield i, feats[i % len(feats)]
                 i += 1
             else:
+                # bounded sleep instead of a hot spin: on this one-core box
+                # a busy poll competes with the very host work we measure
+                time.sleep(min(0.0005, remaining))
                 yield None
 
     for key, _toks in cc.caption_stream(requests()):
         t_done[key] = time.monotonic() - t0
-    wall = time.monotonic() - t0
+    wall = max(time.monotonic() - t0, 1e-9)
 
-    lat = np.asarray(sorted(t_done[k] - arrivals[k] for k in t_done))
     st = cc.stats
     occ = st["useful_steps"] / max(st["slot_steps"], 1)
-    return {
+    row = {
         "served": len(t_done),
         "wall_s": round(wall, 3),
         "throughput_caps_s": round(len(t_done) / wall, 1),
         "occupancy": round(occ, 4),
-        "latency_p50_ms": round(1e3 * float(lat[len(lat) // 2]), 2),
-        "latency_p95_ms": round(
-            1e3 * float(lat[min(len(lat) - 1, int(len(lat) * 0.95))]), 2),
+        "latency_p50_ms": None,
+        "latency_p95_ms": None,
         "ticks": st["ticks"],
     }
+    if t_done:
+        lat = np.asarray(sorted(t_done[k] - arrivals[k] for k in t_done))
+        row["latency_p50_ms"] = round(1e3 * float(lat[len(lat) // 2]), 2)
+        row["latency_p95_ms"] = round(
+            1e3 * float(lat[min(len(lat) - 1, int(len(lat) * 0.95))]), 2)
+    return row
 
 
 def main(argv=None) -> int:
@@ -107,6 +115,8 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default="",
                    help="force a jax platform (e.g. cpu) before first use")
     args = p.parse_args(argv)
+    if args.n_requests < 1:
+        p.error("--n_requests must be >= 1")
 
     if args.platform:
         import jax
@@ -169,8 +179,9 @@ def main(argv=None) -> int:
                "step_chunk": geom[2], **m}
         print(json.dumps(row), flush=True)
         results.append(row)
-    if results:
-        best = max(results,
+    scored = [r for r in results if r["served"]]
+    if scored:
+        best = max(scored,
                    key=lambda r: (r["throughput_caps_s"],
                                   -r["latency_p95_ms"]))
         print(json.dumps({"best": best}), flush=True)

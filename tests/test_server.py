@@ -480,13 +480,84 @@ def test_caption_batch_endpoint(tiny_vocab, rng):
             tokens, caption = r
             assert tokens == w
             assert isinstance(caption, str)
-        # a 1-D body (not a batch) and an overlarge batch both fail loudly
+        # a 1-D body (not a batch) fails loudly
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post_npy(server.port, feats[0, 0], path="/caption_batch")
         assert ei.value.code == 400
+        # a batch larger than max_pending drains in waves (no 503) ...
         server.max_pending = 3
-        with pytest.raises(urllib.error.HTTPError) as ei:
-            _post_npy(server.port, feats, path="/caption_batch")
-        assert ei.value.code == 503
-        assert server._rejected == 5
+        got = _post_npy(server.port, feats, path="/caption_batch")
+        assert [r["tokens"] for r in got["results"]] == want
+        # ... but a wave blocked by OTHER outstanding traffic is refused
+        # whole (genuinely transient -> ServerOverloaded)
+        from vcr_tpu.server import ServerOverloaded
+        import threading as _threading
+        with server._lock:
+            server._events["fake1"] = _threading.Event()
+            server._events["fake2"] = _threading.Event()
+        with pytest.raises(ServerOverloaded):
+            server.submit_many(feats[:2])
+        assert server._rejected == 2
+        with server._lock:
+            server._events.pop("fake1")
+            server._events.pop("fake2")
     assert server.error is None
+
+
+def test_caption_batch_waves_exceed_max_pending(tiny_vocab, rng):
+    """A batch larger than max_pending drains in sequential waves instead of
+    being permanently unserveable; per-row latencies are recorded at harvest
+    (count == rows, values spread across completion ticks)."""
+    spec = _spec(tiny_vocab)
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    feats = rng.standard_normal((7, 4, 12)).astype(np.float32)
+    toks, _ = decode_tokens(params, spec, feats, tiny_vocab.eos_id,
+                            beam_size=1)
+    rows = np.asarray(toks)[:, 0]
+    want = []
+    for row in rows:
+        hits = np.nonzero(row == tiny_vocab.eos_id)[0]
+        want.append([int(t) for t in
+                     (row[: hits[0] + 1] if len(hits) else row)])
+
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                             step_chunk=1, eos_id=tiny_vocab.eos_id)
+    with CaptionServer(cc, vocab=tiny_vocab, max_pending=3) as server:
+        got = server.submit_many(feats)           # 7 rows through waves of 3
+        assert [list(map(int, t)) for t in got] == want
+        assert server._rejected == 0
+        assert server._lat_count == 7
+    assert server.error is None
+
+
+def test_healthz_503_when_scheduler_dead(tiny_vocab):
+    """A dead scheduler must flip /healthz to 503 (the load-balancer
+    convention the docs promise), for both daemons."""
+    from vcr_tpu.multiserver import MultiCaptionServer
+
+    spec = _spec(tiny_vocab)
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                             eos_id=tiny_vocab.eos_id)
+    with CaptionServer(cc) as server:
+        server.error = "boom"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/healthz", timeout=30)
+        assert ei.value.code == 503
+        server.error = None
+
+    cc2 = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                              eos_id=tiny_vocab.eos_id)
+    with MultiCaptionServer({"m": cc2}) as ms:
+        ms.servers["m"].error = "boom"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{ms.port}/healthz", timeout=30)
+        assert ei.value.code == 503
+        body = json.loads(ei.value.read())
+        assert body["status"] == "error"
+        assert body["models"]["m"]["error"] == "boom"
+        ms.servers["m"].error = None

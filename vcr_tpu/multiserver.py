@@ -44,10 +44,8 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Tuple, Union
 
-import numpy as np
-
-from vcr_tpu.server import (CaptionServer, ServerOverloaded,
-                            parse_sampling_query, prometheus_text)
+from vcr_tpu.server import (CaptionServer, handle_caption_post,
+                            parse_profile_seconds, write_prometheus)
 
 _NAME_RE = re.compile(r"[A-Za-z0-9_.\-]{1,64}")
 
@@ -105,14 +103,7 @@ class MultiCaptionServer:
                                                     "beam_size", 1)}
                         for name, s in outer.servers.items()}})
                 if self.path == "/metrics":
-                    body = prometheus_text(outer.servers).encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type",
-                                     "text/plain; version=0.0.4")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
-                    return
+                    return write_prometheus(self, outer.servers)
                 if self.path != "/healthz":
                     return self._json(404, {"error": "unknown path"})
                 models = {}
@@ -129,27 +120,19 @@ class MultiCaptionServer:
                         st["latency_p95_ms"] = round(1e3 * p95, 2)
                     any_err |= s.error is not None
                     models[name] = st
-                self._json(500 if any_err else 200,
+                self._json(503 if any_err else 200,
                            {"status": "error" if any_err else "ok",
                             "models": models})
 
             def do_POST(self):
-                from urllib.parse import parse_qsl, urlsplit
+                from urllib.parse import urlsplit
 
                 parts = urlsplit(self.path)
                 if parts.path == "/profile":
                     # delegate to any backend's capture (process-global
                     # trace) behind the one multi-level guard
                     try:
-                        q = dict(parse_qsl(parts.query,
-                                           keep_blank_values=True))
-                        seconds = float(q.pop("seconds", 3.0))
-                        if q:
-                            raise ValueError(
-                                f"unknown query params {sorted(q)}")
-                        if not 0 < seconds <= 60:
-                            raise ValueError(
-                                f"seconds must be in (0, 60], got {seconds}")
+                        seconds = parse_profile_seconds(parts.query)
                     except ValueError as e:
                         return self._json(400, {"error": str(e)})
                     code, payload = outer._capture_profile(seconds)
@@ -166,47 +149,11 @@ class MultiCaptionServer:
                     return self._json(404, {
                         "error": f"unknown model {seg[2]!r}; serving "
                                  f"{sorted(outer.servers)}"})
-                try:
-                    opts = parse_sampling_query(parts.query)
-                except ValueError as e:
-                    return self._json(400, {"error": str(e)})
-                if opts and not getattr(s.captioner, "accepts_request_opts",
-                                        False):
-                    return self._json(400, {
-                        "error": f"model {seg[2]!r} was not built with "
-                                 "per-request sampling enabled"})
-                try:
-                    import io
-
-                    length = int(self.headers.get("Content-Length", "0"))
-                    feats = np.load(io.BytesIO(self.rfile.read(length)),
-                                    allow_pickle=False)
-                except Exception as e:
-                    return self._json(400, {"error": f"bad .npy body: {e}"})
-
-                def row_payload(toks):
-                    if toks is None:
-                        return None
-                    p = {"tokens": [int(t) for t in toks]}
-                    if s.vocab is not None:
-                        p["caption"] = s.vocab.get_sent_from_index(
-                            [int(t) for t in toks])
-                    return p
-
-                try:
-                    if seg[1] == "caption_batch":
-                        rows = s.submit_many(feats, opts=opts)
-                        return self._json(200, {
-                            "results": [row_payload(t) for t in rows]})
-                    toks = s.submit(feats, opts=opts)
-                except ServerOverloaded as e:
-                    return self._json(503, {"error": str(e)},
-                                      headers={"Retry-After": "1"})
-                except ValueError as e:
-                    return self._json(400, {"error": str(e)})
-                if toks is None:
-                    return self._json(504, {"error": "caption timed out"})
-                self._json(200, row_payload(toks))
+                # the whole caption flow (sampling-query validation, opts
+                # capability check, body parse, submit, error mapping) is
+                # the single-model daemon's, verbatim
+                handle_caption_post(self, s, parts,
+                                    batch=seg[1] == "caption_batch")
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]

@@ -27,6 +27,8 @@ API:
                   slots by admission chunks -> {"results": [row | null,
                   ...]} in input order (null = that row timed out). Same
                   optional sampling query params, applied to every row.
+                  B may exceed max_pending: the server drains it in
+                  sequential waves of max_pending rows.
   GET  /healthz   -> {"status": "ok", "in_flight": N, ...scheduler stats}
   POST /profile?seconds=S  capture a jax.profiler trace of live serving
                   (the scheduler thread's ticks) for S seconds (cap 60)
@@ -112,6 +114,80 @@ def parse_sampling_query(query: str) -> Optional[dict]:
     return opts
 
 
+def parse_profile_seconds(query: str) -> float:
+    """?seconds=S for POST /profile (default 3, bounded (0, 60]); raises
+    ValueError on unknown params or out-of-range values."""
+    from urllib.parse import parse_qsl
+
+    q = dict(parse_qsl(query, keep_blank_values=True))
+    seconds = float(q.pop("seconds", 3.0))
+    if q:
+        raise ValueError(f"unknown query params {sorted(q)}")
+    if not 0 < seconds <= 60:
+        raise ValueError(f"seconds must be in (0, 60], got {seconds}")
+    return seconds
+
+
+def handle_caption_post(handler, backend: "CaptionServer", parts,
+                        batch: bool) -> None:
+    """The POST /caption and /caption_batch flow, shared verbatim by the
+    single-model daemon and every route of the multi-model daemon (any fix
+    here fixes both): sampling-query validation, opts capability check,
+    .npy body parse, submit/submit_many, error mapping, payload build.
+    ``handler`` is the live BaseHTTPRequestHandler (must expose _json)."""
+    try:
+        opts = parse_sampling_query(parts.query)
+    except ValueError as e:
+        return handler._json(400, {"error": str(e)})
+    if opts and not getattr(backend.captioner, "accepts_request_opts",
+                            False):
+        return handler._json(400, {
+            "error": "per-request sampling params need a pool built with "
+                     "sampling enabled (--serve_request_sampling true or "
+                     "--sample_temperature > 0; frozen artifacts and beam "
+                     "pools do not accept them)"})
+    try:
+        length = int(handler.headers.get("Content-Length", "0"))
+        feats = np.load(io.BytesIO(handler.rfile.read(length)),
+                        allow_pickle=False)
+    except Exception as e:
+        return handler._json(400, {"error": f"bad .npy body: {e}"})
+
+    def row_payload(toks):
+        if toks is None:
+            return None
+        p = {"tokens": [int(t) for t in toks]}
+        if backend.vocab is not None:
+            p["caption"] = backend.vocab.get_sent_from_index(
+                [int(t) for t in toks])
+        return p
+
+    try:
+        if batch:
+            rows = backend.submit_many(feats, opts=opts)
+            return handler._json(200,
+                                 {"results": [row_payload(t) for t in rows]})
+        toks = backend.submit(feats, opts=opts)
+    except ServerOverloaded as e:
+        return handler._json(503, {"error": str(e)},
+                             headers={"Retry-After": "1"})
+    except ValueError as e:
+        return handler._json(400, {"error": str(e)})
+    if toks is None:
+        return handler._json(504, {"error": "caption timed out"})
+    handler._json(200, row_payload(toks))
+
+
+def write_prometheus(handler, servers: dict) -> None:
+    """GET /metrics response writer shared by both daemons."""
+    body = prometheus_text(servers).encode()
+    handler.send_response(200)
+    handler.send_header("Content-Type", "text/plain; version=0.0.4")
+    handler.send_header("Content-Length", str(len(body)))
+    handler.end_headers()
+    handler.wfile.write(body)
+
+
 def prometheus_text(servers: dict) -> str:
     """Valid Prometheus text exposition over one or many model backends.
     ``servers``: {label: CaptionServer}; the single-model daemon passes
@@ -171,6 +247,7 @@ class CaptionServer:
         self._queue: queue.Queue = queue.Queue()
         self._events: dict = {}
         self._tokens: dict = {}
+        self._done_at: dict = {}  # rid -> harvest time (true per-row latency)
         self._lock = threading.Lock()
         self._stopping = threading.Event()
         self._feat_shape = None
@@ -201,14 +278,7 @@ class CaptionServer:
 
             def do_GET(self):
                 if self.path == "/metrics":
-                    body = server._prometheus_text().encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type",
-                                     "text/plain; version=0.0.4")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
-                    return
+                    return write_prometheus(self, {"": server})
                 if self.path != "/healthz":
                     return self._json(404, {"error": "unknown path"})
                 stats = dict(server.captioner.stats,
@@ -220,71 +290,25 @@ class CaptionServer:
                 if p50 is not None:
                     stats["latency_p50_ms"] = round(1e3 * p50, 2)
                     stats["latency_p95_ms"] = round(1e3 * p95, 2)
-                self._json(500 if server.error else 200, stats)
+                # 503 on a dead scheduler: the conventional "unhealthy"
+                # signal load-balancer probes act on
+                self._json(503 if server.error else 200, stats)
 
             def do_POST(self):
-                from urllib.parse import parse_qsl, urlsplit
+                from urllib.parse import urlsplit
 
                 parts = urlsplit(self.path)
                 if parts.path == "/profile":
                     try:
-                        q = dict(parse_qsl(parts.query,
-                                           keep_blank_values=True))
-                        seconds = float(q.pop("seconds", 3.0))
-                        if q:
-                            raise ValueError(
-                                f"unknown query params {sorted(q)}")
-                        if not 0 < seconds <= 60:
-                            raise ValueError(
-                                f"seconds must be in (0, 60], got {seconds}")
+                        seconds = parse_profile_seconds(parts.query)
                     except ValueError as e:
                         return self._json(400, {"error": str(e)})
                     code, payload = server._capture_profile(seconds)
                     return self._json(code, payload)
                 if parts.path not in ("/caption", "/caption_batch"):
                     return self._json(404, {"error": "unknown path"})
-                try:
-                    opts = parse_sampling_query(parts.query)
-                except ValueError as e:
-                    return self._json(400, {"error": str(e)})
-                if opts and not getattr(server.captioner,
-                                        "accepts_request_opts", False):
-                    return self._json(400, {
-                        "error": "per-request sampling params need a pool "
-                                 "built with sampling enabled "
-                                 "(--serve_request_sampling true or "
-                                 "--sample_temperature > 0; frozen artifacts "
-                                 "and beam pools do not accept them)"})
-                try:
-                    length = int(self.headers.get("Content-Length", "0"))
-                    feats = np.load(io.BytesIO(self.rfile.read(length)),
-                                    allow_pickle=False)
-                except Exception as e:
-                    return self._json(400, {"error": f"bad .npy body: {e}"})
-
-                def row_payload(toks):
-                    if toks is None:
-                        return None
-                    p = {"tokens": [int(t) for t in toks]}
-                    if server.vocab is not None:
-                        p["caption"] = server.vocab.get_sent_from_index(
-                            [int(t) for t in toks])
-                    return p
-
-                try:
-                    if parts.path == "/caption_batch":
-                        rows = server.submit_many(feats, opts=opts)
-                        return self._json(200, {
-                            "results": [row_payload(t) for t in rows]})
-                    toks = server.submit(feats, opts=opts)
-                except ServerOverloaded as e:
-                    return self._json(503, {"error": str(e)},
-                                      headers={"Retry-After": "1"})
-                except ValueError as e:
-                    return self._json(400, {"error": str(e)})
-                if toks is None:
-                    return self._json(504, {"error": "caption timed out"})
-                self._json(200, row_payload(toks))
+                handle_caption_post(self, server, parts,
+                                    batch=parts.path == "/caption_batch")
 
         # http=False runs headless: submit()/submit_many() + the scheduler
         # thread with no socket — the per-model backend of MultiCaptionServer
@@ -348,27 +372,36 @@ class CaptionServer:
             # entry would leak it forever. If the caption DID land in that
             # window, return it (the client is still connected).
             toks = self._tokens.pop(rid, None)
+            done_at = self._done_at.pop(rid, None)
             if toks is None and not self._stopping.is_set():
                 # client gives up: reclaim the request's queue entry / slot
                 self._cancelled.add(rid)
             if toks is not None:
-                dt = time.monotonic() - t0
-                self._latencies.append(dt)
-                self._lat_sum += dt
-                self._lat_count += 1
-                if len(self._latencies) > 512:
-                    del self._latencies[:256]
+                self._record_latency((done_at or time.monotonic()) - t0)
             return toks
+
+    def _record_latency(self, dt: float) -> None:
+        """Caller holds self._lock."""
+        self._latencies.append(dt)
+        self._lat_sum += dt
+        self._lat_count += 1
+        if len(self._latencies) > 512:
+            del self._latencies[:256]
 
     def submit_many(self, feats_batch: np.ndarray,
                     opts: Optional[dict] = None) -> list:
         """Enqueue a whole (B, *item_shape) batch (POST /caption_batch) and
-        block until every caption or the shared deadline
-        (``request_timeout_s`` from enqueue). Returns a length-B list with
-        None for rows that timed out (those are cancelled scheduler-side).
-        One admission-bound check covers the batch: B + outstanding must fit
-        max_pending or the whole batch is refused (ServerOverloaded) — a
-        half-admitted batch would be worse than a clean retry."""
+        block until every caption or the per-wave deadline
+        (``request_timeout_s``). Returns a length-B list with None for rows
+        that timed out (those are cancelled scheduler-side). A batch larger
+        than max_pending is processed in sequential WAVES of max_pending
+        rows — an arbitrarily large offline corpus drains through a bounded
+        daemon instead of being unserveable. Within a wave, one admission
+        check covers all rows: wave + outstanding must fit max_pending or
+        the wave is refused whole (ServerOverloaded, genuinely transient —
+        retry after backoff) — a half-admitted wave would be worse than a
+        clean retry. Per-row latencies are recorded at HARVEST time (the
+        scheduler stamps completion), not at batch drain."""
         if opts and not getattr(self.captioner, "accepts_request_opts",
                                 False):
             raise ValueError("this pool does not accept per-request options")
@@ -376,6 +409,13 @@ class CaptionServer:
         if fb.ndim < 2 or len(fb) == 0:
             raise ValueError(
                 f"need a non-empty (B, ...) feature batch, got {fb.shape}")
+        wave = self.max_pending or len(fb)
+        out = []
+        for start in range(0, len(fb), wave):
+            out.extend(self._submit_wave(fb[start: start + wave], opts))
+        return out
+
+    def _submit_wave(self, fb: np.ndarray, opts: Optional[dict]) -> list:
         b = len(fb)
         item_shape = fb.shape[1:]
         rids = [uuid.uuid4().hex for _ in range(b)]
@@ -384,7 +424,7 @@ class CaptionServer:
             if self.max_pending and len(self._events) + b > self.max_pending:
                 self._rejected += b
                 raise ServerOverloaded(
-                    f"batch of {b} + {len(self._events)} outstanding > "
+                    f"batch wave of {b} + {len(self._events)} outstanding > "
                     f"max_pending={self.max_pending}")
             if self._feat_shape is None:
                 check = getattr(self.captioner, "check_feat_shape", None)
@@ -409,16 +449,12 @@ class CaptionServer:
             for rid in rids:
                 self._events.pop(rid, None)
                 toks = self._tokens.pop(rid, None)
+                done_at = self._done_at.pop(rid, None)
                 if toks is None and not self._stopping.is_set():
                     self._cancelled.add(rid)
                 elif toks is not None:
-                    dt = time.monotonic() - t0
-                    self._latencies.append(dt)
-                    self._lat_sum += dt
-                    self._lat_count += 1
+                    self._record_latency((done_at or time.monotonic()) - t0)
                 out.append(toks)
-            if len(self._latencies) > 512:
-                del self._latencies[:256]
         return out
 
     def _latency_quantiles(self):
@@ -541,6 +577,7 @@ class CaptionServer:
                     ev = self._events.get(rid)
                     if ev is not None:  # dropped if the client timed out
                         self._tokens[rid] = toks
+                        self._done_at[rid] = time.monotonic()
                         ev.set()
         except Exception as e:  # pragma: no cover - defensive
             self.error = repr(e)

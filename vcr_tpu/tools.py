@@ -143,6 +143,11 @@ def serve_captions(cfg: Config, checkpoint_path: str = "",
             if not name or not path:
                 raise ValueError(
                     f"--serve_models entry {entry!r} is not name=path")
+            if name in backends:
+                # a silent overwrite would route one name's traffic to the
+                # other checkpoint and strand the first pool's HBM
+                raise ValueError(f"duplicate model name {name!r} in "
+                                 f"--serve_models")
             cc, vocab, arch = _build_serving_pool(cfg, path)
             backends[name] = (cc, vocab)
         server = MultiCaptionServer(
