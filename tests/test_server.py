@@ -561,3 +561,74 @@ def test_healthz_503_when_scheduler_dead(tiny_vocab):
         assert body["status"] == "error"
         assert body["models"]["m"]["error"] == "boom"
         ms.servers["m"].error = None
+
+
+def test_auth_token_and_body_limit(tiny_vocab, rng, tmp_path):
+    """auth_token gates POST routes with 401 (healthz/metrics stay open);
+    oversized bodies get 413; CaptionClient(token=) authenticates."""
+    from vcr_tpu.client import CaptionClient, CaptionServerError
+
+    spec = _spec(tiny_vocab)
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    feats = rng.standard_normal((4, 12)).astype(np.float32)
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                             eos_id=tiny_vocab.eos_id)
+    pdir = str(tmp_path / "tr")
+    import os as _os
+    _os.makedirs(pdir)
+    with CaptionServer(cc, vocab=tiny_vocab, auth_token="s3cret",
+                       profile_dir=pdir, max_body_mb=0.001) as server:
+        url = f"http://127.0.0.1:{server.port}"
+        # open probes
+        health = json.loads(urllib.request.urlopen(f"{url}/healthz",
+                                                   timeout=30).read())
+        assert health["status"] == "ok"
+        assert "vcr_up" in urllib.request.urlopen(f"{url}/metrics",
+                                                  timeout=30).read().decode()
+        # unauthenticated POSTs -> 401 with a WWW-Authenticate header
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post_npy(server.port, feats)
+        assert ei.value.code == 401
+        assert ei.value.headers["WWW-Authenticate"] == "Bearer"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{url}/profile?seconds=0.1", data=b""), timeout=30)
+        assert ei.value.code == 401
+        # wrong token -> 401; right token -> served
+        bad = CaptionClient(url, token="wrong", retries=0)
+        with pytest.raises(CaptionServerError) as e2:
+            bad.caption(feats)
+        assert e2.value.code == 401
+        good = CaptionClient(url, token="s3cret", retries=0)
+        toks, cap = good.caption(feats)
+        assert len(toks) >= 1 and isinstance(cap, str)
+        # body past max_body_mb (0.001 MiB ~ 1 KiB) -> 413
+        with pytest.raises(CaptionServerError) as e3:
+            good.caption_batch(np.zeros((64, 4, 12), np.float32))
+        assert e3.value.code == 413
+    assert server.error is None
+
+
+def test_auth_token_multi_daemon(tiny_vocab, rng):
+    """The multi daemon applies the same bearer gate on its routes."""
+    from vcr_tpu.client import CaptionClient, CaptionServerError
+    from vcr_tpu.multiserver import MultiCaptionServer
+
+    spec = _spec(tiny_vocab)
+    params = base.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                         tiny_vocab.vectors)
+    feats = rng.standard_normal((4, 12)).astype(np.float32)
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                             eos_id=tiny_vocab.eos_id)
+    with MultiCaptionServer({"m": (cc, tiny_vocab)},
+                            auth_token="tok") as ms:
+        url = f"http://127.0.0.1:{ms.port}"
+        with pytest.raises(CaptionServerError) as ei:
+            CaptionClient(url, model="m", retries=0).caption(feats)
+        assert ei.value.code == 401
+        toks, cap = CaptionClient(url, model="m", token="tok",
+                                  retries=0).caption(feats)
+        assert len(toks) >= 1
+        # /models and /healthz stay open
+        assert "m" in CaptionClient(url).models()

@@ -53,11 +53,13 @@ class CaptionClient:
 
     def __init__(self, base_url: str, *, timeout_s: float = 120.0,
                  retries: int = 3, backoff_s: float = 0.2,
-                 model: Optional[str] = None):
+                 model: Optional[str] = None, token: Optional[str] = None):
         self.base_url = base_url.rstrip("/")
         self.timeout_s = timeout_s
         self.retries = retries
         self.backoff_s = backoff_s
+        # bearer token for servers started with --serve_auth_token
+        self.token = token
         # against a MULTI-model daemon (MultiCaptionServer), name the model
         # to talk to: caption routes become /caption/<model>. None = the
         # single-model daemon's routes.
@@ -71,10 +73,11 @@ class CaptionClient:
         delay = self.backoff_s
         last: Exception = RuntimeError("unreachable")
         for attempt in range(self.retries + 1):
-            req = urllib.request.Request(
-                url, data=data,
-                headers={"Content-Type": "application/octet-stream"}
-                if data is not None else {})
+            headers = ({"Content-Type": "application/octet-stream"}
+                       if data is not None else {})
+            if self.token:
+                headers["Authorization"] = f"Bearer {self.token}"
+            req = urllib.request.Request(url, data=data, headers=headers)
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
                     body = r.read()

@@ -144,6 +144,12 @@ class Config:
     # POST /caption/<name>, GET /models; per-model pools share the chip
     # through interleaved scheduler threads). "" = single-model daemon.
     serve_models: str = ""
+    # Bearer-token auth for the daemon's POST routes (caption/profile):
+    # clients must send "Authorization: Bearer <token>". "" = open (default;
+    # healthz/metrics are always open for probes/scrapers). Bodies above
+    # serve_max_body_mb MiB get 413 (0 = unbounded).
+    serve_auth_token: str = ""
+    serve_max_body_mb: float = 256.0
     # METEOR matcher-stage resources (evals/metrics.py). The synonym (w=0.8)
     # and paraphrase (w=0.6) stages of the Meteor 1.5 jar are implemented but
     # inert without data (their files are env-blocked here). synonyms: "" =
@@ -201,7 +207,8 @@ _CLI_OVERRIDE_FIELDS = (
     "mesh_dp", "mesh_mp", "compile_cache_dir",
     "serve_port", "serve_slots", "serve_admit_chunk",
     "serve_max_pending", "serve_timeout_s", "serve_request_sampling",
-    "serve_profile_dir", "serve_models",
+    "serve_profile_dir", "serve_models", "serve_auth_token",
+    "serve_max_body_mb",
     "meteor_synonyms", "meteor_paraphrases",
 )
 

@@ -44,7 +44,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Tuple, Union
 
-from vcr_tpu.server import (CaptionServer, handle_caption_post,
+from vcr_tpu.server import (CaptionServer, check_auth, handle_caption_post,
                             parse_profile_seconds, write_prometheus)
 
 _NAME_RE = re.compile(r"[A-Za-z0-9_.\-]{1,64}")
@@ -59,9 +59,12 @@ class MultiCaptionServer:
                  host: str = "127.0.0.1", port: int = 0,
                  request_timeout_s: float = 120.0,
                  max_pending: Optional[int] = None,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None,
+                 auth_token: Optional[str] = None,
+                 max_body_mb: float = 256.0):
         if not backends:
             raise ValueError("need at least one model backend")
+        self.auth_token = auth_token
         self.servers: Dict[str, CaptionServer] = {}
         for name, spec in backends.items():
             if not _NAME_RE.fullmatch(name):
@@ -71,7 +74,7 @@ class MultiCaptionServer:
             self.servers[name] = CaptionServer(
                 cap, vocab=vocab, request_timeout_s=request_timeout_s,
                 max_pending=max_pending, profile_dir=profile_dir,
-                http=False)
+                http=False, auth_token=auth_token, max_body_mb=max_body_mb)
         # one global profile guard: the jax profiler is process-wide, so a
         # capture through any route traces every model's scheduler
         self.profile_dir = profile_dir
@@ -131,6 +134,8 @@ class MultiCaptionServer:
                 if parts.path == "/profile":
                     # delegate to any backend's capture (process-global
                     # trace) behind the one multi-level guard
+                    if not check_auth(self, outer.auth_token):
+                        return
                     try:
                         seconds = parse_profile_seconds(parts.query)
                     except ValueError as e:

@@ -45,6 +45,12 @@ Usage:
     ...
     server.close()
 
+Auth: ``auth_token`` (``--serve_auth_token``) gates every POST route behind
+"Authorization: Bearer <token>" (401 otherwise); /healthz and /metrics stay
+open for load-balancer probes and scrapers. ``max_body_mb`` bounds request
+bodies (413) — an unbounded read of a hostile Content-Length is a memory
+DoS.
+
 Production bounds: ``max_pending`` caps outstanding requests (queued +
 in-flight) — beyond it POST /caption returns 503 + Retry-After instead of
 queueing unboundedly (each queued HTTP request holds a handler thread). A
@@ -128,13 +134,49 @@ def parse_profile_seconds(query: str) -> float:
     return seconds
 
 
+def check_auth(handler, auth_token: Optional[str]) -> bool:
+    """Bearer-token gate for the mutating routes (caption/profile). True =
+    allowed; False = a 401 response was already written. /healthz and
+    /metrics stay open (load-balancer probes and scrapers don't carry app
+    tokens). Constant-time comparison — an equality short-circuit would
+    leak prefix length to a timing probe."""
+    if not auth_token:
+        return True
+    import hmac
+
+    got = handler.headers.get("Authorization", "")
+    if got.startswith("Bearer ") and hmac.compare_digest(got[7:],
+                                                         auth_token):
+        return True
+    handler._json(401, {"error": "missing or invalid bearer token"},
+                  headers={"WWW-Authenticate": "Bearer"})
+    return False
+
+
+def read_body(handler, max_body_mb: float):
+    """Read the request body bounded by ``max_body_mb`` (raises ValueError
+    with an HTTP status hint on violation) — an unbounded rfile.read of a
+    hostile Content-Length is a memory DoS."""
+    length = int(handler.headers.get("Content-Length", "0"))
+    if length < 0:
+        raise ValueError("negative Content-Length")
+    if max_body_mb and length > max_body_mb * 1024 * 1024:
+        raise ValueError(
+            f"body of {length} bytes exceeds the server's "
+            f"{max_body_mb:g} MiB limit")
+    return handler.rfile.read(length)
+
+
 def handle_caption_post(handler, backend: "CaptionServer", parts,
                         batch: bool) -> None:
     """The POST /caption and /caption_batch flow, shared verbatim by the
     single-model daemon and every route of the multi-model daemon (any fix
-    here fixes both): sampling-query validation, opts capability check,
-    .npy body parse, submit/submit_many, error mapping, payload build.
-    ``handler`` is the live BaseHTTPRequestHandler (must expose _json)."""
+    here fixes both): auth, sampling-query validation, opts capability
+    check, bounded .npy body parse, submit/submit_many, error mapping,
+    payload build. ``handler`` is the live BaseHTTPRequestHandler (must
+    expose _json)."""
+    if not check_auth(handler, backend.auth_token):
+        return
     try:
         opts = parse_sampling_query(parts.query)
     except ValueError as e:
@@ -147,9 +189,11 @@ def handle_caption_post(handler, backend: "CaptionServer", parts,
                      "--sample_temperature > 0; frozen artifacts and beam "
                      "pools do not accept them)"})
     try:
-        length = int(handler.headers.get("Content-Length", "0"))
-        feats = np.load(io.BytesIO(handler.rfile.read(length)),
-                        allow_pickle=False)
+        body = read_body(handler, backend.max_body_mb)
+    except ValueError as e:
+        return handler._json(413, {"error": str(e)})
+    try:
+        feats = np.load(io.BytesIO(body), allow_pickle=False)
     except Exception as e:
         return handler._json(400, {"error": f"bad .npy body: {e}"})
 
@@ -234,12 +278,19 @@ class CaptionServer:
     def __init__(self, captioner, vocab=None, host: str = "127.0.0.1",
                  port: int = 0, request_timeout_s: float = 120.0,
                  max_pending: Optional[int] = None,
-                 profile_dir: Optional[str] = None, http: bool = True):
+                 profile_dir: Optional[str] = None, http: bool = True,
+                 auth_token: Optional[str] = None,
+                 max_body_mb: float = 256.0):
         self.captioner = captioner
         self.vocab = vocab
         self.request_timeout_s = request_timeout_s
         self.max_pending = (4 * captioner.slots if max_pending is None
                             else max_pending)
+        # POST routes require "Authorization: Bearer <auth_token>" when set
+        # (healthz/metrics stay open for probes/scrapers); bodies above
+        # max_body_mb are refused with 413 (0 disables the bound)
+        self.auth_token = auth_token
+        self.max_body_mb = max_body_mb
         self.profile_dir = profile_dir
         self._profiling = False
         self._rejected = 0
@@ -299,6 +350,8 @@ class CaptionServer:
 
                 parts = urlsplit(self.path)
                 if parts.path == "/profile":
+                    if not check_auth(self, server.auth_token):
+                        return
                     try:
                         seconds = parse_profile_seconds(parts.query)
                     except ValueError as e:

@@ -153,7 +153,9 @@ def serve_captions(cfg: Config, checkpoint_path: str = "",
         server = MultiCaptionServer(
             backends, port=cfg.serve_port,
             request_timeout_s=cfg.serve_timeout_s, max_pending=max_pending,
-            profile_dir=cfg.serve_profile_dir or None).start()
+            profile_dir=cfg.serve_profile_dir or None,
+            auth_token=cfg.serve_auth_token or None,
+            max_body_mb=cfg.serve_max_body_mb).start()
         print(f"serving {len(backends)} models "
               f"({', '.join(sorted(backends))}) on "
               f"http://127.0.0.1:{server.port} — POST /caption/<model>, "
@@ -164,7 +166,9 @@ def serve_captions(cfg: Config, checkpoint_path: str = "",
             cc, vocab=vocab, port=cfg.serve_port,
             request_timeout_s=cfg.serve_timeout_s,
             max_pending=max_pending,
-            profile_dir=cfg.serve_profile_dir or None).start()
+            profile_dir=cfg.serve_profile_dir or None,
+            auth_token=cfg.serve_auth_token or None,
+            max_body_mb=cfg.serve_max_body_mb).start()
         print(f"serving {arch} captions on http://127.0.0.1:{server.port} "
               f"(R={cc.slots}, A={cc.admit_chunk}) — POST /caption, "
               "GET /healthz; Ctrl-C to stop", flush=True)
