@@ -174,14 +174,23 @@ def serve_captions(cfg: Config, checkpoint_path: str = "",
               "GET /healthz; Ctrl-C to stop", flush=True)
     if not block:
         return server
+    import signal
+    import threading
     import time
 
+    # SIGTERM (systemd/k8s stop) drains like Ctrl-C: close() stops accepting,
+    # lets the scheduler finish in-flight decodes, and releases waiting
+    # clients — same graceful-preemption stance as the train loop's handler
+    stop = threading.Event()
+    prev = signal.signal(signal.SIGTERM, lambda *_: stop.set())
     try:
-        while True:
-            time.sleep(3600)
+        while not stop.is_set():
+            time.sleep(1.0)
+        print("SIGTERM: shutting down")
     except KeyboardInterrupt:
         print("shutting down")
     finally:
+        signal.signal(signal.SIGTERM, prev)
         server.close()
 
 
