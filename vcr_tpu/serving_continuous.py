@@ -634,8 +634,17 @@ class ContinuousCaptioner:
                 # lineage: beam reorder permutes ONLY the ancestry matrix;
                 # the KV caches are never physically moved
                 dec = dict(dec, anc=dec["anc"][flat_src])
-            else:
+            elif self._base == "s2vt":
                 dec = jax.tree_util.tree_map(lambda x: x[flat_src], dec)
+            else:
+                # s2vt-att: pk/eo are per-VIDEO encoder constants, identical
+                # across a group's K rows — flat_src permutes only within
+                # groups, so gathering them is a no-op worth (R*K, N, H)x2 of
+                # pure HBM traffic per step (measured 93 KB/token at the
+                # analyze_slot_tick.py toy widths, ~7x the whole rest of the
+                # step's moved bytes; the batch beam already passes them
+                # closed-over, decode.py:270). Only `h` truly reorders.
+                dec = dict(dec, h=dec["h"][flat_src])
             btoks = st["btoks"][flat_src]
             bfin = st["bfin"][flat_src]
             words = word_idx.reshape(-1)
