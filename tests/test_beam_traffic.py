@@ -105,3 +105,32 @@ def test_lineage_reorder_traffic_ratio(tiny_vocab):
     g = _reorder_delta(spec, 4, 4, lineage=False)
     ln = _reorder_delta(spec, 4, 4, lineage=True)
     assert ln < g / 4, (g, ln)
+
+
+def test_continuous_att_beam_reorders_only_h(tiny_vocab):
+    """The continuous s2vt-att beam's per-step reorder must touch only the
+    true recurrent state `h` — pk/eo are per-video constants, identical
+    across a slot group's K rows, and permuting them once cost ~8x the rest
+    of the step's moved bytes (scripts/analyze_slot_tick.py). Structural
+    bound: the att pool's tick must not move more than ~3x the s2vt pool's
+    (it would be ~10x with the pk/eo permute back in)."""
+    from vcr_tpu.serving_continuous import ContinuousCaptioner
+
+    import numpy as np
+
+    moved = {}
+    for arch in ("s2vt", "s2vt-att"):
+        spec = base.ModelSpec(
+            arch=arch, vocab_size=tiny_vocab.vocab_size,
+            embed_size=tiny_vocab.embed_size, hidden_size=8,
+            vid_feat_size=12, max_len=8, num_frames=4, dropout_p=0.0,
+            sos_id=tiny_vocab.sos_id, compute_dtype="float32")
+        params = base.build_model(arch)[0](
+            jax.random.PRNGKey(0), spec,
+            np.asarray(tiny_vocab.vectors))
+        cc = ContinuousCaptioner(params, spec, slots=4, admit_chunk=1,
+                                 step_chunk=1, eos_id=tiny_vocab.eos_id,
+                                 beam_size=4)
+        moved[arch] = jaxpr_gather_bytes(cc._step_n_beam, cc.params,
+                                         cc.state)
+    assert moved["s2vt-att"] < 3 * moved["s2vt"], moved
