@@ -218,6 +218,48 @@ def main() -> None:
         cc_row["mfu"] = round(cc_mfu, 4)
     print(json.dumps(cc_row), flush=True)
 
+    # Continuous BEAM tick rate (s2vt-att): prices the per-step within-group
+    # beam reorder, which now permutes ONLY the recurrent `h` (pk/eo are
+    # per-video constants, identical across a slot's K rows — permuting them
+    # cost ~8x the step's other moved bytes; scripts/analyze_slot_tick.py).
+    # Steady state at a full pool, host plumbing excluded as above.
+    from vcr_tpu.serving_continuous import ContinuousCaptioner
+
+    att_spec = spec_for("s2vt-att", 512)
+    att_params = jax.device_put(s2vt_att.init_params(
+        jax.random.PRNGKey(1), att_spec, glove))
+    att_r = scaled(64)
+    cb = ContinuousCaptioner(att_params, att_spec, slots=att_r,
+                             admit_chunk=att_r, step_chunk=4,
+                             eos_id=eos_id, beam_size=5)
+    cb.encode_admit(
+        rng.standard_normal((att_r, 30, 512)).astype(np.float32),
+        np.arange(att_r, dtype=np.int32), np.ones((att_r,), bool))
+    cb_st0 = cb.state
+
+    @jax.jit
+    def att_beam_run_n(params, st):
+        def body(st, _):
+            st = cb._step_n_beam(params, st)
+            # hold every slot live: this row measures steady-state tick
+            # rate, not caption completion
+            return dict(st, active=jnp.ones_like(st["active"])), None
+
+        st, _ = jax.lax.scan(body, st, None, length=iters)
+        return st["last"].astype(jnp.float32).ravel()[0] * 1e-12
+
+    cb_dt, _f2, cb_mfu = benchutil.time_chained(
+        att_beam_run_n, (cb.params, cb_st0), device)
+    cb_row = {
+        "metric": (f"S2VT-att continuous BEAM-5 slot decode tokens/sec/chip "
+                   f"(R={att_r}, h-only reorder, bf16)"),
+        "value": round(att_r * 4 * iters / cb_dt, 2),
+        "unit": "tokens/s",
+    }
+    if cb_mfu is not None:
+        cb_row["mfu"] = round(cb_mfu, 4)
+    print(json.dumps(cb_row), flush=True)
+
     def tr_parity_beam(params, xi):
         tokens, _ = vdecode.transformer_beam_decode(
             params, tr_spec, xi, beam_size=5, eos_id=eos_id)
