@@ -68,18 +68,21 @@ class CaptionClient:
     # ------------------------------------------------------------- plumbing
 
     def _request(self, path: str, data: Optional[bytes] = None,
-                 raw: bool = False):
+                 raw: bool = False, timeout_s: Optional[float] = None,
+                 retries: Optional[int] = None):
         url = self.base_url + path
         delay = self.backoff_s
+        retries = self.retries if retries is None else retries
         last: Exception = RuntimeError("unreachable")
-        for attempt in range(self.retries + 1):
+        for attempt in range(retries + 1):
             headers = ({"Content-Type": "application/octet-stream"}
                        if data is not None else {})
             if self.token:
                 headers["Authorization"] = f"Bearer {self.token}"
             req = urllib.request.Request(url, data=data, headers=headers)
             try:
-                with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                with urllib.request.urlopen(
+                        req, timeout=timeout_s or self.timeout_s) as r:
                     body = r.read()
                     return body.decode() if raw else json.loads(body)
             except urllib.error.HTTPError as e:
@@ -88,12 +91,21 @@ class CaptionClient:
                     msg = json.loads(msg).get("error", msg)
                 except (json.JSONDecodeError, ValueError, AttributeError):
                     pass
-                if e.code != 504 or attempt == self.retries:
+                # 503 (back-pressure, sent with Retry-After) and 504 (this
+                # caption timed out) are transient — a retry can succeed;
+                # 4xx never will
+                if e.code not in (503, 504) or attempt == retries:
                     raise CaptionServerError(e.code, msg) from None
                 last = CaptionServerError(e.code, msg)
+                if e.code == 503:
+                    try:
+                        delay = max(delay,
+                                    float(e.headers.get("Retry-After", 0)))
+                    except (TypeError, ValueError):
+                        pass
             except (urllib.error.URLError, ConnectionError, TimeoutError,
                     OSError) as e:
-                if attempt == self.retries:
+                if attempt == retries:
                     raise
                 last = e
             time.sleep(delay)
@@ -118,19 +130,32 @@ class CaptionClient:
         """GET /models (multi-model daemons): {name: {arch, slots, ...}}."""
         return self._request("/models")["models"]
 
-    def caption_batch(self, feats_batch: np.ndarray
+    def caption_batch(self, feats_batch: np.ndarray,
+                      timeout_s: Optional[float] = None
                       ) -> List[Optional[Tuple[List[int], Optional[str]]]]:
         """POST /caption_batch: one request carries a whole (B, ...) feature
         batch; returns a length-B list of (tokens, caption-or-None) in input
         order, with None for rows the server timed out. One connection and
         one .npy payload instead of B concurrent POSTs — the bulk path for
         offline corpora; for live traffic prefer caption_many (per-request
-        latency accounting, per-row retries)."""
+        latency accounting, per-row retries).
+
+        The server drains batches larger than its max_pending in sequential
+        WAVES, each taking up to its own request_timeout_s, and sends no
+        bytes until the whole batch is done — so the socket timeout here
+        defaults to ``timeout_s_per_row * B`` headroom (0.5s/row, floored at
+        the client timeout) rather than the plain per-request timeout, and
+        the request is NEVER blind-retried on a socket timeout (the server
+        is still decoding the originals; re-POSTing would multiply device
+        work). Pass ``timeout_s`` to override."""
+        fb = np.ascontiguousarray(np.asarray(feats_batch, np.float32))
         buf = io.BytesIO()
-        np.save(buf, np.ascontiguousarray(
-            np.asarray(feats_batch, np.float32)))
+        np.save(buf, fb)
+        if timeout_s is None:
+            timeout_s = max(self.timeout_s, 0.5 * len(fb))
         out = self._request(self._route("/caption_batch"),
-                            data=buf.getvalue())
+                            data=buf.getvalue(), timeout_s=timeout_s,
+                            retries=0)
         return [None if row is None
                 else ([int(t) for t in row["tokens"]], row.get("caption"))
                 for row in out["results"]]

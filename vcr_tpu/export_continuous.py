@@ -83,11 +83,10 @@ def export_continuous(params, spec, out_dir: str, *,
 
     if feat_item_shape is not None:
         item_shape = tuple(feat_item_shape)
-    elif spec.arch == "spatial":
-        g = spec.grid_size
-        item_shape = (spec.num_frames, spec.vid_feat_size, g, g)
     else:
-        item_shape = (spec.num_frames, spec.vid_feat_size)
+        from vcr_tpu.export_serving import default_input_shape
+
+        item_shape = default_input_shape(spec, "none")
 
     p_leaves, p_tree = jax.tree_util.tree_flatten(cc.params)
     s_leaves, s_tree = jax.tree_util.tree_flatten(cc.state)
@@ -152,7 +151,6 @@ def export_continuous(params, spec, out_dir: str, *,
         "eos_id": int(cc.eos_id),
         "sos_id": int(spec.sos_id),
         "max_len": int(spec.max_len),
-        "feat_item_shape": list(item_shape),
         "seed": int(seed),
         "bookkeeping_leaf_indices": book_idx,
         "weight_leaf_dtypes": [str(np.dtype(l.dtype)) for l in p_leaves],
@@ -199,8 +197,16 @@ class ContinuousArtifact:
 
         with open(os.path.join(artifact_dir, META_FILE)) as f:
             self.meta = json.load(f)
-        assert self.meta.get("kind") == "continuous", \
-            "not a continuous-serving artifact (use export_serving.load_artifact)"
+        if self.meta.get("kind") != "continuous":
+            raise ValueError(
+                "not a continuous-serving artifact (use "
+                "export_serving.load_artifact)")
+        if self.meta.get("format_version") != FORMAT_VERSION:
+            # a future-format artifact loading silently would index the
+            # wrong bookkeeping leaves and serve garbage — fail loudly
+            raise ValueError(
+                f"artifact format_version {self.meta.get('format_version')} "
+                f"(this loader understands {FORMAT_VERSION})")
 
         def _load(fname):
             with open(os.path.join(artifact_dir, fname), "rb") as f:
@@ -221,6 +227,7 @@ class ContinuousArtifact:
         self.slots = self.meta["slots"]
         self.admit_chunk = self.meta["admit_chunk"]
         self.step_chunk = self.meta["step_chunk"]
+        self.beam_size = self.meta.get("beam_size", 1)
         self.eos_id = self.meta["eos_id"]
         self.stats = {"ticks": 0, "admit_chunks": 0, "served": 0,
                       "useful_steps": 0, "slot_steps": 0}

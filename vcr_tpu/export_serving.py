@@ -226,12 +226,16 @@ class ServingArtifact:
     """
 
     def __init__(self, exported, leaves, meta, mesh=None):
+        import jax
+
         self._exported = exported
-        self._leaves = leaves
+        # device_put ONCE at load: leaving the weight leaves as host numpy
+        # would re-transfer the full weight set on every caption() dispatch
+        # (seconds per request for real-width models through a slow link)
+        self._leaves = [jax.device_put(l) for l in leaves]
         self.meta = meta
         self._mesh = mesh
         if mesh is not None:
-            import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rep = NamedSharding(mesh, P())

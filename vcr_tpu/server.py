@@ -465,7 +465,28 @@ class CaptionServer:
         wave = self.max_pending or len(fb)
         out = []
         for start in range(0, len(fb), wave):
-            out.extend(self._submit_wave(fb[start: start + wave], opts))
+            rows = fb[start: start + wave]
+            try:
+                out.extend(self._submit_wave(rows, opts))
+            except ServerOverloaded:
+                if start == 0:
+                    # nothing admitted yet: a clean whole-batch reject the
+                    # client can safely retry
+                    raise
+                # later waves: other traffic filled the bound mid-batch —
+                # raising here would discard the completed waves' results,
+                # so wait for headroom up to one wave-timeout, then give the
+                # remainder up as row-nulls (the documented timeout shape)
+                deadline = time.monotonic() + self.request_timeout_s
+                while True:
+                    time.sleep(0.05)
+                    try:
+                        out.extend(self._submit_wave(rows, opts))
+                        break
+                    except ServerOverloaded:
+                        if time.monotonic() >= deadline:
+                            out.extend([None] * len(rows))
+                            break
         return out
 
     def _submit_wave(self, fb: np.ndarray, opts: Optional[dict]) -> list:

@@ -123,6 +123,13 @@ def make_caption_fn(spec: model_base.ModelSpec,
     while its weight pytree is what callers thread as ``feat_params``."""
     if eos_id is None:
         eos_id = spec.sos_id + 1
+    if sample_temperature > 0 and beam_size > 1:
+        # the same loud conflict ContinuousCaptioner raises: silently
+        # sampling while meta/flags record beam_size=K would freeze an
+        # artifact whose metadata lies about its decode
+        raise ValueError("beam_size > 1 and sampling are mutually exclusive "
+                         "(beam maximizes sequence log-prob; sampling draws "
+                         "from it)")
     # featurize takes feat_params as an ARGUMENT (threaded through the
     # caller's jit) — closing over the backbone weights would bake them into
     # the compiled program as constants, the same minutes-of-constant-folding
