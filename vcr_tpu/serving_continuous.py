@@ -330,13 +330,20 @@ class ContinuousCaptioner:
             self._dec_params = params
             self._base = spec.arch
 
+        # the pool state (incl. the transformer's KV caches — by far the
+        # largest leaves) is DONATED to every state->state device fn: without
+        # donation XLA cannot alias the scatter updates and each tick pays a
+        # full state copy of HBM traffic; self.state is reassigned from the
+        # result every call, so the consumed buffer is never reused (CPU
+        # ignores donation — the warning is benign there)
         self._jit_encode = jax.jit(self._encode_chunk)
-        self._jit_admit = jax.jit(self._admit)
+        self._jit_admit = jax.jit(self._admit, donate_argnums=(0,))
         self._jit_release = jax.jit(
             lambda state, ids: dict(state, active=state["active"].at[ids].set(
-                False, mode="drop")))
+                False, mode="drop")), donate_argnums=(0,))
         self._jit_step = jax.jit(self._step_n if beam_size == 1
-                                 else self._step_n_beam)
+                                 else self._step_n_beam,
+                                 donate_argnums=(1,))
         self.state = self._init_state()
 
         if mesh is not None:
@@ -383,6 +390,14 @@ class ContinuousCaptioner:
         return {"h": h, "pk": eo, "eo": eo}
 
     def _init_state(self):
+        st = self._init_state_shared()
+        # the zeros above reuse one array for several leaves (s1/s2, pk/eo,
+        # every layer's K and V) — fine functionally, but state leaves are
+        # DONATED to the tick/admit jits, and donating one buffer twice is a
+        # runtime error; give every leaf its own buffer
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), st)
+
+    def _init_state_shared(self):
         r, l = self.slots, self.spec.max_len
         common = {
             "steps": jnp.zeros((r,), jnp.int32),
