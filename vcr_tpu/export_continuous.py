@@ -126,11 +126,16 @@ def export_continuous(params, spec, out_dir: str, *,
         return jax.tree_util.tree_leaves(step_impl(p, st))
 
     plat = tuple(platforms) if platforms else None
+    # state leaves are DONATED (baked into the artifact as input-output
+    # aliasing): without it every replayed tick pays a full state copy of
+    # HBM traffic — the live pool's ContinuousCaptioner donates the same way
     exp_encode = jexport.export(jax.jit(encode_fn), platforms=plat)(
         p_sds, feats_sds, idx_sds)
-    exp_admit = jexport.export(jax.jit(admit_fn), platforms=plat)(
+    exp_admit = jexport.export(jax.jit(admit_fn, donate_argnums=(0,)),
+                               platforms=plat)(
         s_sds, nd_sds, ids_sds, valid_sds)
-    exp_step = jexport.export(jax.jit(step_fn), platforms=plat)(p_sds, s_sds)
+    exp_step = jexport.export(jax.jit(step_fn, donate_argnums=(1,)),
+                              platforms=plat)(p_sds, s_sds)
 
     os.makedirs(out_dir, exist_ok=True)
     for fname, exp in ((ENCODE_FILE, exp_encode), (ADMIT_FILE, exp_admit),
