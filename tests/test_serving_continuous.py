@@ -216,6 +216,36 @@ def test_dp_mesh_matches_unsharded(tiny_vocab, rng):
                             eos_id=tiny_vocab.eos_id, mesh=mesh)
 
 
+def test_dp_mp_mesh_matches_unsharded(tiny_vocab, rng):
+    """TENSOR-PARALLEL serving: with a dp x mp mesh the pool shards params
+    exactly like training (vocab projection column-wise, embedding table
+    row-wise over mp — parallel.mesh.shard_params) and the slot axis over
+    dp; the per-token logits come out vocab-sharded and GSPMD pulls the
+    argmax reduction over mp. Token-exact vs the unsharded pool on the same
+    padded spec. Transformer: the family with every mp-shardable piece
+    (embedding gathers, vocab projection, per-slot KV caches on the dp
+    axis)."""
+    from vcr_tpu.parallel.mesh import make_mesh
+
+    spec = _spec(tiny_vocab, "transformer", tf_layers=2, tf_heads=2,
+                 vocab_pad_to=4)  # padded vocab 20 % mp=4 == 0
+    model = base.build_model("transformer")[0]
+    params = model(jax.random.PRNGKey(9), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 8, spec)
+    want = ContinuousCaptioner(params, spec, slots=4, admit_chunk=2,
+                               eos_id=tiny_vocab.eos_id).caption_all(
+        {i: feats[i] for i in range(8)})
+
+    cc = ContinuousCaptioner(params, spec, slots=4, admit_chunk=2,
+                             eos_id=tiny_vocab.eos_id, mesh=make_mesh(2, 4))
+    # the vocab projection actually sharded (not silently replicated)
+    pw = cc.params["decoder"]["pred_linear"]["w"]
+    assert not pw.sharding.is_fully_replicated
+    got = cc.caption_all({i: feats[i] for i in range(8)})
+    for i in range(8):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
 def _beam_truncated(params, spec, feats, eos_id, k):
     """Batch beam's BEST row per video, truncated after its first <eos>."""
     toks, _ = decode_tokens(params, spec, jnp.asarray(feats), eos_id,

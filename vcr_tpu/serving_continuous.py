@@ -264,12 +264,17 @@ class ContinuousCaptioner:
         nucleus request decode side by side in one pool. Implied by
         sample_temperature > 0.
       mesh: optional jax.sharding.Mesh (parallel.mesh.make_mesh) — the slot
-        axis is sharded over its "dp" axis (slots % dp == 0), params are
-        replicated, and every tick's matmuls run dp-wide under GSPMD.
-        Admission chunks stay host-global: the scatter into the sharded slot
-        axis is partitioned by XLA (an A-row chunk is tiny next to the
-        caches). Token-exact vs the unsharded pool (tested on an 8-device
-        CPU mesh).
+        axis is sharded over its "dp" axis (slots % dp == 0) and params are
+        sharded like training (parallel.mesh.shard_params): vocab projection
+        and embedding table over the "mp" axis, the rest replicated. Every
+        tick's matmuls then run dp-wide AND the per-token vocab projection
+        tensor-parallel under GSPMD. Admission chunks stay host-global: the
+        scatter into the sharded slot axis is partitioned by XLA (an A-row
+        chunk is tiny next to the caches). Token-exact vs the unsharded pool
+        (tested on dp=4 and dp=2 x mp=4 CPU meshes). For these model sizes
+        mp serving is a capability (HBM headroom for huge vocabularies),
+        not a latency win — the per-step collectives cost more than the
+        split projection saves below ~100k vocab.
     """
 
     def __init__(self, params, spec: model_base.ModelSpec, *,
@@ -348,18 +353,24 @@ class ContinuousCaptioner:
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            from vcr_tpu.parallel.mesh import shard_params
 
             dp = mesh.shape["dp"]
             if slots % dp:
                 raise ValueError(f"slots={slots} not divisible by dp={dp}")
-            rep = NamedSharding(mesh, P())
 
             def _rows(leaf):
                 spec_axes = ("dp",) + (None,) * (leaf.ndim - 1)
                 return jax.device_put(leaf, NamedSharding(mesh, P(*spec_axes)))
 
-            self.params = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, rep), params)
+            # params shard exactly like training (parallel/mesh.py): the
+            # vocab projection column-wise and the embedding table row-wise
+            # over the mesh's mp axis, everything else replicated (mp=1 ->
+            # full replication). The tick's logits come out vocab-sharded and
+            # the argmax/top-k/softmax reductions pull the psum over mp —
+            # tensor-parallel serving with the same step code, token-exact
+            # vs the unsharded pool (tested on a dp=2 x mp=4 CPU mesh).
+            self.params = shard_params(params, mesh, spec.padded_vocab_size)
             self._dec_params = (self.params["caption_net"]
                                 if spec.arch in ("spatial", "rationale")
                                 else self.params)
