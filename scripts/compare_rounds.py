@@ -1,0 +1,117 @@
+"""Cross-round bench regression tracker (VERDICT r3 #7).
+
+Parses every one-line JSON bench row ({"metric": ..., "value": ...}) found in
+two capture directories' *.log files (and BENCH_r*.json driver records, whose
+rows live under "parsed"), matches rows by metric string, and warns loudly on
+any value that dropped more than --threshold (default 5%). Exit code is 0
+even on warnings — a tunnel-noise wobble must not abort an unattended
+capture; the WARN lines in the committed log are the signal.
+
+    python scripts/compare_rounds.py onchip_r3 onchip_r4 [--threshold 0.05]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+
+
+def collect(path: pathlib.Path) -> dict:
+    """-> {metric: value} from every JSON line in *.log / *.json under path.
+    A metric appearing multiple times keeps the LAST occurrence (retries
+    overwrite earlier flaky attempts)."""
+    rows = {}
+    if path.is_file():
+        files = [path]
+    else:
+        files = sorted(path.glob("*.log")) + sorted(path.glob("*.json"))
+    for f in files:
+        try:
+            text = f.read_text(errors="replace")
+        except OSError:
+            continue
+        for line in text.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            for rec in _extract(obj):
+                rows[rec["metric"]] = float(rec["value"])
+        # BENCH_r*.json driver records are concatenated objects, not lines
+        if f.suffix == ".json" and not rows:
+            for rec in _extract_concat(text):
+                rows[rec["metric"]] = float(rec["value"])
+    return rows
+
+
+def _extract(obj):
+    if isinstance(obj, dict):
+        if "metric" in obj and "value" in obj:
+            yield obj
+        if isinstance(obj.get("parsed"), dict):
+            yield from _extract(obj["parsed"])
+
+
+def _extract_concat(text):
+    dec = json.JSONDecoder()
+    i = 0
+    while i < len(text):
+        while i < len(text) and text[i] not in "{[":
+            i += 1
+        if i >= len(text):
+            break
+        try:
+            obj, end = dec.raw_decode(text, i)
+        except json.JSONDecodeError:
+            i += 1
+            continue
+        yield from _extract(obj)
+        i = end
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old", type=pathlib.Path)
+    ap.add_argument("new", type=pathlib.Path)
+    ap.add_argument("--threshold", type=float, default=0.05,
+                    help="warn when new < old by more than this fraction")
+    args = ap.parse_args(argv)
+
+    old, new = collect(args.old), collect(args.new)
+    if not old:
+        print(f"no bench rows found under {args.old} — nothing to compare")
+        return 0
+    if not new:
+        print(f"no bench rows found under {args.new} — nothing to compare")
+        return 0
+
+    warns = 0
+    for metric in sorted(old):
+        if metric not in new:
+            print(f"GONE  {metric}  (was {old[metric]:.4g}; no new row)")
+            continue
+        o, n = old[metric], new[metric]
+        if o <= 0:
+            continue
+        delta = (n - o) / o
+        tag = "ok   "
+        if delta < -args.threshold:
+            tag = "WARN "
+            warns += 1
+        print(f"{tag} {delta:+7.1%}  {metric}: {o:.4g} -> {n:.4g}")
+    for metric in sorted(set(new) - set(old)):
+        print(f"NEW   {metric} = {new[metric]:.4g}")
+    if warns:
+        print(f"\n{warns} metric(s) regressed more than "
+              f"{args.threshold:.0%} — investigate before folding numbers "
+              "into the docs")
+    else:
+        print("\nno regressions beyond threshold")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,6 +42,72 @@ def check(name, got, want, atol=5e-4, rtol=2e-3):
     return ok
 
 
+def dump_token_mismatch(name_a, tok_a, name_b, tok_b, scores_a=None,
+                        scores_b=None):
+    """Forensics for a failed token-identity check (VERDICT r3 #2): print the
+    first divergent coordinate, both full token rows there, the mismatch
+    count, and (if given) both beam score vectors — so one unattended capture
+    through a flaky tunnel is enough to diagnose the failure."""
+    ta, tb = np.asarray(tok_a), np.asarray(tok_b)
+    div = np.argwhere(ta != tb)
+    first = tuple(int(v) for v in div[0])
+    print(f"  FORENSICS: {div.shape[0]}/{ta.size} cells differ; "
+          f"first at index {first}")
+    r = first[0]
+    print(f"    {name_a}[{r}] = {ta[r].tolist()}")
+    print(f"    {name_b}[{r}] = {tb[r].tolist()}")
+    if scores_a is not None and scores_b is not None:
+        sa, sb = np.asarray(scores_a, np.float64), np.asarray(scores_b,
+                                                              np.float64)
+        print(f"    beam scores {name_a}[{r}] = {sa[r].tolist()}")
+        print(f"    beam scores {name_b}[{r}] = {sb[r].tolist()}")
+        print(f"    max |score gap| = {np.abs(sa - sb).max():.3e}")
+
+
+def lineage_stepper_probe(params, spec, e_outputs, beam_size, rng):
+    """Lockstep stepper forensics: drive the lineage and gather steppers with
+    IDENTICAL token inputs and an IDENTICAL per-step within-item reorder
+    schedule, and print the per-step max |logit diff|. Separates 'the stepper
+    math diverges on this hardware' (nonzero from some step N on) from 'the
+    steppers agree and the divergence is a beam near-tie'."""
+    from vcr_tpu.models import transformer as trm
+
+    b = e_outputs.shape[0]
+    rows = b * beam_size
+    step_l, st_l, reorder_l = trm.make_cached_stepper(
+        params, spec, e_outputs, beam_tile=beam_size, lineage=True)
+    step_g, st_g = trm.make_cached_stepper(params, spec, e_outputs,
+                                           beam_tile=beam_size)
+    jstep_l = jax.jit(step_l)
+    jstep_g = jax.jit(step_g)
+    gather_state = jax.jit(
+        lambda s, idx: jax.tree_util.tree_map(lambda v: v[idx], s))
+    first_bad = None
+    for i in range(spec.max_len):
+        words = jnp.asarray(rng.integers(0, spec.vocab_size, (rows,)),
+                            jnp.int32)
+        if i > 0:  # step 0 has nothing to reorder
+            src = rng.integers(0, beam_size, (b, beam_size))
+            flat = jnp.asarray(
+                (np.arange(b)[:, None] * beam_size + src).reshape(-1),
+                jnp.int32)
+            st_l = reorder_l(st_l, flat)
+            st_g = gather_state(st_g, flat)
+        st_l, lg_l = jstep_l(st_l, words, i)
+        st_g, lg_g = jstep_g(st_g, words, i)
+        lg_l, lg_g = np.asarray(lg_l, np.float64), np.asarray(lg_g, np.float64)
+        d = np.abs(lg_l - lg_g).max()
+        am_differs = int((lg_l.argmax(-1) != lg_g.argmax(-1)).sum())
+        print(f"    step {i:2d}: max|logit diff|={d:.3e}  "
+              f"argmax flips={am_differs}/{rows}")
+        if d > 0 and first_bad is None:
+            first_bad = i
+    print("    stepper verdict: "
+          + ("logits bit-identical under lockstep — divergence is "
+             "beam-selection near-ties" if first_bad is None else
+             f"stepper math first diverges at step {first_bad}"))
+
+
 def main() -> int:
     # VCR_CHECKS_FORCE=1 runs the whole pass on whatever backend is live —
     # a CPU dry-run of the check harness itself (kernels go interpret-mode).
@@ -101,12 +167,22 @@ def main() -> int:
         rng.standard_normal((512, 300)).astype(np.float32)))
     tx = jnp.asarray(rng.standard_normal((8, 8, 4096)), jnp.float32
                      ).astype(jnp.bfloat16)
-    tok_lineage, _ = jax.jit(lambda p, x: vdecode.transformer_beam_decode_fast(
-        p, tspec, x, beam_size=5, eos_id=509, lineage=True))(tparams, tx)
-    tok_gather, _ = jax.jit(lambda p, x: vdecode.transformer_beam_decode_fast(
-        p, tspec, x, beam_size=5, eos_id=509, lineage=False))(tparams, tx)
+    tok_lineage, sc_lineage = jax.jit(
+        lambda p, x: vdecode.transformer_beam_decode_fast(
+            p, tspec, x, beam_size=5, eos_id=509, lineage=True))(tparams, tx)
+    tok_gather, sc_gather = jax.jit(
+        lambda p, x: vdecode.transformer_beam_decode_fast(
+            p, tspec, x, beam_size=5, eos_id=509, lineage=False))(tparams, tx)
     same = bool(np.array_equal(np.asarray(tok_lineage), np.asarray(tok_gather)))
     print(f"{'PASS' if same else 'FAIL'}  lineage beam ≡ gather beam (compiled)")
+    if not same:
+        dump_token_mismatch("lineage", tok_lineage, "gather", tok_gather,
+                            sc_lineage, sc_gather)
+        e_out = transformer.encode(tparams, tspec, tx,
+                                   transformer.create_masks_inp(tx),
+                                   jax.random.PRNGKey(0), train=False)
+        lineage_stepper_probe(tparams, tspec, e_out, 5,
+                              np.random.default_rng(42))
     ok &= same
 
     # Round-3 deployment artifact: a cpu+tpu StableHLO serving export
@@ -187,7 +263,11 @@ def main() -> int:
         row = fast[i]
         hits = np.nonzero(row == 509)[0]
         want_row = row[: hits[0] + 1] if len(hits) else row
-        cc_ok &= np.array_equal(got_cc[i], want_row)
+        row_ok = np.array_equal(got_cc[i], want_row)
+        if not row_ok:
+            print(f"  FORENSICS: key {i}: continuous={np.asarray(got_cc[i]).tolist()}"
+                  f" vs greedy={np.asarray(want_row).tolist()}")
+        cc_ok &= row_ok
     print(f"{'PASS' if cc_ok else 'FAIL'}  continuous serving ≡ fast greedy (compiled)")
     ok &= cc_ok
 
@@ -215,7 +295,11 @@ def main() -> int:
         row = brows[i]
         hits = np.nonzero(row == 509)[0]
         want_row = row[: hits[0] + 1] if len(hits) else row
-        cb_ok &= np.array_equal(got_b[i], want_row)
+        row_ok = np.array_equal(got_b[i], want_row)
+        if not row_ok:
+            print(f"  FORENSICS: key {i}: continuous={np.asarray(got_b[i]).tolist()}"
+                  f" vs batch-beam={np.asarray(want_row).tolist()}")
+        cb_ok &= row_ok
     print(f"{'PASS' if cb_ok else 'FAIL'}  continuous beam ≡ batch beam (compiled)")
     ok &= cb_ok
 
@@ -244,12 +328,24 @@ def main() -> int:
 
     got_s = dict(scc.caption_stream(s_reqs(), poll_cancelled=s_cancel))
     cs_ok = 3 not in got_s and scc.stats["cancelled"] == 1
-    cs_ok &= "hot" in got_s and 1 <= len(got_s["hot"]) <= bspec.max_len
+    if not cs_ok:
+        print(f"  FORENSICS: cancel: 3 in results={3 in got_s}, "
+              f"stats={scc.stats}")
+    hot_ok = "hot" in got_s and 1 <= len(got_s["hot"]) <= bspec.max_len
+    if not hot_ok:
+        print(f"  FORENSICS: hot row: present={'hot' in got_s}, "
+              f"value={got_s.get('hot')}")
+    cs_ok &= hot_ok
     for i in (0, 1):
         row = sgrows[i]
         hits = np.nonzero(row == 509)[0]
         want_row = row[: hits[0] + 1] if len(hits) else row
-        cs_ok &= np.array_equal(got_s[i], want_row)
+        row_ok = np.array_equal(got_s[i], want_row)
+        if not row_ok:
+            print(f"  FORENSICS: key {i}: sampled-greedy="
+                  f"{np.asarray(got_s[i]).tolist()} vs "
+                  f"greedy={np.asarray(want_row).tolist()}")
+        cs_ok &= row_ok
     print(f"{'PASS' if cs_ok else 'FAIL'}  per-request sampling + cancel (compiled)")
     ok &= cs_ok
 

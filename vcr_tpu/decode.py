@@ -398,12 +398,15 @@ def transformer_beam_decode_fast(params, spec: model_base.ModelSpec,
     never physically permuted; beam reordering re-indexes a (rows, L)
     ancestry matrix that self-attention reads through (see
     transformer.make_cached_stepper). Attention SCORES match the
-    physical-reorder path bit-for-bit (the lineage contraction adds exact
-    zeros to the same fp32 dots); the context reduction order differs at
-    float level, so downstream logits agree only to ~ulp — beam selection
-    can in principle flip on an exact logit tie (never observed across the
-    seeded equality tests; anything beyond a tie cannot flip).
-    lineage=False keeps the original reorder-by-gather state machine."""
+    physical-reorder path bit-for-bit: they are selected through the ancestry
+    by a true gather, not a one-hot matmul — an fp32 one-hot einsum rounds
+    the scores to bf16 on the MXU at DEFAULT precision and flipped tokens in
+    the round-3 on-chip check (onchip_r3/tpu_checks.log). The context
+    contraction interleaves exact zeros into the same bf16-product reduction,
+    so logits agree to carried-accumulation exactness; the on-chip
+    tpu_checks lineage row certifies end-to-end token identity vs the gather
+    path — if it ever fails, serve with lineage=False (the proven
+    reorder-by-gather state machine) and file the forensic dump it prints."""
     from vcr_tpu.models import transformer as tr
 
     src_mask = tr.create_masks_inp(vid_feats)

@@ -266,6 +266,20 @@ def decode_greedy(params, spec: base.ModelSpec, e_outputs, src_mask) -> jax.Arra
     return jnp.transpose(logits, (1, 0, 2))  # (B, L, V)
 
 
+def _lineage_select(scores_all, anc_b):
+    """EXACT ancestry select: out[b,t,h,j] = scores_all[b,t,h,j,anc_b[b,t,j]].
+
+    A true gather, deliberately NOT a one-hot einsum: an einsum with fp32
+    operands runs on the MXU at DEFAULT precision, which rounds the fp32
+    scores to bf16 inside the contraction and flips near-tied beam choices —
+    the round-3 on-chip failure ("FAIL lineage beam ≡ gather beam",
+    onchip_r3/tpu_checks.log). A gather moves the bits untouched on every
+    backend, so lineage scores match the physical-reorder path exactly.
+    """
+    idx = anc_b[:, :, None, :, None]          # (B, kt, 1, L, 1) vs (B,kt,h,L,ks)
+    return jnp.take_along_axis(scores_all, idx, axis=-1)[..., 0]
+
+
 def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
                         beam_tile: int = 1, lineage: bool = False):
     """KV-cached single-token decoder step — the SERVING-mode cell shared by
@@ -338,9 +352,16 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
     # mask, which only touches O(rows·L·K) floats. This removes the per-step
     # read+write of every cache leaf that the physical reorder costs
     # (~2/3 of the beam step's cache HBM traffic; VERDICT r2 #5).
-    # Numerics: the lineage contraction adds exact zeros to the same fp32
-    # dot products, so scores match the physical-reorder path bit-for-bit;
-    # only the context's reduction order differs (float-level).
+    # Numerics: attention SCORES are selected through the ancestry by a true
+    # gather (_lineage_select) — bit-identical to the physical-reorder path on
+    # every backend. (An fp32 one-hot einsum is NOT: on the MXU at DEFAULT
+    # precision the fp32 scores get rounded to bf16 inside the contraction,
+    # which flipped tokens in the round-3 on-chip identity check —
+    # onchip_r3/tpu_checks.log.) The CONTEXT contraction keeps bf16 operands
+    # (each product is exact and equal to the reorder path's; the masked-out
+    # terms are exact zeros) but its f32 accumulation interleaves those zeros
+    # into the reduction, so logits agree to carried-accumulation exactness —
+    # the on-chip tpu_checks lineage row certifies token identity end-to-end.
     b_items = rows // max(beam_tile, 1)
     row_local = (jnp.arange(rows) % max(beam_tile, 1)).astype(jnp.int32)
 
@@ -360,9 +381,9 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
         scores_all = jnp.einsum("bthd,bshjd->bthjs", qb.astype(cdt),
                                 ckb.astype(cdt),
                                 preferred_element_type=jnp.float32) / (d_k ** 0.5)
-        onehot = jax.nn.one_hot(anc.reshape(b_items, k_b, l), k_b,
-                                dtype=jnp.float32)            # (B, kt, L, ks)
-        scores = jnp.einsum("bthjs,btjs->bthj", scores_all, onehot)
+        anc_b = anc.reshape(b_items, k_b, l)
+        onehot = jax.nn.one_hot(anc_b, k_b, dtype=jnp.float32)  # (B, kt, L, ks)
+        scores = _lineage_select(scores_all, anc_b)
         scores = jnp.where(pos_mask_row[None, None, None, :] > i, -1e9, scores)
         w = jax.nn.softmax(scores, axis=-1)                   # (B, kt, h, L)
         wm = w[..., None] * onehot[:, :, None, :, :]          # (B, kt, h, L, ks)
@@ -480,9 +501,11 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
     row's own slot and NEVER physically reordered; the state gains an
     ``anc (rows, max_len)`` ancestry matrix (same design as
     make_cached_stepper(lineage=True), here with per-row positions) and beam
-    reordering permutes ONLY that matrix. Self-attention reads through the
-    one-hot ancestry contraction — bit-identical scores to a physical
-    reorder. init_self_state then also contains the identity ancestry; after
+    reordering permutes ONLY that matrix. Self-attention scores are read
+    through an exact ancestry gather (_lineage_select) — bit-identical to a
+    physical reorder on every backend, including the MXU (see the numerics
+    note in make_cached_stepper). init_self_state then also contains the
+    identity ancestry; after
     admission each fresh group's ancestry must be re-armed to the local
     pattern (row % K repeated across columns) — tiling an A-row encode K-wide
     would wrongly duplicate it (ContinuousCaptioner._admit does this).
@@ -533,9 +556,9 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
                                 ckb.astype(cdt),
                                 preferred_element_type=jnp.float32
                                 ) / (d_k ** 0.5)            # (g, kt, h, L, ks)
-        onehot = jax.nn.one_hot(anc.reshape(g, k_b, l), k_b,
-                                dtype=jnp.float32)           # (g, kt, L, ks)
-        scores = jnp.einsum("bthjs,btjs->bthj", scores_all, onehot)
+        anc_b = anc.reshape(g, k_b, l)
+        onehot = jax.nn.one_hot(anc_b, k_b, dtype=jnp.float32)  # (g,kt,L,ks)
+        scores = _lineage_select(scores_all, anc_b)
         mask = pos_row[None, None, None, :] > i_vec.reshape(
             g, k_b)[:, :, None, None]
         w = jax.nn.softmax(jnp.where(mask, -1e9, scores), axis=-1)
