@@ -45,9 +45,9 @@ def bench_family(name: str, iters: int) -> None:
     batch = int(os.environ.get("VCR_BENCH_BATCH", batch))
     use_pallas = os.environ.get("VCR_BENCH_PALLAS", "0") == "1"
     # VCR_BENCH_ACCUM=N: gradient accumulation (Config.grad_accum) — N
-    # sequential microbatches per update; shrinks the emitted program to the
-    # B/N one (the third candidate for SpatialNet's B=32 tunnel 413, next to
-    # chunked upload and remat) while keeping the effective batch
+    # sequential microbatches per update at 1/N the activation memory.
+    # (It was once a candidate fix for SpatialNet's B=32 tunnel 413; the real
+    # cause was the closed-over batch constant — see batch_data below.)
     accum = int(os.environ.get("VCR_BENCH_ACCUM", "1"))
     assert batch % accum == 0, f"batch {batch} % accum {accum} != 0"
 
@@ -66,6 +66,13 @@ def bench_family(name: str, iters: int) -> None:
     optimizer = optim.build_optimizer("adam", 2e-3, 4e-5, 1.0)
     opt_state = optimizer.init(params)
 
+    # batch_data is passed to run_n as a jit ARGUMENT, never closed over:
+    # a closed-over device array is embedded in the lowered StableHLO as a
+    # dense constant, so the remote_compile request grew ~79 MiB per 8
+    # spatial rows (332 MB at B=32) and hit the tunnel's ~256 MiB body limit
+    # — the round-3 HTTP-413 mystery, measured byte-for-byte by
+    # scripts/measure_spatial_program.py. Argument-bound, the module is a
+    # B-independent ~58 KB.
     batch_data = {
         "vid_feats": benchutil.chunked_device_put(
             rng.standard_normal((batch, *feats_shape)).astype(np.float32)
@@ -75,50 +82,21 @@ def bench_family(name: str, iters: int) -> None:
         "valid": jax.device_put(np.ones((batch,), np.float32)),
     }
 
-    def fwd(p, vid_feats, sent, sent_len, key, tf_prob):
-        return apply_fn(p, spec, vid_feats, sent, sent_len, rng=key,
-                        train=True, teacher_force_prob=tf_prob)
-
-    if os.environ.get("VCR_BENCH_REMAT") == "1":
-        # rematerialize the forward in the backward pass: trades FLOPs for
-        # activation memory AND shrinks the emitted backward program (the
-        # other candidate for the tunnel's 413 on big spatial steps)
-        fwd = jax.checkpoint(fwd)
-
-    def loss_fn(p, bdata, key):
-        loss, _metrics, _pred, aux = step_mod._forward(
-            name, fwd, p, bdata, key, 1.0, 1.0, 1.0)
-        return loss, aux
+    # The PRODUCT training step (vcr_tpu/train/step.py build_step_fns): the
+    # bench measures exactly what `--grad_accum` / `--remat` /
+    # the static-tf hoisted decode ship — not a bench-local re-derivation
+    # (VERDICT r3 #6: the old local `/accum` mean was a subtly different
+    # program from the valid-weighted exact combine).
+    train_step, _ = step_mod.build_step_fns(
+        name, spec, optimizer, grad_accum=accum,
+        remat=os.environ.get("VCR_BENCH_REMAT") == "1", static_tf=1.0)
 
     @jax.jit
-    def run_n(params, opt_state, key):
+    def run_n(params, opt_state, bdata, key):
         def body(carry, i):
             p, o = carry
-            if accum == 1:
-                grads, aux = jax.grad(loss_fn, has_aux=True)(
-                    p, batch_data, jax.random.fold_in(key, i))
-            else:
-                # all rows valid here => plain mean of microbatch grads
-                # (the train loop's step does the valid-weighted general case)
-                micro = jax.tree_util.tree_map(
-                    lambda v: v.reshape(accum, batch // accum, *v.shape[1:]),
-                    batch_data)
-
-                def mbody(g_acc, xs):
-                    mb, j = xs
-                    g, aux_j = jax.grad(loss_fn, has_aux=True)(
-                        p, mb, jax.random.fold_in(jax.random.fold_in(key, i), j))
-                    return jax.tree_util.tree_map(jnp.add, g_acc, g), aux_j
-
-                zero = jax.tree_util.tree_map(jnp.zeros_like, p)
-                g_sum, auxs = jax.lax.scan(
-                    mbody, zero, (micro, jnp.arange(accum)))
-                grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
-                aux = jax.tree_util.tree_map(lambda x: x[-1], auxs)
-            updates, o = optimizer.update(grads, o, p)
-            p = optax.apply_updates(p, updates)
-            if "bn_state" in aux:
-                p = step_mod._merge_bn(p, aux["bn_state"])
+            p, o, _metrics, _pred = train_step(
+                p, o, bdata, jax.random.fold_in(key, i), 1.0)
             return (p, o), None
         (p, _), _ = jax.lax.scan(body, (params, opt_state), jnp.arange(iters))
         leaf = jax.tree_util.tree_leaves(p)[0]
@@ -127,14 +105,15 @@ def bench_family(name: str, iters: int) -> None:
     # typed rbg key = the training loop's default (Config.rng_impl): the TPU
     # hardware RNG makes dropout mask generation ~free vs threefry
     key = lambda s: jax.random.key(s, impl="rbg")  # noqa: E731
-    np.asarray(run_n(params, opt_state, key(0)))  # compile
+    np.asarray(run_n(params, opt_state, batch_data, key(0)))  # compile
     dt = float("inf")
     for rep in range(2):
         t0 = time.perf_counter()
-        np.asarray(run_n(params, opt_state, key(1 + rep)))
+        np.asarray(run_n(params, opt_state, batch_data, key(1 + rep)))
         dt = min(dt, time.perf_counter() - t0)
 
-    flops = benchutil.jaxpr_flops(run_n, params, opt_state, key(1))
+    flops = benchutil.jaxpr_flops(run_n, params, opt_state, batch_data,
+                                  key(1))
     mfu = benchutil.mfu(flops, dt, jax.devices()[0])
 
     out = {

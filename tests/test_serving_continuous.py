@@ -246,6 +246,82 @@ def test_dp_mp_mesh_matches_unsharded(tiny_vocab, rng):
         np.testing.assert_array_equal(got[i], want[i])
 
 
+def test_dp_mp_mesh_beam_matches_unsharded(tiny_vocab, rng):
+    """Tensor-parallel BEAM serving (ADVICE r3): the mp-sharded pool with
+    beam_size>1 (transformer lineage slot stepper — per-group top-k over a
+    vocab-sharded logit matrix, ancestry reorder on the dp-sharded slot axis)
+    must stay token-exact vs the unsharded beam pool."""
+    from vcr_tpu.parallel.mesh import make_mesh
+
+    spec = _spec(tiny_vocab, "transformer", tf_layers=2, tf_heads=2,
+                 vocab_pad_to=4)
+    model = base.build_model("transformer")[0]
+    params = model(jax.random.PRNGKey(11), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 6, spec)
+    want = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                               eos_id=tiny_vocab.eos_id,
+                               beam_size=3).caption_all(
+        {i: feats[i] for i in range(6)})
+
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                             eos_id=tiny_vocab.eos_id, beam_size=3,
+                             mesh=make_mesh(2, 4))
+    pw = cc.params["decoder"]["pred_linear"]["w"]
+    assert not pw.sharding.is_fully_replicated
+    got = cc.caption_all({i: feats[i] for i in range(6)})
+    for i in range(6):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_dp_mp_mesh_request_sampling(tiny_vocab, rng):
+    """Tensor-parallel PER-REQUEST sampling (ADVICE r3): the row-wise
+    temperature/top-k/top-p filters (two full-vocab sorts per token) run over
+    mp-sharded logits. Greedy-parameter rows (T=1, top_k=1) must equal the
+    unsharded greedy pool token-for-token, and a hot row must still yield a
+    valid caption."""
+    from vcr_tpu.parallel.mesh import make_mesh
+
+    spec = _spec(tiny_vocab, "transformer", tf_layers=2, tf_heads=2,
+                 vocab_pad_to=4)
+    model = base.build_model("transformer")[0]
+    params = model(jax.random.PRNGKey(12), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 5, spec)
+    want = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                               eos_id=tiny_vocab.eos_id).caption_all(
+        {i: feats[i] for i in range(4)})
+
+    cc = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                             eos_id=tiny_vocab.eos_id, mesh=make_mesh(2, 4),
+                             request_sampling=True,
+                             rng=jax.random.PRNGKey(13))
+
+    def reqs():
+        for i in range(4):
+            yield i, feats[i], {"top_k": 1}
+        yield "hot", feats[4], {"temperature": 3.0, "top_p": 0.9}
+
+    got = dict(cc.caption_stream(reqs()))
+    for i in range(4):
+        np.testing.assert_array_equal(got[i], want[i])
+    assert 1 <= len(got["hot"]) <= spec.max_len
+
+
+def test_mp_mesh_unshardable_vocab_raises(tiny_vocab, rng):
+    """ADVICE r3: an mp>1 mesh whose mp does not divide the padded vocab
+    must raise (a silent replication fall-back defeats the HBM headroom the
+    mesh was requested for)."""
+    from vcr_tpu.parallel.mesh import make_mesh
+
+    spec = _spec(tiny_vocab, "transformer", tf_layers=2, tf_heads=2,
+                 vocab_pad_to=1)  # padded vocab == raw vocab, % 4 != 0
+    assert spec.padded_vocab_size % 4
+    model = base.build_model("transformer")[0]
+    params = model(jax.random.PRNGKey(14), spec, tiny_vocab.vectors)
+    with pytest.raises(ValueError, match="not divisible by mesh mp"):
+        ContinuousCaptioner(params, spec, slots=4, admit_chunk=2,
+                            eos_id=tiny_vocab.eos_id, mesh=make_mesh(2, 4))
+
+
 def _beam_truncated(params, spec, feats, eos_id, k):
     """Batch beam's BEST row per video, truncated after its first <eos>."""
     toks, _ = decode_tokens(params, spec, jnp.asarray(feats), eos_id,

@@ -358,6 +358,18 @@ class ContinuousCaptioner:
             dp = mesh.shape["dp"]
             if slots % dp:
                 raise ValueError(f"slots={slots} not divisible by dp={dp}")
+            mp = mesh.shape.get("mp", 1)
+            if mp > 1 and spec.padded_vocab_size % mp:
+                # an mp mesh is requested for HBM headroom (huge vocab); a
+                # silent fall-back to replication would defeat exactly that,
+                # so fail loudly like the slots/dp check above (mesh.py only
+                # warns, because training can still want mp for other leaves)
+                raise ValueError(
+                    f"padded vocab {spec.padded_vocab_size} not divisible by "
+                    f"mesh mp={mp}: the vocab projection/embedding cannot "
+                    "shard and the pool would silently replicate. Set "
+                    "vocab_pad_to to a multiple of mp (or pass an mp=1 "
+                    "mesh).")
 
             def _rows(leaf):
                 spec_axes = ("dp",) + (None,) * (leaf.ndim - 1)
