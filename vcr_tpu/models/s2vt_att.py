@@ -16,6 +16,8 @@ is fused by XLA into the step.
 
 from __future__ import annotations
 
+import os
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -26,6 +28,138 @@ from vcr_tpu.nn.attention import bahdanau_attend, bahdanau_init, bahdanau_projec
 from vcr_tpu.nn.layers import (dense, dense_init, dropout, embed, embedding_init,
                                mask_vocab_pad, vdot)
 from vcr_tpu.nn.rnn import gru_gates, gru_init, gru_sequence
+
+
+# --------------------------------------------------------------------------
+# Teacher-forced attention-decode scan with a hand-scheduled backward.
+#
+# Autodiff of the naive scan is the round-2/3 MFU floor (VERDICT r3 #3,
+# onchip_r3/diag_s2vt_att.log: backward ~6x the forward, superlinear in B):
+# the scan closes over proj_key (B,N,H) and encoder_outs (B,N,H), so the
+# TRANSPOSED scan (a) ping-pongs BOTH of their gradient accumulators through
+# the backward carry every step (~4x(B,N,H) fp32 of HBM read+write per step)
+# and (b) stores the (B,N,H) fp32 tanh energies of every step as the tape.
+#
+# This custom VJP keeps the forward byte-identical (same scan) and
+# restructures only the backward:
+#   * the reversed scan recomputes each step's attention on the fly (no
+#     (B,N,H) tape) and carries ONLY (B,H)/param-sized cotangents;
+#   * the two (B,N,H) gradients leave the scan as (B,N)/(B,H) per-step
+#     factors (d_scores_t, alphas_t, d_context_t) and are reconstructed
+#     OUTSIDE it by single batched contractions:
+#         d_values   = sum_t alphas_t (x) d_context_t
+#         d_proj_key = sum_t (1 - tanh^2_t) * (d_scores_t (x) v)
+#     — one fused sweep each instead of L carry round-trips.
+# Per-step gradient math is delegated to jax.vjp over the SAME stage
+# functions the forward uses (correctness by construction); only the
+# residual/accumulation schedule is manual. VCR_ATT_SCAN=autodiff restores
+# plain autodiff for A/B.
+# --------------------------------------------------------------------------
+
+
+def _att_scores(qv, q, proj_key, cdt):
+    """Bahdanau energies for one step: (B, H) query -> (B, N) scores."""
+    qp = dense(qv["query_layer"], q, cdt)
+    energy = jnp.tanh(qp[:, None, :] + proj_key)
+    return dense(qv["energy_layer"], energy, cdt)[..., 0]
+
+
+def _att_context(scores, values, cdt):
+    alphas = jax.nn.softmax(scores, axis=-1)
+    context = jnp.einsum("bn,bnd->bd", alphas.astype(cdt),
+                         values.astype(cdt),
+                         preferred_element_type=jnp.float32)
+    return context, alphas
+
+
+def _gru_in(rnn, context, emb, state, cdt):
+    x = jnp.concatenate([context, emb], axis=-1)
+    xg = vdot(x, rnn["w_ih"], cdt) + rnn["b_ih"]
+    return gru_gates(xg, state, rnn, cdt)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _attention_scan(cdtype_name, qv, rnn, proj_key, values, h0, embs):
+    """Teacher-forced decode recurrence -> states (L, B, H).
+
+    qv: {"query_layer", "energy_layer"} of the Bahdanau params (key_layer
+    grads flow through proj_key, which is computed outside). embs: (L, B, E).
+    """
+    cdt = jnp.dtype(cdtype_name)
+
+    def step(state, emb_t):
+        scores = _att_scores(qv, state, proj_key, cdt)
+        context, _ = _att_context(scores, values, cdt)
+        state = _gru_in(rnn, context, emb_t, state, cdt)
+        return state, state
+
+    _, states = jax.lax.scan(step, h0, embs)
+    return states
+
+
+def _attention_scan_fwd(cdtype_name, qv, rnn, proj_key, values, h0, embs):
+    states = _attention_scan(cdtype_name, qv, rnn, proj_key, values, h0, embs)
+    return states, (qv, rnn, proj_key, values, h0, embs, states)
+
+
+def _attention_scan_bwd(cdtype_name, res, d_states):
+    cdt = jnp.dtype(cdtype_name)
+    qv, rnn, proj_key, values, h0, embs, states = res
+    # q_t (the state the step ATTENDS with) = state_{t-1}
+    qs = jnp.concatenate([h0[None], states[:-1]], axis=0)        # (L, B, H)
+
+    zero_qv = jax.tree_util.tree_map(jnp.zeros_like, qv)
+    zero_rnn = jax.tree_util.tree_map(jnp.zeros_like, rnn)
+
+    def back_step(carry, xs):
+        d_state, d_qv, d_rnn = carry
+        q_t, emb_t, d_state_ys = xs
+        d_total = d_state + d_state_ys
+
+        # recompute this step's attention (transient residuals only)
+        scores_t, vjp_scores = jax.vjp(
+            lambda qv_, q_: _att_scores(qv_, q_, proj_key, cdt), qv, q_t)
+        (context_t, alphas_t), vjp_ctx = jax.vjp(
+            lambda s_: _att_context(s_, values, cdt), scores_t)
+        _, vjp_gru = jax.vjp(
+            lambda rnn_, c_, e_, s_: _gru_in(rnn_, c_, e_, s_, cdt),
+            rnn, context_t, emb_t, q_t)
+
+        d_rnn_t, d_context, d_emb, d_state_gru = vjp_gru(d_total)
+        d_scores, = vjp_ctx((d_context, jnp.zeros_like(alphas_t)))
+        d_qv_t, d_q = vjp_scores(d_scores)
+
+        carry = (d_state_gru + d_q,
+                 jax.tree_util.tree_map(jnp.add, d_qv, d_qv_t),
+                 jax.tree_util.tree_map(jnp.add, d_rnn, d_rnn_t))
+        return carry, (d_scores, d_context, alphas_t, d_emb)
+
+    (d_h0, d_qv, d_rnn), (d_scores_a, d_ctx_a, alphas_a, d_embs) = \
+        jax.lax.scan(back_step, (jnp.zeros_like(h0), zero_qv, zero_rnn),
+                     (qs, embs, d_states), reverse=True)
+
+    # -------- batched reconstruction of the two (B, N, H) gradients --------
+    # d_values: context einsum pullback, summed over steps (alphas cast to
+    # cdt exactly as the forward did)
+    d_values = jnp.einsum("tbn,tbd->bnd", alphas_a.astype(cdt),
+                          d_ctx_a.astype(cdt),
+                          preferred_element_type=jnp.float32
+                          ).astype(values.dtype)
+    # d_proj_key: tanh'/v pullback of the energy MLP, recomputed batched and
+    # reduced over steps in one fused sweep (never materializing (L,B,N,H))
+    qp_all = dense(qv["query_layer"], qs, cdt)                   # (L, B, H)
+    # the forward ran scores = energy.astype(cdt) @ w.astype(cdt); mirror the
+    # weight cast so d_energy matches autodiff's pullback values
+    v_e = qv["energy_layer"]["w"][:, 0].astype(cdt).astype(jnp.float32)
+    tanh_all = jnp.tanh(qp_all[:, :, None, :] + proj_key[None])  # (L,B,N,H)
+    d_energy = (1.0 - tanh_all * tanh_all) * (
+        d_scores_a[..., None].astype(jnp.float32) * v_e)
+    d_pk = jnp.sum(d_energy, axis=0).astype(proj_key.dtype)      # (B, N, H)
+
+    return d_qv, d_rnn, d_pk, d_values, d_h0, d_embs
+
+
+_attention_scan.defvjp(_attention_scan_fwd, _attention_scan_bwd)
 
 
 def init_params(key: jax.Array, spec: base.ModelSpec, glove_vectors) -> dict:
@@ -102,15 +236,21 @@ def decode(
         embs = embed(dec["embedding"], s_in[:, : spec.max_len])  # (B, L, E)
         embs = jnp.transpose(embs, (1, 0, 2))                    # (L, B, E)
 
-        def step_tf(state, emb_t):
-            context, _ = bahdanau_attend(dec["attention"], state, proj_key,
-                                         encoder_outs, spec.cdtype)
-            x = jnp.concatenate([context, emb_t], axis=-1)
-            xg = vdot(x, dec["rnn"]["w_ih"], spec.cdtype) + dec["rnn"]["b_ih"]
-            state = gru_gates(xg, state, dec["rnn"], spec.cdtype)
-            return state, state
+        qv = {"query_layer": dec["attention"]["query_layer"],
+              "energy_layer": dec["attention"]["energy_layer"]}
+        if os.environ.get("VCR_ATT_SCAN") == "autodiff":
+            # plain-autodiff fall-back for A/B against the custom VJP
+            def step_tf(state, emb_t):
+                scores = _att_scores(qv, state, proj_key, spec.cdtype)
+                context, _ = _att_context(scores, encoder_outs, spec.cdtype)
+                state = _gru_in(dec["rnn"], context, emb_t, state, spec.cdtype)
+                return state, state
 
-        _, states = jax.lax.scan(step_tf, encoder_final, embs)   # (L, B, H)
+            _, states = jax.lax.scan(step_tf, encoder_final, embs)
+        else:
+            states = _attention_scan(jnp.dtype(spec.cdtype).name, qv,
+                                     dec["rnn"], proj_key, encoder_outs,
+                                     encoder_final, embs)        # (L, B, H)
         dropped = jax.vmap(
             lambda k, x: dropout(k, x, spec.dropout_p, True))(step_keys, states)
         logits = mask_vocab_pad(
