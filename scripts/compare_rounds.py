@@ -30,6 +30,7 @@ def collect(path: pathlib.Path) -> dict:
             text = f.read_text(errors="replace")
         except OSError:
             continue
+        found_in_file = False
         for line in text.splitlines():
             line = line.strip()
             if not line.startswith("{"):
@@ -40,8 +41,10 @@ def collect(path: pathlib.Path) -> dict:
                 continue
             for rec in _extract(obj):
                 rows[rec["metric"]] = float(rec["value"])
-        # BENCH_r*.json driver records are concatenated objects, not lines
-        if f.suffix == ".json" and not rows:
+                found_in_file = True
+        # BENCH_r*.json driver records are concatenated pretty-printed
+        # objects, not JSON lines — fall back per FILE, not per directory
+        if f.suffix == ".json" and not found_in_file:
             for rec in _extract_concat(text):
                 rows[rec["metric"]] = float(rec["value"])
     return rows
