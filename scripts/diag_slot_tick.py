@@ -89,6 +89,15 @@ def main():
     print(f"full       {t_full*1e3:8.3f} ms/step  "
           f"{R/t_full/1e3:9.1f}k tokens/s")
 
+    # the production stepper in masked-write mode (VCR_SLOT_WRITE=masked;
+    # bitwise-identical — tests/test_serving_continuous.py)
+    import os as _os
+    _os.environ["VCR_SLOT_WRITE"] = "masked"
+    mstep_fn, _, _ = trm.make_slot_stepper(params, spec)
+    _os.environ.pop("VCR_SLOT_WRITE")
+    t_m = timed(chain(mstep_fn), st0, words0, ivec0)
+    print(f"prod-masked{t_m*1e3:8.3f} ms/step  {R/t_m/1e3:9.1f}k tokens/s")
+
     # ---- ablations: rebuild the step with modified cache-write behavior ---
     def make_variant(write_mode):
         dec = params["decoder"]

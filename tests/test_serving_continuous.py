@@ -322,6 +322,45 @@ def test_mp_mesh_unshardable_vocab_raises(tiny_vocab, rng):
                             eos_id=tiny_vocab.eos_id, mesh=make_mesh(2, 4))
 
 
+@pytest.mark.parametrize("lineage", [False, True])
+def test_masked_cache_write_bitwise(tiny_vocab, rng, lineage, monkeypatch):
+    """VCR_SLOT_WRITE=masked (one-hot masked rewrites instead of per-row
+    scatters — the on-chip A/B candidate, scripts/diag_slot_tick.py) must be
+    BITWISE identical: a write is a pure data move."""
+    from vcr_tpu.models import transformer as trm
+
+    spec = _spec(tiny_vocab, "transformer", tf_layers=2, tf_heads=2)
+    params = base.build_model("transformer")[0](jax.random.PRNGKey(21), spec,
+                                                tiny_vocab.vectors)
+    feats = _feats(rng, 3, spec)
+    eo = trm.encode(params, spec, jnp.asarray(feats),
+                    trm.create_masks_inp(feats), jax.random.PRNGKey(0),
+                    train=False)
+    bt = 2 if lineage else 1
+
+    def roll(mode):
+        monkeypatch.setenv("VCR_SLOT_WRITE", mode)
+        step, init_self, cross = trm.make_slot_stepper(
+            params, spec, beam_tile=bt, lineage=lineage)
+        rows = 3 * bt
+        st = {**init_self(rows),
+              **cross(jnp.repeat(eo, bt, axis=0) if bt > 1 else eo)}
+        w = jnp.full((rows,), spec.sos_id, jnp.int32)
+        logits = []
+        for i in range(4):
+            st, lg = step(st, w, jnp.full((rows,), i, jnp.int32))
+            w = jnp.argmax(lg, -1).astype(jnp.int32)
+            logits.append(np.asarray(lg))
+        return np.stack(logits), st
+
+    lg_s, st_s = roll("scatter")
+    lg_m, st_m = roll("masked")
+    np.testing.assert_array_equal(lg_s, lg_m)
+    for a, b in zip(jax.tree_util.tree_leaves(st_s),
+                    jax.tree_util.tree_leaves(st_m)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def _beam_truncated(params, spec, feats, eos_id, k):
     """Batch beam's BEST row per video, truncated after its first <eos>."""
     toks, _ = decode_tokens(params, spec, jnp.asarray(feats), eos_id,

@@ -25,6 +25,7 @@ parity (SURVEY.md §7 "hard parts"):
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -522,6 +523,20 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
                  for i in range(n_layers)]
     pos_row = jnp.arange(l)
 
+    # VCR_SLOT_WRITE=masked replaces the 2-per-layer per-row-position cache
+    # SCATTERS with one-hot masked full-cache rewrites (pure VPU elementwise;
+    # value-identical — a write is a data move). XLA TPU scatters can
+    # serialize; the masked form trades their latency for (R,h,L,d) r+w
+    # bandwidth per leaf. On-chip A/B: scripts/diag_slot_tick.py.
+    masked_write = os.environ.get("VCR_SLOT_WRITE") == "masked"
+
+    def cache_write(c, new, i_vec, rows_idx):
+        """Write this step's (rows, h, d_k) K/V at [r, :, i_vec[r], :]."""
+        if masked_write:
+            m = (pos_row[None, :] == i_vec[:, None])[:, None, :, None]
+            return jnp.where(m, new.astype(c.dtype)[:, :, None, :], c)
+        return c.at[rows_idx, :, i_vec, :].set(new.astype(c.dtype))
+
     def heads_split(x):  # (rows, S, hidden) -> (rows, h, S, d_k)
         return x.reshape(x.shape[0], -1, heads, d_k).transpose(0, 2, 1, 3)
 
@@ -547,8 +562,8 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
         q = heads_split(dense(attn_p["q"], x2, cdt))[:, :, 0, :]  # (rows,h,dk)
         k_new = heads_split(dense(attn_p["k"], x2, cdt))[:, :, 0, :]
         v_new = heads_split(dense(attn_p["v"], x2, cdt))[:, :, 0, :]
-        ck = ck.at[rows_idx, :, i_vec, :].set(k_new.astype(ck.dtype))
-        cv = cv.at[rows_idx, :, i_vec, :].set(v_new.astype(cv.dtype))
+        ck = cache_write(ck, k_new, i_vec, rows_idx)
+        cv = cache_write(cv, v_new, i_vec, rows_idx)
         qb = q.reshape(g, k_b, heads, d_k)
         ckb = ck.reshape(g, k_b, heads, l, d_k)
         cvb = cv.reshape(g, k_b, heads, l, d_k)
@@ -573,8 +588,8 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
         q = heads_split(dense(attn_p["q"], x2, cdt))          # (rows, h, 1, d_k)
         k_new = heads_split(dense(attn_p["k"], x2, cdt))[:, :, 0, :]
         v_new = heads_split(dense(attn_p["v"], x2, cdt))[:, :, 0, :]
-        ck = ck.at[rows_idx, :, i_vec, :].set(k_new.astype(ck.dtype))
-        cv = cv.at[rows_idx, :, i_vec, :].set(v_new.astype(cv.dtype))
+        ck = cache_write(ck, k_new, i_vec, rows_idx)
+        cv = cache_write(cv, v_new, i_vec, rows_idx)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt), ck.astype(cdt),
                             preferred_element_type=jnp.float32) / (d_k ** 0.5)
         mask = pos_row[None, None, None, :] > i_vec[:, None, None, None]
