@@ -151,7 +151,7 @@ def main() -> None:
 
     def tr_fast_beam(params, xi):
         tokens, _ = vdecode.transformer_beam_decode_fast(
-            params, tr_spec, xi, beam_size=5, eos_id=eos_id)
+            params, tr_spec, xi, beam_size=5, eos_id=eos_id, lineage=True)
         return tokens.astype(jnp.float32)
 
     time_fn("Transformer fast beam-5 (KV-cache, lineage)", tr_fast_beam,

@@ -107,10 +107,13 @@ def test_transformer_fast_beam1_equals_fast_greedy(tiny_vocab, rng):
 
 def test_lineage_beam_equals_gather_beam(tiny_vocab, rng):
     """The gather-free lineage beam (ancestry-indexed attention reads, caches
-    never physically reordered) must produce the SAME tokens as the
-    reorder-by-gather beam: the lineage contraction adds exact zeros to the
-    same fp32 score dot products, so only the context reduction order can
-    differ (float-level), never the selected beams."""
+    never physically reordered) produces the SAME tokens as the
+    reorder-by-gather beam on CPU at fp32 test sizes. This is an empirical
+    identity, not a guarantee: the two paths' attention dots have different
+    shapes, which differ at f32 ulp and flip bf16 near-ties on the MXU —
+    the guaranteed invariant is bookkeeping-exactness
+    (test_lineage_bookkeeping.py); lineage-vs-gather on TPU is bounded by a
+    logit envelope in tpu_checks.py instead."""
     from vcr_tpu.decode import transformer_beam_decode_fast
 
     for seed in (0, 1, 2):

@@ -430,9 +430,10 @@ def test_continuous_beam_spatial_and_rationale(tiny_vocab, rng):
 
 def test_continuous_beam_transformer_matches_fast_beam(tiny_vocab, rng):
     """Transformer continuous beam = per-slot positions + the lineage
-    (gather-free) beam: must match the batch fast beam's best row
-    (transformer_beam_decode_fast, itself token-identical to the physical
-    reorder path) truncated after its first <eos>."""
+    (gather-free) beam: must match the batch fast beam's best row (the
+    gather-path serving default; on CPU/fp32 the lineage and gather
+    formulations agree token-for-token at these sizes) truncated after its
+    first <eos>."""
     from vcr_tpu.decode import transformer_beam_decode_fast
 
     spec = _spec(tiny_vocab, "transformer", tf_layers=2, tf_heads=2)

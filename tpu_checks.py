@@ -69,7 +69,8 @@ def lineage_stepper_probe(params, spec, e_outputs, beam_size, rng):
     IDENTICAL token inputs and an IDENTICAL per-step within-item reorder
     schedule, and print the per-step max |logit diff|. Separates 'the stepper
     math diverges on this hardware' (nonzero from some step N on) from 'the
-    steppers agree and the divergence is a beam near-tie'."""
+    steppers agree and the divergence is a beam near-tie'. Returns the max
+    lockstep logit gap across steps (the envelope the check bounds)."""
     from vcr_tpu.models import transformer as trm
 
     b = e_outputs.shape[0]
@@ -83,6 +84,7 @@ def lineage_stepper_probe(params, spec, e_outputs, beam_size, rng):
     gather_state = jax.jit(
         lambda s, idx: jax.tree_util.tree_map(lambda v: v[idx], s))
     first_bad = None
+    max_gap = 0.0
     for i in range(spec.max_len):
         words = jnp.asarray(rng.integers(0, spec.vocab_size, (rows,)),
                             jnp.int32)
@@ -100,12 +102,14 @@ def lineage_stepper_probe(params, spec, e_outputs, beam_size, rng):
         am_differs = int((lg_l.argmax(-1) != lg_g.argmax(-1)).sum())
         print(f"    step {i:2d}: max|logit diff|={d:.3e}  "
               f"argmax flips={am_differs}/{rows}")
+        max_gap = max(max_gap, float(d))
         if d > 0 and first_bad is None:
             first_bad = i
     print("    stepper verdict: "
           + ("logits bit-identical under lockstep — divergence is "
              "beam-selection near-ties" if first_bad is None else
              f"stepper math first diverges at step {first_bad}"))
+    return max_gap
 
 
 def main() -> int:
@@ -150,11 +154,25 @@ def main() -> int:
                     p, x, compute_dtype=jnp.float32))(bp, xs),
                 rnn.bilstm_sequence(bp, xs, compute_dtype=jnp.float32))
 
-    # Round-3 serving path: the gather-free lineage fast beam must emit
-    # token-identical results to the physically-reordering gather beam when
-    # COMPILED on real hardware too (the suite proves it in CPU interpret
-    # mode; one-hot-contraction reads could round differently on the MXU —
-    # token ids are argmax-discrete, so identity is exact or broken).
+    # Round-4 lineage contract (VERDICT r3 #1, resolved by decomposition —
+    # see PARITY.md "lineage beam numerics"):
+    #
+    #  (a) REQUIRED, bit-exact: the lineage ANCESTRY BOOKKEEPING. The same
+    #      lineage stepper, driven once with ancestry-only reorders (product
+    #      path) and once with physically permuted caches + identity ancestry
+    #      (textbook-bookkeeping oracle), must emit bit-identical tokens AND
+    #      scores when compiled on the MXU at the bf16 serving spec. This is
+    #      the part of the design that could actually be WRONG; round 4 made
+    #      it provable by gathering the context V rows through the ancestry
+    #      (ancestry-independent reduction order, _lineage_gather_rows).
+    #  (b) ENVELOPE, not identity: lineage vs the gather-path beam. Their
+    #      attention dots have different SHAPES (`bthjs` vs `bhqk`); two
+    #      different contractions are never bit-equal on the MXU, and f32-ulp
+    #      gaps amplify to one-bf16-quantum logit gaps at the next cast
+    #      (onchip_r4 forensics). Tokens may legitimately differ on near-ties,
+    #      so the serving default is the gather path (decode.py); this row
+    #      bounds the lockstep per-step logit gap instead of demanding token
+    #      identity.
     from vcr_tpu import decode as vdecode
     from vcr_tpu.models import base as mbase, transformer
 
@@ -167,23 +185,58 @@ def main() -> int:
         rng.standard_normal((512, 300)).astype(np.float32)))
     tx = jnp.asarray(rng.standard_normal((8, 8, 4096)), jnp.float32
                      ).astype(jnp.bfloat16)
+
+    # (a) bookkeeping bit-identity, compiled
+    te_out = transformer.encode(tparams, tspec, tx,
+                                transformer.create_masks_inp(tx),
+                                jax.random.PRNGKey(0), train=False)
+    tstep, tinit, treorder = transformer.make_cached_stepper(
+        tparams, tspec, te_out, beam_tile=5, lineage=True)
+    trows = te_out.shape[0] * 5
+    anc_id = jnp.tile((jnp.arange(trows, dtype=jnp.int32) % 5)[:, None],
+                      (1, tspec.max_len))
+
+    def phys_reorder(state, flat_src):
+        out = {k_: jax.tree_util.tree_map(lambda x: x[flat_src], v)
+               for k_, v in state.items() if k_ != "anc"}
+        out["anc"] = anc_id
+        return out
+
+    run_anc = jax.jit(lambda st: vdecode.beam_search(
+        tstep, st, te_out.shape[0], 5, tspec.max_len, tspec.sos_id, 509,
+        reorder_fn=treorder))
+    run_phy = jax.jit(lambda st: vdecode.beam_search(
+        tstep, st, te_out.shape[0], 5, tspec.max_len, tspec.sos_id, 509,
+        reorder_fn=phys_reorder))
+    tok_a, sc_a = run_anc(tinit)
+    tok_p, sc_p = run_phy(tinit)
+    bk_ok = bool(np.array_equal(np.asarray(tok_a), np.asarray(tok_p))
+                 and np.array_equal(np.asarray(sc_a), np.asarray(sc_p)))
+    print(f"{'PASS' if bk_ok else 'FAIL'}  lineage bookkeeping ≡ physical "
+          "reorder (compiled, bf16, bit-exact)")
+    if not bk_ok:
+        dump_token_mismatch("ancestry", tok_a, "physical", tok_p, sc_a, sc_p)
+    ok &= bk_ok
+
+    # (b) lineage-vs-gather numerics envelope: lockstep steppers, identical
+    # inputs and reorder schedule; per-step logit gap must stay within a few
+    # bf16 quanta (a real math error would be O(1)+). Token flips on
+    # near-ties are expected and reported, not failed.
     tok_lineage, sc_lineage = jax.jit(
         lambda p, x: vdecode.transformer_beam_decode_fast(
             p, tspec, x, beam_size=5, eos_id=509, lineage=True))(tparams, tx)
     tok_gather, sc_gather = jax.jit(
         lambda p, x: vdecode.transformer_beam_decode_fast(
             p, tspec, x, beam_size=5, eos_id=509, lineage=False))(tparams, tx)
-    same = bool(np.array_equal(np.asarray(tok_lineage), np.asarray(tok_gather)))
-    print(f"{'PASS' if same else 'FAIL'}  lineage beam ≡ gather beam (compiled)")
-    if not same:
-        dump_token_mismatch("lineage", tok_lineage, "gather", tok_gather,
-                            sc_lineage, sc_gather)
-        e_out = transformer.encode(tparams, tspec, tx,
-                                   transformer.create_masks_inp(tx),
-                                   jax.random.PRNGKey(0), train=False)
-        lineage_stepper_probe(tparams, tspec, e_out, 5,
-                              np.random.default_rng(42))
-    ok &= same
+    flips = int((np.asarray(tok_lineage) != np.asarray(tok_gather)).sum())
+    print(f"    info: lineage-vs-gather token cells differing: "
+          f"{flips}/{np.asarray(tok_lineage).size} (near-tie flips expected)")
+    env_gap = lineage_stepper_probe(tparams, tspec, te_out, 5,
+                                    np.random.default_rng(42))
+    env_ok = env_gap < 0.5
+    print(f"{'PASS' if env_ok else 'FAIL'}  lineage vs gather stepper "
+          f"envelope (compiled, max lockstep logit gap {env_gap:.3e} < 0.5)")
+    ok &= env_ok
 
     # Round-3 deployment artifact: a cpu+tpu StableHLO serving export
     # (vcr_tpu/export_serving.py) must replay token-identically on the real

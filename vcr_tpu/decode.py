@@ -384,7 +384,7 @@ def transformer_beam_decode(params, spec: model_base.ModelSpec,
 
 def transformer_beam_decode_fast(params, spec: model_base.ModelSpec,
                                  vid_feats: jax.Array, beam_size: int,
-                                 eos_id: int, lineage: bool = True
+                                 eos_id: int, lineage: bool = False
                                  ) -> Tuple[jax.Array, jax.Array]:
     """KV-cached beam decode — the SERVING beam path, ~L× fewer decoder FLOPs
     per step than transformer_beam_decode. Beams fold into the batch axis and
@@ -394,19 +394,28 @@ def transformer_beam_decode_fast(params, spec: model_base.ModelSpec,
     decode_greedy_fast token-for-token up to the first eos (finished beams
     clamp to eos; the greedy decoder free-runs past it).
 
-    lineage=True (default): gather-free beam — caches are written once and
-    never physically permuted; beam reordering re-indexes a (rows, L)
-    ancestry matrix that self-attention reads through (see
-    transformer.make_cached_stepper). Attention SCORES match the
-    physical-reorder path bit-for-bit: they are selected through the ancestry
-    by a true gather, not a one-hot matmul — an fp32 one-hot einsum rounds
-    the scores to bf16 on the MXU at DEFAULT precision and flipped tokens in
-    the round-3 on-chip check (onchip_r3/tpu_checks.log). The context
-    contraction interleaves exact zeros into the same bf16-product reduction,
-    so logits agree to carried-accumulation exactness; the on-chip
-    tpu_checks lineage row certifies end-to-end token identity vs the gather
-    path — if it ever fails, serve with lineage=False (the proven
-    reorder-by-gather state machine) and file the forensic dump it prints."""
+    lineage=False (default): textbook bookkeeping — every cache leaf is
+    physically permuted by the beam reorder each step. Proven against the
+    parity beam and greedy decoders; this is the path whose tokens the rest
+    of the suite anchors on, so it is the serving default (VERDICT r3 #1).
+
+    lineage=True (opt-in, low-traffic): caches are written once and never
+    physically permuted; beam reordering re-indexes a (rows, L) ancestry
+    matrix that self-attention reads through (transformer.
+    make_cached_stepper). Its ancestry BOOKKEEPING is proven bit-exact on
+    the MXU (tpu_checks "lineage bookkeeping ≡ physical reorder";
+    tests/test_lineage_bookkeeping.py) — both attention reads are true
+    gathers, never one-hot matmuls, and the context reduction order is
+    ancestry-independent. What is NOT bit-equal to this gather path is the
+    attention DOT SHAPE (`bthjs` vs `bhqk`): two different contractions
+    differ at f32 ulp on the MXU, which one bf16 cast amplifies to a
+    one-quantum logit gap, so tokens may differ on near-ties (~2-4% of
+    steps at bf16; bit-identical at fp32 on CPU only by accident of toy
+    sizes — onchip_r4/tpu_checks.log forensics). tpu_checks bounds the
+    lockstep logit envelope instead of demanding identity. Choose it when
+    beam-step HBM traffic dominates (it removes the per-step cache
+    read+write — scripts/analyze_beam_paths.py) and near-tie-invariant
+    tokens are not required."""
     from vcr_tpu.models import transformer as tr
 
     src_mask = tr.create_masks_inp(vid_feats)

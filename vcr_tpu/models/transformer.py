@@ -281,6 +281,25 @@ def _lineage_select(scores_all, anc_b):
     return jnp.take_along_axis(scores_all, idx, axis=-1)[..., 0]
 
 
+def _lineage_gather_rows(cache_b, anc_b):
+    """cache_b (B, s, h, L, d), anc_b (B, t, L) -> (B, t, h, L, d):
+    out[b, t, h, j, :] = cache_b[b, anc_b[b, t, j], h, j, :].
+
+    A true gather of the ancestry rows of a KV-cache block — bit-moving, like
+    _lineage_select. Used for the context V reads: contracting the weights
+    against ALL source rows through a one-hot mask puts the nonzero terms at
+    ancestry-DEPENDENT (j, s) coordinates, so the reduction's association —
+    and therefore the f32 ulp of the result — depended on the ancestry
+    pattern (round-4 forensics, onchip_r4/tpu_checks.log). Gathering V first
+    and reducing over j alone makes the reduction order ancestry-independent:
+    the same stepper then produces bit-identical logits whether beams are
+    tracked by ancestry or by physically reordered caches
+    (tests/test_lineage_bookkeeping.py)."""
+    idx = anc_b[:, :, None, None, :, None]     # (B, t, 1, 1, L, 1)
+    out = jnp.take_along_axis(cache_b[:, None], idx, axis=2)
+    return out[:, :, 0]                        # (B, t, h, L, d)
+
+
 def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
                         beam_tile: int = 1, lineage: bool = False):
     """KV-cached single-token decoder step — the SERVING-mode cell shared by
@@ -349,20 +368,21 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
     # item's K physical rows held beam r's token-j KV when it was written —
     # and self-attention reads through it: scores are computed against ALL K
     # source rows of the item's cache block (one pass over the same bytes the
-    # plain attend already reads) and contracted with the one-hot lineage
-    # mask, which only touches O(rows·L·K) floats. This removes the per-step
-    # read+write of every cache leaf that the physical reorder costs
-    # (~2/3 of the beam step's cache HBM traffic; VERDICT r2 #5).
-    # Numerics: attention SCORES are selected through the ancestry by a true
-    # gather (_lineage_select) — bit-identical to the physical-reorder path on
-    # every backend. (An fp32 one-hot einsum is NOT: on the MXU at DEFAULT
-    # precision the fp32 scores get rounded to bf16 inside the contraction,
-    # which flipped tokens in the round-3 on-chip identity check —
-    # onchip_r3/tpu_checks.log.) The CONTEXT contraction keeps bf16 operands
-    # (each product is exact and equal to the reorder path's; the masked-out
-    # terms are exact zeros) but its f32 accumulation interleaves those zeros
-    # into the reduction, so logits agree to carried-accumulation exactness —
-    # the on-chip tpu_checks lineage row certifies token identity end-to-end.
+    # plain attend already reads) and selected through the ancestry. This
+    # removes the per-step read+write of every cache leaf that the physical
+    # reorder costs (~2/3 of the beam step's cache HBM traffic; VERDICT r2 #5).
+    # Numerics (round-4 contract): BOTH ancestry reads are true gathers,
+    # never one-hot matmuls — scores via _lineage_select, context V rows via
+    # _lineage_gather_rows — so the stepper's output is independent of WHERE
+    # the ancestry points: the bookkeeping is bit-identical to physically
+    # reordering the caches (tpu_checks "lineage bookkeeping ≡ physical
+    # reorder"; tests/test_lineage_bookkeeping.py). What is NOT bit-equal is
+    # this stepper vs the gather-path stepper (attend_cached): their dots
+    # have different SHAPES (`bthjs` vs `bhqk`), which differ at f32 ulp on
+    # the MXU and amplify to one-bf16-quantum logit gaps at the next cast —
+    # tokens can flip on near-ties (onchip_r4/tpu_checks.log forensics).
+    # Hence the serving default is the gather path; lineage is the opt-in
+    # low-traffic variant (decode.transformer_beam_decode_fast).
     b_items = rows // max(beam_tile, 1)
     row_local = (jnp.arange(rows) % max(beam_tile, 1)).astype(jnp.int32)
 
@@ -383,13 +403,16 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
                                 ckb.astype(cdt),
                                 preferred_element_type=jnp.float32) / (d_k ** 0.5)
         anc_b = anc.reshape(b_items, k_b, l)
-        onehot = jax.nn.one_hot(anc_b, k_b, dtype=jnp.float32)  # (B, kt, L, ks)
         scores = _lineage_select(scores_all, anc_b)
         scores = jnp.where(pos_mask_row[None, None, None, :] > i, -1e9, scores)
         w = jax.nn.softmax(scores, axis=-1)                   # (B, kt, h, L)
-        wm = w[..., None] * onehot[:, :, None, :, :]          # (B, kt, h, L, ks)
-        ctx = jnp.einsum("bthjs,bshjd->bthd", wm.astype(cdt), cvb.astype(cdt),
-                         preferred_element_type=jnp.float32)
+        # context: gather the ancestry V rows (bit-moving), then reduce over
+        # positions j ONLY — the products match the physical-reorder path's
+        # (bf16 w × bf16 v, exact in f32) and the reduction order no longer
+        # depends on the ancestry pattern (see _lineage_gather_rows).
+        vsel = _lineage_gather_rows(cvb, anc_b)               # (B, kt, h, L, d)
+        ctx = jnp.sum(w.astype(cdt).astype(jnp.float32)[..., None]
+                      * vsel.astype(jnp.float32), axis=3)     # (B, kt, h, d)
         out = ctx.reshape(rows, 1, hidden)
         return dense(attn_p["out"], out, cdt), ck, cv
 
@@ -502,10 +525,11 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
     row's own slot and NEVER physically reordered; the state gains an
     ``anc (rows, max_len)`` ancestry matrix (same design as
     make_cached_stepper(lineage=True), here with per-row positions) and beam
-    reordering permutes ONLY that matrix. Self-attention scores are read
-    through an exact ancestry gather (_lineage_select) — bit-identical to a
-    physical reorder on every backend, including the MXU (see the numerics
-    note in make_cached_stepper). init_self_state then also contains the
+    reordering permutes ONLY that matrix. Both self-attention ancestry reads
+    are true gathers (_lineage_select for scores, _lineage_gather_rows for
+    the context V rows), so the bookkeeping is bit-identical to a physical
+    reorder on every backend including the MXU (see the numerics contract in
+    make_cached_stepper). init_self_state then also contains the
     identity ancestry; after
     admission each fresh group's ancestry must be re-armed to the local
     pattern (row % K repeated across columns) — tiling an A-row encode K-wide
@@ -572,15 +596,15 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
                                 preferred_element_type=jnp.float32
                                 ) / (d_k ** 0.5)            # (g, kt, h, L, ks)
         anc_b = anc.reshape(g, k_b, l)
-        onehot = jax.nn.one_hot(anc_b, k_b, dtype=jnp.float32)  # (g,kt,L,ks)
         scores = _lineage_select(scores_all, anc_b)
         mask = pos_row[None, None, None, :] > i_vec.reshape(
             g, k_b)[:, :, None, None]
         w = jax.nn.softmax(jnp.where(mask, -1e9, scores), axis=-1)
-        wm = w[..., None] * onehot[:, :, None, :, :]
-        ctx = jnp.einsum("bthjs,bshjd->bthd", wm.astype(cdt),
-                         cvb.astype(cdt),
-                         preferred_element_type=jnp.float32)
+        # ancestry-gathered V + j-only reduction: reduction order independent
+        # of the ancestry pattern (see _lineage_gather_rows)
+        vsel = _lineage_gather_rows(cvb, anc_b)               # (g, kt, h, L, d)
+        ctx = jnp.sum(w.astype(cdt).astype(jnp.float32)[..., None]
+                      * vsel.astype(jnp.float32), axis=3)     # (g, kt, h, d)
         out = ctx.reshape(x2.shape[0], 1, hidden)
         return dense(attn_p["out"], out, cdt), ck, cv
 
