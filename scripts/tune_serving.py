@@ -126,6 +126,18 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    else:
+        # flake-robust probing like every other bench entry (VERDICT r2 #1):
+        # a dead axon tunnel otherwise hangs the sweep on first device use
+        # until the capture's outer timeout
+        from vcr_tpu.utils import backend_probe
+
+        ok, diag = backend_probe.ensure_backend()
+        if not ok:
+            print(json.dumps({"metric": "serving tuner", "value": None,
+                              "error": f"backend unavailable: {diag}"}),
+                  flush=True)
+            return 1
     import jax
 
     if args.synthetic:
