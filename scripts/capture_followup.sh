@@ -44,6 +44,11 @@ run bench_all      python bench_all.py
 run bench_train_rationale python bench_train.py rationale
 run bench_train_spatial   python bench_train.py spatial
 run diag_slot_tick python scripts/diag_slot_tick.py
+# Saturating sweep incl. big pools (VERDICT r3 #5: occupancy≈1 must compete;
+# the slot-decode bandwidth roofline favors wider pools + longer step chunks)
+run tune_serving2  python scripts/tune_serving.py --synthetic \
+  --slots 64,128,256,512 --admit_chunk 16,32 --step_chunk 4,8,16 --rate 0 \
+  --n_requests 4096
 run roofline_s2vt_att python scripts/roofline_train.py --arch s2vt-att --measure
 run compare_rounds python scripts/compare_rounds.py onchip_r3 "$OUT"
 
