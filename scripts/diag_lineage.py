@@ -17,9 +17,12 @@ for every candidate formulation, so one run picks the fix:
   python scripts/diag_lineage.py          # on the real TPU
 """
 
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from vcr_tpu.utils import backend_probe
 

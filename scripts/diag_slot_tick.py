@@ -19,10 +19,13 @@ This script times, on the real TPU, chained inside one jit each:
 Run: python scripts/diag_slot_tick.py    (needs the tunnel; ~6 compiles)
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from vcr_tpu.utils import backend_probe
 
