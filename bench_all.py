@@ -258,6 +258,12 @@ def main() -> None:
         np.arange(att_r, dtype=np.int32), np.ones((att_r,), bool))
     cb_st0 = cb.state
 
+    # This row's device time per tick is tiny (320 GRU rows at 512-d), so at
+    # length=iters the ~24-60ms tunnel dispatch+readback dominated dt and the
+    # row tracked tunnel weather, not the chip (r3->r4 it "dropped" 45% on a
+    # sluggish day). Chain 10x longer so overhead amortizes below ~5%.
+    att_iters = iters * 10
+
     @jax.jit
     def att_beam_run_n(params, st):
         def body(st, _):
@@ -266,7 +272,7 @@ def main() -> None:
             # rate, not caption completion
             return dict(st, active=jnp.ones_like(st["active"])), None
 
-        st, _ = jax.lax.scan(body, st, None, length=iters)
+        st, _ = jax.lax.scan(body, st, None, length=att_iters)
         return st["last"].astype(jnp.float32).ravel()[0] * 1e-12
 
     cb_dt, _f2, cb_mfu = benchutil.time_chained(
@@ -274,7 +280,7 @@ def main() -> None:
     cb_row = {
         "metric": (f"S2VT-att continuous BEAM-5 slot decode tokens/sec/chip "
                    f"(R={att_r}, h-only reorder, bf16)"),
-        "value": round(att_r * 4 * iters / cb_dt, 2),
+        "value": round(att_r * 4 * att_iters / cb_dt, 2),
         "unit": "tokens/s",
     }
     if cb_mfu is not None:

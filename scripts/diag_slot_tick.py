@@ -67,7 +67,11 @@ def main():
     feats = jnp.asarray(rng.standard_normal((R, spec.num_frames, 4096)),
                         jnp.float32).astype(jnp.bfloat16)
 
+    # "full" = the SCATTER form, pinned explicitly (masked is the product
+    # default since the r4 A/B; this script exists to keep measuring both)
+    os.environ["VCR_SLOT_WRITE"] = "scatter"
     step_fn, init_self, cross_state = trm.make_slot_stepper(params, spec)
+    os.environ.pop("VCR_SLOT_WRITE")
     eo = trm.encode(params, spec, feats, trm.create_masks_inp(feats),
                     jax.random.PRNGKey(0), train=False)
     st0 = {**init_self(R), **cross_state(eo)}
@@ -89,15 +93,12 @@ def main():
         return run
 
     t_full = timed(chain(step_fn), st0, words0, ivec0)
-    print(f"full       {t_full*1e3:8.3f} ms/step  "
+    print(f"scatter    {t_full*1e3:8.3f} ms/step  "
           f"{R/t_full/1e3:9.1f}k tokens/s")
 
-    # the production stepper in masked-write mode (VCR_SLOT_WRITE=masked;
-    # bitwise-identical — tests/test_serving_continuous.py)
-    import os as _os
-    _os.environ["VCR_SLOT_WRITE"] = "masked"
+    # the production default: masked-write mode (bitwise-identical —
+    # tests/test_serving_continuous.py::test_masked_cache_write_bitwise)
     mstep_fn, _, _ = trm.make_slot_stepper(params, spec)
-    _os.environ.pop("VCR_SLOT_WRITE")
     t_m = timed(chain(mstep_fn), st0, words0, ivec0)
     print(f"prod-masked{t_m*1e3:8.3f} ms/step  {R/t_m/1e3:9.1f}k tokens/s")
 

@@ -547,12 +547,14 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
                  for i in range(n_layers)]
     pos_row = jnp.arange(l)
 
-    # VCR_SLOT_WRITE=masked replaces the 2-per-layer per-row-position cache
-    # SCATTERS with one-hot masked full-cache rewrites (pure VPU elementwise;
-    # value-identical — a write is a data move). XLA TPU scatters can
-    # serialize; the masked form trades their latency for (R,h,L,d) r+w
-    # bandwidth per leaf. On-chip A/B: scripts/diag_slot_tick.py.
-    masked_write = os.environ.get("VCR_SLOT_WRITE") == "masked"
+    # Cache writes default to one-hot MASKED full-cache rewrites (pure VPU
+    # elementwise; value-identical — a write is a data move) instead of the
+    # 2-per-layer per-row-position SCATTERS: XLA TPU scatters serialize, and
+    # the on-chip A/B (scripts/diag_slot_tick.py, onchip_r4/diag_slot_tick.log)
+    # measured 0.879 vs 1.506 ms/tick at R=512 — 1.71x. The masked form trades
+    # scatter latency for (R,h,L,d) r+w bandwidth per leaf, a win at serving
+    # cache sizes. VCR_SLOT_WRITE=scatter restores the scatter form.
+    masked_write = os.environ.get("VCR_SLOT_WRITE", "masked") != "scatter"
 
     def cache_write(c, new, i_vec, rows_idx):
         """Write this step's (rows, h, d_k) K/V at [r, :, i_vec[r], :]."""
