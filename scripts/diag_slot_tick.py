@@ -102,6 +102,18 @@ def main():
     t_m = timed(chain(mstep_fn), st0, words0, ivec0)
     print(f"prod-masked{t_m*1e3:8.3f} ms/step  {R/t_m/1e3:9.1f}k tokens/s")
 
+    # ---- per-tick roofline (XLA cost model, like scripts/roofline_train) --
+    # Decode ticks are bandwidth-dominated (KV+cross cache reads + the masked
+    # rewrite); this prints how close the measured tick sits to the HBM bound.
+    PEAK_FLOPS, PEAK_BW = 197e12, 819e9          # TPU v5e bf16 / HBM
+    ca = jax.jit(mstep_fn).lower(st0, words0, ivec0).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    fl, by = float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    bound = max(fl / PEAK_FLOPS, by / PEAK_BW)
+    print(f"roofline   {bound*1e3:8.3f} ms/step  bytes={by/1e6:.1f}MB "
+          f"flops={fl/1e9:.2f}G  measured/bound={t_m/bound:.2f}x "
+          f"({'bandwidth' if by/PEAK_BW > fl/PEAK_FLOPS else 'compute'}-bound)")
+
     # ---- ablations: rebuild the step with modified cache-write behavior ---
     def make_variant(write_mode):
         dec = params["decoder"]
