@@ -66,3 +66,142 @@ def test_fold_v_matches_dequant_dot(rng):
                      vq.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+# ----------------------------------------------- slot-stepper integration
+
+
+def _spec(tiny_vocab, **kw):
+    from vcr_tpu.models import base
+
+    return base.ModelSpec(
+        arch="transformer", vocab_size=tiny_vocab.vocab_size,
+        embed_size=tiny_vocab.embed_size, hidden_size=16, vid_feat_size=12,
+        max_len=8, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+        compute_dtype="float32", tf_layers=2, tf_heads=2, **kw)
+
+
+def _setup(tiny_vocab, rng, n=3, bt=1, lineage=False, kv="int8", seed=5):
+    import vcr_tpu.models.transformer as trm
+
+    del rng  # repeated calls must see IDENTICAL data: own deterministic gen
+    spec = _spec(tiny_vocab)
+    params = trm.init_params(jax.random.PRNGKey(seed), spec,
+                             tiny_vocab.vectors)
+    feats = jnp.asarray(np.random.default_rng(11).standard_normal((n, 4, 12)),
+                        jnp.float32)
+    eo = trm.encode(params, spec, feats, trm.create_masks_inp(feats),
+                    jax.random.PRNGKey(0), train=False)
+    step, init_self, cross = trm.make_slot_stepper(
+        params, spec, beam_tile=bt, lineage=lineage, kv_cache=kv)
+    rows = n * bt
+    st = {**init_self(rows),
+          **cross(jnp.repeat(eo, bt, axis=0) if bt > 1 else eo)}
+    return spec, step, st, rows
+
+
+def test_int8_stepper_logit_envelope(tiny_vocab, rng):
+    """int8 logits track the bf16/fp32 cache path within a small envelope
+    and (at fp32 compute on CPU, comfortable score gaps) emit the same
+    greedy tokens for most steps."""
+    spec, step_q, st_q, rows = _setup(tiny_vocab, rng, kv="int8")
+    _, step_f, st_f, _ = _setup(tiny_vocab, rng, kv="bf16")
+    w = jnp.full((rows,), spec.sos_id, jnp.int32)
+    max_gap = 0.0
+    for i in range(6):
+        iv = jnp.full((rows,), i, jnp.int32)
+        st_q, lq = step_q(st_q, w, iv)
+        st_f, lf = step_f(st_f, w, iv)   # same (teacher-forced) word stream
+        max_gap = max(max_gap, float(jnp.max(jnp.abs(
+            lq.astype(jnp.float32) - lf.astype(jnp.float32)))))
+        w = jnp.argmax(lf, -1).astype(jnp.int32)
+    assert max_gap < 0.35, max_gap
+
+
+@pytest.mark.parametrize("lineage", [False, True])
+def test_int8_masked_scatter_bitwise(tiny_vocab, rng, lineage, monkeypatch):
+    """The cache-write mode is still value-free in int8: codes and scales
+    land identically whether scattered or mask-rewritten."""
+    outs = []
+    for mode in ("scatter", "masked"):
+        monkeypatch.setenv("VCR_SLOT_WRITE", mode)
+        bt = 2 if lineage else 1
+        spec, step, st, rows = _setup(tiny_vocab, rng, bt=bt, lineage=lineage)
+        w = jnp.full((rows,), spec.sos_id, jnp.int32)
+        logits = []
+        for i in range(4):
+            st, lg = step(st, w, jnp.full((rows,), i, jnp.int32))
+            w = jnp.argmax(lg, -1).astype(jnp.int32)
+            logits.append(np.asarray(lg))
+        outs.append((np.stack(logits), st))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                    jax.tree_util.tree_leaves(outs[1][1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_lineage_bookkeeping_bitexact(tiny_vocab, rng):
+    """The ancestry-vs-physical-reorder contract survives quantization: int8
+    codes and their scales ride the same true gathers, so tracking beams by
+    ancestry is bit-identical to physically permuting the (int8) caches."""
+    k = 2
+    spec, step, st0, rows = _setup(tiny_vocab, rng, n=2, bt=k, lineage=True)
+    perms = [np.array([1, 0, 0, 1]), np.array([0, 0, 1, 1]),
+             np.array([1, 1, 0, 0])]
+    group_base = (np.arange(rows) // k) * k
+    local = jnp.asarray((np.arange(rows) % k).astype(np.int32))
+    anc_identity = jnp.tile(local[:, None], (1, spec.max_len))
+
+    def roll(mode):
+        st = {kk: v for kk, v in st0.items()}
+        w = jnp.full((rows,), spec.sos_id, jnp.int32)
+        logits = []
+        for i, perm in enumerate(perms):
+            st, lg = step(st, w, jnp.full((rows,), i, jnp.int32))
+            logits.append(np.asarray(lg))
+            w = jnp.argmax(lg, -1).astype(jnp.int32)
+            flat_src = jnp.asarray(group_base + perm, jnp.int32)
+            if mode == "ancestry":
+                st = dict(st, anc=st["anc"][flat_src])
+            else:
+                st = {kk: jax.tree_util.tree_map(lambda x: x[flat_src], v)
+                      for kk, v in st.items() if kk != "anc"}
+                st["anc"] = anc_identity
+            w = w[flat_src]
+        return logits
+
+    for a, b in zip(roll("ancestry"), roll("physical")):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_int8_pool_end_to_end(tiny_vocab, rng):
+    """ContinuousCaptioner(kv_cache='int8'): greedy and beam pools serve
+    every request with well-formed tokens; GRU families reject the flag."""
+    import vcr_tpu.models.base as mbase
+    from vcr_tpu.serving_continuous import ContinuousCaptioner
+
+    spec = _spec(tiny_vocab)
+    params = mbase.build_model("transformer")[0](
+        jax.random.PRNGKey(3), spec, tiny_vocab.vectors)
+    feats = rng.standard_normal((5, 4, 12)).astype(np.float32)
+    reqs = {i: feats[i] for i in range(5)}
+    for beam in (1, 2):
+        toks = ContinuousCaptioner(params, spec, slots=4, admit_chunk=2,
+                                   eos_id=tiny_vocab.eos_id, beam_size=beam,
+                                   kv_cache="int8").caption_all(reqs)
+        assert set(toks) == set(reqs)
+        for t in toks.values():
+            t = np.asarray(t)
+            assert t.ndim == 1 and len(t) <= spec.max_len
+            assert (t != tiny_vocab.eos_id).all()
+
+    s2 = mbase.ModelSpec(
+        arch="s2vt", vocab_size=tiny_vocab.vocab_size,
+        embed_size=tiny_vocab.embed_size, hidden_size=16, vid_feat_size=12,
+        max_len=8, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+        compute_dtype="float32")
+    p2 = mbase.build_model("s2vt")[0](jax.random.PRNGKey(0), s2,
+                                      tiny_vocab.vectors)
+    with pytest.raises(ValueError, match="int8"):
+        ContinuousCaptioner(p2, s2, slots=4, admit_chunk=2,
+                            eos_id=tiny_vocab.eos_id, kv_cache="int8")

@@ -135,6 +135,12 @@ class Config:
     # pools that need it should carry that. --sample_temperature > 0 also
     # enables it (the pool is already on the sampling path then).
     serve_request_sampling: bool = False
+    # KV-cache storage for the serving pool's transformer decode caches:
+    # "bf16" (exact — token-identical to the batch decode paths) or "int8"
+    # (per-vector symmetric quantization, ~2x less cache HBM traffic per
+    # tick; bounded-error, NOT token-identical — ops/kvquant.py). Only
+    # meaningful for transformer-family models; others reject "int8".
+    serve_kv_cache: str = "bf16"
     # Enable POST /profile?seconds=S: capture a jax.profiler trace of live
     # serving under this directory. "" (default) = endpoint disabled (an
     # unauthenticated capture holds a handler thread and costs memory).
@@ -207,6 +213,7 @@ _CLI_OVERRIDE_FIELDS = (
     "mesh_dp", "mesh_mp", "compile_cache_dir",
     "serve_port", "serve_slots", "serve_admit_chunk",
     "serve_max_pending", "serve_timeout_s", "serve_request_sampling",
+    "serve_kv_cache",
     "serve_profile_dir", "serve_models", "serve_auth_token",
     "serve_max_body_mb",
     "meteor_synonyms", "meteor_paraphrases",

@@ -495,7 +495,7 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
 
 
 def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
-                      lineage: bool = False):
+                      lineage: bool = False, kv_cache: str | None = None):
     """Per-slot-position KV-cached decode cell for continuous-batching
     serving (serving_continuous.ContinuousCaptioner).
 
@@ -534,6 +534,19 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
     admission each fresh group's ancestry must be re-armed to the local
     pattern (row % K repeated across columns) — tiling an A-row encode K-wide
     would wrongly duplicate it (ContinuousCaptioner._admit does this).
+
+    ``kv_cache="int8"`` (default ``"bf16"``; env ``VCR_KV_CACHE`` overrides
+    the default) stores self AND cross K/V as per-vector symmetric int8 with
+    one fp32 scale per (row, head, position) — ops/kvquant.py. Decode ticks
+    are HBM-bound on the cache reads (onchip_r4/diag_slot_tick.log), so
+    halving the cache byte stream buys throughput; the dequantization folds
+    into the SMALL score-side tensors (scores·s_k after the q·K dot, w·s_v
+    before the ·V dot) so nothing cache-sized materializes. NOT bit-identical
+    to the bf16 path (bounded quantization error — tests/test_kv_quant.py);
+    the lineage bookkeeping contract (ancestry-tracking ≡ physical reorder,
+    bit-exact) still holds WITHIN int8 mode because codes and scales move
+    through the same true gathers. State leaves become 4-tuples
+    (k_q, k_s, v_q, v_s) per layer.
     """
     dec = params["decoder"]
     layers = dec["layers"]
@@ -555,6 +568,12 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
     # scatter latency for (R,h,L,d) r+w bandwidth per leaf, a win at serving
     # cache sizes. VCR_SLOT_WRITE=scatter restores the scatter form.
     masked_write = os.environ.get("VCR_SLOT_WRITE", "masked") != "scatter"
+    kv_cache = kv_cache or os.environ.get("VCR_KV_CACHE", "bf16")
+    if kv_cache not in ("bf16", "int8"):
+        raise ValueError(f"kv_cache must be 'bf16' or 'int8', got {kv_cache!r}")
+    quant = kv_cache == "int8"
+    if quant:
+        from vcr_tpu.ops import kvquant
 
     def cache_write(c, new, i_vec, rows_idx):
         """Write this step's (rows, h, d_k) K/V at [r, :, i_vec[r], :]."""
@@ -562,6 +581,20 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
             m = (pos_row[None, :] == i_vec[:, None])[:, None, :, None]
             return jnp.where(m, new.astype(c.dtype)[:, :, None, :], c)
         return c.at[rows_idx, :, i_vec, :].set(new.astype(c.dtype))
+
+    def cache_write_s(c, new_s, i_vec, rows_idx):
+        """Write this step's (rows, h) quantization scales at [r, :, i_vec[r]]."""
+        if masked_write:
+            m = (pos_row[None, :] == i_vec[:, None])[:, None, :]
+            return jnp.where(m, new_s[:, :, None], c)
+        return c.at[rows_idx, :, i_vec].set(new_s)
+
+    def quant_write(c_q, c_s, new, i_vec, rows_idx):
+        """Quantize this step's (rows, h, d_k) vectors and write codes+scales."""
+        q, s = kvquant.quantize(new)
+        return (cache_write(c_q, q, i_vec, rows_idx),
+                cache_write_s(c_s, s[..., 0].astype(c_s.dtype), i_vec,
+                              rows_idx))
 
     def heads_split(x):  # (rows, S, hidden) -> (rows, h, S, d_k)
         return x.reshape(x.shape[0], -1, heads, d_k).transpose(0, 2, 1, 3)
@@ -571,67 +604,140 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
         for li, lp in enumerate(per_layer):
             k = heads_split(dense(lp["attn_2"]["k"], e_outputs, cdt)).astype(cdt)
             v = heads_split(dense(lp["attn_2"]["v"], e_outputs, cdt)).astype(cdt)
-            out[f"x{li}"] = (k, v)
+            if quant:
+                kq, ks = kvquant.quantize(k)
+                vq, vs = kvquant.quantize(v)
+                out[f"x{li}"] = (kq, ks[..., 0], vq, vs[..., 0])
+            else:
+                out[f"x{li}"] = (k, v)
         return out
 
     def init_self_state(rows: int):
-        z = jnp.zeros((rows, heads, l, d_k), cdt)
-        out = {f"c{li}": (z, z) for li in range(n_layers)}
+        if quant:
+            zq = jnp.zeros((rows, heads, l, d_k), jnp.int8)
+            zs = jnp.zeros((rows, heads, l), jnp.float32)
+            out = {f"c{li}": (zq, zs, zq, zs) for li in range(n_layers)}
+        else:
+            z = jnp.zeros((rows, heads, l, d_k), cdt)
+            out = {f"c{li}": (z, z) for li in range(n_layers)}
         if lineage:
             row_local = (jnp.arange(rows) % beam_tile).astype(jnp.int32)
             out["anc"] = jnp.tile(row_local[:, None], (1, l))
         return out
 
-    def attend_self_lineage(attn_p, x2, ck, cv, i_vec, anc, rows_idx):
+    def attend_self_lineage(attn_p, x2, cache, i_vec, anc, rows_idx):
         g = x2.shape[0] // beam_tile
         k_b = beam_tile
         q = heads_split(dense(attn_p["q"], x2, cdt))[:, :, 0, :]  # (rows,h,dk)
         k_new = heads_split(dense(attn_p["k"], x2, cdt))[:, :, 0, :]
         v_new = heads_split(dense(attn_p["v"], x2, cdt))[:, :, 0, :]
-        ck = cache_write(ck, k_new, i_vec, rows_idx)
-        cv = cache_write(cv, v_new, i_vec, rows_idx)
         qb = q.reshape(g, k_b, heads, d_k)
-        ckb = ck.reshape(g, k_b, heads, l, d_k)
-        cvb = cv.reshape(g, k_b, heads, l, d_k)
-        scores_all = jnp.einsum("bthd,bshjd->bthjs", qb.astype(cdt),
-                                ckb.astype(cdt),
-                                preferred_element_type=jnp.float32
-                                ) / (d_k ** 0.5)            # (g, kt, h, L, ks)
         anc_b = anc.reshape(g, k_b, l)
-        scores = _lineage_select(scores_all, anc_b)
+        if quant:
+            ck_q, ck_s, cv_q, cv_s = cache
+            ck_q, ck_s = quant_write(ck_q, ck_s, k_new, i_vec, rows_idx)
+            cv_q, cv_s = quant_write(cv_q, cv_s, v_new, i_vec, rows_idx)
+            cache = (ck_q, ck_s, cv_q, cv_s)
+            ckb, cvb = (c.reshape(g, k_b, heads, l, d_k) for c in (ck_q, cv_q))
+            scores_all = jnp.einsum("bthd,bshjd->bthjs", qb.astype(cdt),
+                                    ckb.astype(cdt),
+                                    preferred_element_type=jnp.float32
+                                    ) / (d_k ** 0.5)        # (g, kt, h, L, ks)
+            # fold the K scales (source beam s, position j) BEFORE the select:
+            # elementwise, so the gather contract is untouched
+            scores_all = scores_all * ck_s.reshape(
+                g, k_b, heads, l).transpose(0, 2, 3, 1)[:, None]
+            scores = _lineage_select(scores_all, anc_b)
+        else:
+            ck, cv = cache
+            ck = cache_write(ck, k_new, i_vec, rows_idx)
+            cv = cache_write(cv, v_new, i_vec, rows_idx)
+            cache = (ck, cv)
+            ckb = ck.reshape(g, k_b, heads, l, d_k)
+            cvb = cv.reshape(g, k_b, heads, l, d_k)
+            scores_all = jnp.einsum("bthd,bshjd->bthjs", qb.astype(cdt),
+                                    ckb.astype(cdt),
+                                    preferred_element_type=jnp.float32
+                                    ) / (d_k ** 0.5)        # (g, kt, h, L, ks)
+            scores = _lineage_select(scores_all, anc_b)
         mask = pos_row[None, None, None, :] > i_vec.reshape(
             g, k_b)[:, :, None, None]
         w = jax.nn.softmax(jnp.where(mask, -1e9, scores), axis=-1)
         # ancestry-gathered V + j-only reduction: reduction order independent
         # of the ancestry pattern (see _lineage_gather_rows)
-        vsel = _lineage_gather_rows(cvb, anc_b)               # (g, kt, h, L, d)
-        ctx = jnp.sum(w.astype(cdt).astype(jnp.float32)[..., None]
-                      * vsel.astype(jnp.float32), axis=3)     # (g, kt, h, d)
+        if quant:
+            vselq = _lineage_gather_rows(cvb, anc_b)          # (g, kt, h, L, d)
+            vsels = _lineage_gather_rows(cv_s.reshape(
+                g, k_b, heads, l)[..., None], anc_b)[..., 0]  # (g, kt, h, L)
+            ctx = jnp.sum((w.astype(cdt).astype(jnp.float32)
+                           * vsels)[..., None]
+                          * vselq.astype(jnp.float32), axis=3)
+        else:
+            vsel = _lineage_gather_rows(cvb, anc_b)           # (g, kt, h, L, d)
+            ctx = jnp.sum(w.astype(cdt).astype(jnp.float32)[..., None]
+                          * vsel.astype(jnp.float32), axis=3)  # (g, kt, h, d)
         out = ctx.reshape(x2.shape[0], 1, hidden)
-        return dense(attn_p["out"], out, cdt), ck, cv
+        return dense(attn_p["out"], out, cdt), cache
 
-    def attend_self(attn_p, x2, ck, cv, i_vec, rows_idx):
+    def attend_self(attn_p, x2, cache, i_vec, rows_idx):
         q = heads_split(dense(attn_p["q"], x2, cdt))          # (rows, h, 1, d_k)
         k_new = heads_split(dense(attn_p["k"], x2, cdt))[:, :, 0, :]
         v_new = heads_split(dense(attn_p["v"], x2, cdt))[:, :, 0, :]
-        ck = cache_write(ck, k_new, i_vec, rows_idx)
-        cv = cache_write(cv, v_new, i_vec, rows_idx)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt), ck.astype(cdt),
-                            preferred_element_type=jnp.float32) / (d_k ** 0.5)
-        mask = pos_row[None, None, None, :] > i_vec[:, None, None, None]
-        w = jax.nn.softmax(jnp.where(mask, -1e9, scores), axis=-1)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cdt), cv.astype(cdt),
-                         preferred_element_type=jnp.float32)
+        if quant:
+            ck_q, ck_s, cv_q, cv_s = cache
+            ck_q, ck_s = quant_write(ck_q, ck_s, k_new, i_vec, rows_idx)
+            cv_q, cv_s = quant_write(cv_q, cv_s, v_new, i_vec, rows_idx)
+            cache = (ck_q, ck_s, cv_q, cv_s)
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt),
+                                ck_q.astype(cdt),
+                                preferred_element_type=jnp.float32
+                                ) / (d_k ** 0.5)
+            scores = scores * ck_s[:, :, None, :]
+            mask = pos_row[None, None, None, :] > i_vec[:, None, None, None]
+            w = jax.nn.softmax(jnp.where(mask, -1e9, scores), axis=-1)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd",
+                             (w * cv_s[:, :, None, :]).astype(cdt),
+                             cv_q.astype(cdt),
+                             preferred_element_type=jnp.float32)
+        else:
+            ck, cv = cache
+            ck = cache_write(ck, k_new, i_vec, rows_idx)
+            cv = cache_write(cv, v_new, i_vec, rows_idx)
+            cache = (ck, cv)
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt),
+                                ck.astype(cdt),
+                                preferred_element_type=jnp.float32
+                                ) / (d_k ** 0.5)
+            mask = pos_row[None, None, None, :] > i_vec[:, None, None, None]
+            w = jax.nn.softmax(jnp.where(mask, -1e9, scores), axis=-1)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cdt), cv.astype(cdt),
+                             preferred_element_type=jnp.float32)
         out = ctx.transpose(0, 2, 1, 3).reshape(x2.shape[0], 1, hidden)
-        return dense(attn_p["out"], out, cdt), ck, cv
+        return dense(attn_p["out"], out, cdt), cache
 
-    def attend_cross(attn_p, x2, k, v):
+    def attend_cross(attn_p, x2, kxv):
         q = heads_split(dense(attn_p["q"], x2, cdt))
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt), k.astype(cdt),
-                            preferred_element_type=jnp.float32) / (d_k ** 0.5)
-        w = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cdt), v.astype(cdt),
-                         preferred_element_type=jnp.float32)
+        if quant:
+            kq, ks, vq, vs = kxv
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt),
+                                kq.astype(cdt),
+                                preferred_element_type=jnp.float32
+                                ) / (d_k ** 0.5)
+            scores = scores * ks[:, :, None, :]
+            w = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd",
+                             (w * vs[:, :, None, :]).astype(cdt),
+                             vq.astype(cdt),
+                             preferred_element_type=jnp.float32)
+        else:
+            k, v = kxv
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt),
+                                k.astype(cdt),
+                                preferred_element_type=jnp.float32
+                                ) / (d_k ** 0.5)
+            w = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cdt), v.astype(cdt),
+                             preferred_element_type=jnp.float32)
         out = ctx.transpose(0, 2, 1, 3).reshape(x2.shape[0], 1, hidden)
         return dense(attn_p["out"], out, cdt)
 
@@ -650,21 +756,20 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
             new_state["anc"] = anc
         for li in range(n_layers):
             lp = per_layer[li]
-            kx, vx = state[f"x{li}"]
-            ck, cv = state[f"c{li}"]
             x2 = torch_norm(lp["norm_1"], x)
             if lineage:
-                a, ck, cv = attend_self_lineage(lp["attn_1"], x2, ck, cv,
-                                                i_vec, anc, rows_idx)
+                a, cache = attend_self_lineage(lp["attn_1"], x2,
+                                               state[f"c{li}"], i_vec, anc,
+                                               rows_idx)
             else:
-                a, ck, cv = attend_self(lp["attn_1"], x2, ck, cv, i_vec,
-                                        rows_idx)
+                a, cache = attend_self(lp["attn_1"], x2, state[f"c{li}"],
+                                       i_vec, rows_idx)
             x = x + a
             x2 = torch_norm(lp["norm_2"], x)
-            x = x + attend_cross(lp["attn_2"], x2, kx, vx)
+            x = x + attend_cross(lp["attn_2"], x2, state[f"x{li}"])
             x2 = torch_norm(lp["norm_3"], x)
             x = x + _ff_apply(lp["ff"], x2, None, False, cdt)
-            new_state[f"c{li}"] = (ck, cv)
+            new_state[f"c{li}"] = cache
         h = torch_norm(dec["norm_out"], x)[:, 0]
         logits = mask_vocab_pad(dense(dec["pred_linear"], h, cdt),
                                 spec.vocab_size)

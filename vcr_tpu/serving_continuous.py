@@ -49,6 +49,7 @@ tests/test_serving_continuous.py against decode_tokens/sample_tokens(top_k=1).
 
 from __future__ import annotations
 
+import os
 from collections import deque
 from typing import Dict, Iterable, Iterator, Optional, Tuple
 
@@ -282,7 +283,8 @@ class ContinuousCaptioner:
                  eos_id: Optional[int] = None, vocab=None, rng=None,
                  mesh=None, beam_size: int = 1,
                  sample_temperature: float = 0.0, sample_top_k: int = 0,
-                 sample_top_p: float = 0.0, request_sampling: bool = False):
+                 sample_top_p: float = 0.0, request_sampling: bool = False,
+                 kv_cache: Optional[str] = None):
         if spec.arch not in _ARCHS:
             raise NotImplementedError(
                 f"continuous serving covers {_ARCHS}; got {spec.arch!r}")
@@ -334,6 +336,19 @@ class ContinuousCaptioner:
         else:
             self._dec_params = params
             self._base = spec.arch
+
+        # int8 KV-cache serving (transformer only — the GRU families carry no
+        # attention cache): halves the tick's dominant HBM byte stream at a
+        # bounded quantization error. See transformer.make_slot_stepper and
+        # ops/kvquant.py; NOT token-identical to the bf16 pool.
+        self.kv_cache = kv_cache or os.environ.get("VCR_KV_CACHE", "bf16")
+        if self.kv_cache not in ("bf16", "int8"):
+            raise ValueError(f"kv_cache must be 'bf16' or 'int8', "
+                             f"got {self.kv_cache!r}")
+        if self.kv_cache == "int8" and self._base != "transformer":
+            raise ValueError(
+                f"kv_cache='int8' quantizes the transformer's attention "
+                f"caches; arch {spec.arch!r} (base {self._base!r}) has none")
 
         # the pool state (incl. the transformer's KV caches — by far the
         # largest leaves) is DONATED to every state->state device fn: without
@@ -395,16 +410,24 @@ class ContinuousCaptioner:
         if self._base == "transformer":
             _, init_self, _ = tr.make_slot_stepper(
                 self._dec_params, spec, beam_tile=self.beam_size,
-                lineage=self.beam_size > 1)
+                lineage=self.beam_size > 1, kv_cache=self.kv_cache)
             # widths are spec-derived (transformer._width quirk): read the
             # attention width off the params, like the stepper does
             hidden = self._dec_params["decoder"]["layers"]["attn_1"]["q"][
                 "w"].shape[-1]
             d_k = hidden // spec.tf_heads
-            zx = jnp.zeros((rows, spec.tf_heads, spec.num_frames, d_k),
-                           spec.cdtype)
+            if self.kv_cache == "int8":
+                zxq = jnp.zeros((rows, spec.tf_heads, spec.num_frames, d_k),
+                                jnp.int8)
+                zxs = jnp.zeros((rows, spec.tf_heads, spec.num_frames),
+                                jnp.float32)
+                cross_zero = (zxq, zxs, zxq, zxs)
+            else:
+                zx = jnp.zeros((rows, spec.tf_heads, spec.num_frames, d_k),
+                               spec.cdtype)
+                cross_zero = (zx, zx)
             return {**init_self(rows),
-                    **{f"x{li}": (zx, zx) for li in range(spec.tf_layers)}}
+                    **{f"x{li}": cross_zero for li in range(spec.tf_layers)}}
         h = jnp.zeros((rows, spec.hidden_size), jnp.float32)
         if self._base == "s2vt":
             return {"s1": h, "s2": h}
@@ -485,7 +508,7 @@ class ContinuousCaptioner:
             e_out = tr.encode(params, spec, feats, src_mask, rng, train=False)
             _, init_self, cross_state = tr.make_slot_stepper(
                 params, spec, beam_tile=self.beam_size,
-                lineage=self.beam_size > 1)
+                lineage=self.beam_size > 1, kv_cache=self.kv_cache)
             # full dec-state rows (self caches zeroed): admission's generic
             # scatter then also RESETS the slot's self caches (beam mode: the
             # tiled ancestry is garbage here; _admit re-arms it per group)
@@ -575,7 +598,8 @@ class ContinuousCaptioner:
             # dead rows free-run unmasked (see module docstring); only the
             # bookkeeping leaves below are masked by `active`
             if self._base == "transformer":
-                step_fn, _, _ = tr.make_slot_stepper(dparams, spec)
+                step_fn, _, _ = tr.make_slot_stepper(dparams, spec,
+                                                     kv_cache=self.kv_cache)
                 i_vec = jnp.minimum(st["steps"], spec.max_len - 1)
                 new_dec, logits = step_fn(dec, st["last"], i_vec)
                 dec = new_dec
@@ -640,7 +664,8 @@ class ContinuousCaptioner:
             dec, active = st["dec"], st["active"]
             if self._base == "transformer":
                 step_fn, _, _ = tr.make_slot_stepper(
-                    dparams, spec, beam_tile=k, lineage=True)
+                    dparams, spec, beam_tile=k, lineage=True,
+                    kv_cache=self.kv_cache)
                 i_vec = jnp.repeat(jnp.minimum(st["gstep"], l - 1), k)
                 dec, logits = step_fn(dec, st["last"], i_vec)
             elif self._base == "s2vt":

@@ -115,6 +115,7 @@ def _build_serving_pool(cfg: Config, checkpoint_path: str = ""):
                              # argmax for a sort-heavy sampling step on
                              # every token); with beam it raises loudly
                              request_sampling=cfg.serve_request_sampling,
+                             kv_cache=cfg.serve_kv_cache,
                              rng=jax.random.PRNGKey(cfg.seed))
     return cc, vocab, spec.arch
 
