@@ -324,6 +324,62 @@ def main() -> int:
     print(f"{'PASS' if cc_ok else 'FAIL'}  continuous serving ≡ fast greedy (compiled)")
     ok &= cc_ok
 
+    # Round-4 int8 KV-cache serving mode compiled on the MXU: the quantized
+    # pool must serve every request, its compiled logits must sit inside a
+    # small envelope of the bf16-cache stepper (bounded quantization error,
+    # NOT bit-identity — ops/kvquant.py), and masked-vs-scatter cache writes
+    # must stay bit-identical in int8 (codes and scales are data moves).
+    cc8 = ContinuousCaptioner(cparams, cspec, slots=3, admit_chunk=2,
+                              step_chunk=3, eos_id=509, kv_cache="int8")
+    got8 = cc8.caption_all({i: cfeats[i] for i in range(6)})
+    q_ok = set(got8) == set(range(6)) and all(
+        1 <= len(np.asarray(t)) <= cspec.max_len for t in got8.values())
+    ceo = trm.encode(cparams, cspec, jnp.asarray(cfeats),
+                     trm.create_masks_inp(cfeats), jax.random.PRNGKey(0),
+                     train=False)
+    env_gap, wq_gap = 0.0, 0.0
+    outs = {}
+    for wmode in ("masked", "scatter"):
+        os.environ["VCR_SLOT_WRITE"] = wmode
+        try:
+            qstep, qinit, qcross = trm.make_slot_stepper(cparams, cspec,
+                                                         kv_cache="int8")
+            fstep, finit, fcross = trm.make_slot_stepper(cparams, cspec)
+        finally:
+            os.environ.pop("VCR_SLOT_WRITE", None)
+
+        @jax.jit
+        def lockstep(params, eo):
+            stq = {**qinit(eo.shape[0]), **qcross(eo)}
+            stf = {**finit(eo.shape[0]), **fcross(eo)}
+            w = jnp.full((eo.shape[0],), cspec.sos_id, jnp.int32)
+
+            def body(carry, i):
+                stq, stf, w = carry
+                iv = jnp.full((eo.shape[0],), i, jnp.int32)
+                stq, lq = qstep(stq, w, iv)
+                stf, lf = fstep(stf, w, iv)
+                gap = jnp.max(jnp.abs(lq.astype(jnp.float32)
+                                      - lf.astype(jnp.float32)))
+                w = jnp.argmax(lf, -1).astype(jnp.int32)
+                return (stq, stf, w), (gap, lq)
+
+            _, (gaps, lqs) = jax.lax.scan(body, (stq, stf, w),
+                                          jnp.arange(cspec.max_len))
+            return jnp.max(gaps), lqs
+
+        gap, lqs = lockstep(cparams, ceo)
+        env_gap = max(env_gap, float(gap))
+        outs[wmode] = np.asarray(lqs)
+    wq_same = np.array_equal(outs["masked"], outs["scatter"])
+    q8_ok = q_ok and env_gap < 0.5 and wq_same
+    if not q8_ok:
+        print(f"  FORENSICS: served_ok={q_ok} envelope={env_gap:.4f} "
+              f"masked==scatter={wq_same}")
+    print(f"{'PASS' if q8_ok else 'FAIL'}  int8 KV-cache pool (compiled: "
+          f"serves + envelope {env_gap:.3f} < 0.5 + write-mode bit-identity)")
+    ok &= q8_ok
+
     # ... and the continuous BEAM pool vs the batch beam's best row (GRU
     # family: exercises the per-slot top-k + within-slot reorder compiled)
     from vcr_tpu.decode import decode_tokens
