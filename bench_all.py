@@ -239,6 +239,50 @@ def main() -> None:
         cc_row["mfu"] = round(cc_mfu, 4)
     print(json.dumps(cc_row), flush=True)
 
+    # int8 KV-cache A/B of the same row (round 4): per-vector symmetric
+    # int8 self+cross caches with the dequant folded into score-side
+    # tensors (ops/kvquant.py) — halves the tick's dominant cache byte
+    # stream. Opt-in serving mode; bounded-error, not token-identical.
+    def cc8_state0(params, xi):
+        src_mask = trm.create_masks_inp(xi)
+        eo = trm.encode(params, tr_spec, xi, src_mask, jax.random.PRNGKey(0),
+                        train=False)
+        _, init_self, cross_state = trm.make_slot_stepper(params, tr_spec,
+                                                          kv_cache="int8")
+        return {"dec": {**init_self(xi.shape[0]), **cross_state(eo)},
+                "last": jnp.full((xi.shape[0],), tr_spec.sos_id, jnp.int32),
+                "i": jnp.zeros((xi.shape[0],), jnp.int32)}
+
+    cc8_st0 = jax.jit(cc8_state0)(tr_params, tr_x[:slot_rows])
+
+    @jax.jit
+    def cc8_run_n(params, st0):
+        step_fn, _, _ = trm.make_slot_stepper(params, tr_spec,
+                                              kv_cache="int8")
+
+        def body(st, _):
+            dec, logits = step_fn(st["dec"], st["last"], st["i"])
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return {"dec": dec, "last": nxt,
+                    "i": jnp.minimum(st["i"] + 1, tr_spec.max_len - 1)}, None
+
+        st, _ = jax.lax.scan(body, st0, None,
+                             length=iters * tr_spec.max_len)
+        return st["last"].astype(jnp.float32).ravel()[0] * 1e-12
+
+    cc8_dt, _f8, cc8_mfu = benchutil.time_chained(
+        cc8_run_n, (tr_params, cc8_st0), device)
+    cc8_row = {
+        "metric": (f"Transformer continuous slot decode tokens/sec/chip "
+                   f"(R={slot_rows}, int8 KV cache)"),
+        "value": round(slot_rows * iters * tr_spec.max_len / cc8_dt, 2),
+        "unit": "tokens/s",
+        "captions_equiv_per_s": round(slot_rows * iters / cc8_dt, 2),
+    }
+    if cc8_mfu is not None:
+        cc8_row["mfu"] = round(cc8_mfu, 4)
+    print(json.dumps(cc8_row), flush=True)
+
     # Continuous BEAM tick rate (s2vt-att): prices the per-step within-group
     # beam reorder, which now permutes ONLY the recurrent `h` (pk/eo are
     # per-video constants, identical across a slot's K rows — permuting them

@@ -18,6 +18,14 @@ line (max throughput, ties by p95). The reference has no serving story at
 all — this tool belongs to the deployment surface this framework adds
 (server.py, serving_continuous.py).
 
+CAVEAT for runs through the axon tunnel (onchip_r4/tune_serving2.log): each
+tick pays ~24-100 ms of host<->device RTT that no co-located host pays, so
+the tuner there rewards FEWER TICKS — huge pools at 0.1 occupancy "win"
+(512 slots, 308 caps/s, occupancy 0.09) over saturated small pools (64
+slots, 248 caps/s, occupancy 0.99) purely on dispatch count. Those picks do
+not transfer: tune on the deployment host. Occupancy stays the
+tunnel-independent signal (useful token-steps / slot-steps).
+
 Workload model: request k arrives at cumulative-exponential time t_k
 (seeded; identical across configs). The driver feeds caption_stream with the
 poll-marker protocol — None while nothing is due — exactly like the live

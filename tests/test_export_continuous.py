@@ -86,6 +86,27 @@ def test_beam_artifact_matches_live_beam_pool(tmp_path, tiny_vocab, rng,
         np.testing.assert_array_equal(got[k], want[k])
 
 
+def test_int8_artifact_matches_live_int8_pool(tmp_path, tiny_vocab, rng):
+    """kv_cache='int8' freezes the quantized slot stepper: the artifact's
+    int8 pool must match the LIVE int8 pool token-for-token (exactness here
+    is export-vs-live determinism, not int8-vs-bf16)."""
+    spec = _spec(tiny_vocab, "transformer", tf_layers=2, tf_heads=2)
+    params = _params(spec, tiny_vocab, seed=9)
+    feats = rng.standard_normal((5, 4, 12)).astype(np.float32)
+    reqs = {i: feats[i] for i in range(5)}
+
+    live = ContinuousCaptioner(params, spec, slots=2, admit_chunk=1,
+                               step_chunk=2, eos_id=tiny_vocab.eos_id,
+                               kv_cache="int8")
+    want = live.caption_all(reqs)
+    out = export_continuous.export_continuous(
+        params, spec, str(tmp_path / "art"), slots=2, admit_chunk=1,
+        step_chunk=2, eos_id=tiny_vocab.eos_id, kv_cache="int8")
+    got = export_continuous.load_continuous(out).caption_all(reqs)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
+
+
 def test_artifact_behind_http_server(tmp_path, tiny_vocab, rng):
     """CaptionServer fronts a frozen artifact (same scheduler-ops protocol):
     the full deployment shape with zero model code on the host."""

@@ -62,7 +62,8 @@ def export_continuous(params, spec, out_dir: str, *,
                       eos_id: Optional[int] = None, vocab=None,
                       seed: int = 0,
                       feat_item_shape: Optional[Sequence[int]] = None,
-                      platforms: Optional[Sequence[str]] = None) -> str:
+                      platforms: Optional[Sequence[str]] = None,
+                      kv_cache: Optional[str] = None) -> str:
     """Freeze a continuous-batching slot pool for (params, spec) into
     ``out_dir``. Pool geometry (slots/admit_chunk/step_chunk) is baked into
     the graphs (fixed shapes are the design). ``feat_item_shape`` overrides
@@ -78,6 +79,7 @@ def export_continuous(params, spec, out_dir: str, *,
     cc = ContinuousCaptioner(params, spec, slots=slots,
                              admit_chunk=admit_chunk, step_chunk=step_chunk,
                              beam_size=beam_size, eos_id=eos_id, vocab=vocab,
+                             kv_cache=kv_cache,
                              rng=jax.random.PRNGKey(seed))
     step_impl = cc._step_n if beam_size == 1 else cc._step_n_beam
 

@@ -218,6 +218,7 @@ def export_continuous_artifact(cfg: Config, checkpoint_path: str = "",
                              admit_chunk=cfg.serve_admit_chunk,
                              beam_size=max(cfg.beam_size, 1),
                              vocab=vocab, seed=cfg.seed,
+                             kv_cache=cfg.serve_kv_cache,
                              platforms=("cpu", "tpu"))
 
 
