@@ -33,6 +33,10 @@ FAILED=""
 
 run tpu_checks      python tpu_checks.py
 run bench_all       python bench_all.py
+# the r4 bisect (diag_s2vt_att_bisect.log) found B=512 is s2vt-att's train
+# throughput sweet spot (31.9k videos/s vs 30.1k at B=1024): record it as a
+# first-class row
+run bench_train_s2vt_att_b512 env VCR_BENCH_BATCH=512 python bench_train.py s2vt-att
 run compare_rounds  python scripts/compare_rounds.py onchip_r3 "$OUT"
 
 echo
