@@ -37,6 +37,9 @@ run bench_all       python bench_all.py
 # throughput sweet spot (31.9k videos/s vs 30.1k at B=1024): record it as a
 # first-class row
 run bench_train_s2vt_att_b512 env VCR_BENCH_BATCH=512 python bench_train.py s2vt-att
+# achievable-bandwidth calibration sweep (the 265 GB/s triad from the bisect
+# needs layout/dtype/op-mix disambiguation before it anchors roofline claims)
+run diag_hbm_bw     python scripts/diag_hbm_bw.py
 run compare_rounds  python scripts/compare_rounds.py onchip_r3 "$OUT"
 
 echo
