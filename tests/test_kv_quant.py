@@ -174,6 +174,34 @@ def test_int8_lineage_bookkeeping_bitexact(tiny_vocab, rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_int8_batch_fast_decode(tiny_vocab, rng):
+    """The BATCH fast paths share the option: decode_greedy_fast and
+    transformer_beam_decode_fast run with kv_cache='int8' and emit
+    well-formed tokens; the lineage/gather beam variants both accept it."""
+    import vcr_tpu.models.transformer as trm
+    from vcr_tpu.decode import transformer_beam_decode_fast
+
+    spec = _spec(tiny_vocab)
+    params = trm.init_params(jax.random.PRNGKey(4), spec, tiny_vocab.vectors)
+    feats = jnp.asarray(np.random.default_rng(12).standard_normal((3, 4, 12)),
+                        jnp.float32)
+    eo = trm.encode(params, spec, feats, trm.create_masks_inp(feats),
+                    jax.random.PRNGKey(0), train=False)
+    t_f = np.asarray(trm.decode_greedy_fast(params, spec, eo))
+    t_q = np.asarray(trm.decode_greedy_fast(params, spec, eo,
+                                            kv_cache="int8"))
+    assert t_q.shape == t_f.shape and t_q.dtype == t_f.dtype
+    # fp32 compute + comfortable random-logit gaps: most tokens agree
+    agree = float((t_q == t_f).mean())
+    assert agree >= 0.8, (agree, t_q, t_f)
+    for lineage in (False, True):
+        toks, scores = transformer_beam_decode_fast(
+            params, spec, feats, beam_size=2, eos_id=tiny_vocab.eos_id,
+            lineage=lineage, kv_cache="int8")
+        assert np.asarray(toks).shape == (3, 2, spec.max_len)
+        assert np.isfinite(np.asarray(scores)).all()
+
+
 def test_int8_pool_end_to_end(tiny_vocab, rng):
     """ContinuousCaptioner(kv_cache='int8'): greedy and beam pools serve
     every request with well-formed tokens; GRU families reject the flag."""

@@ -44,12 +44,12 @@ def _spec(tiny_vocab, cdtype, max_len=10):
         tf_heads=2)
 
 
-def _run_beam(spec, params, vid, eos_id, k, reorder_mode):
+def _run_beam(spec, params, vid, eos_id, k, reorder_mode, kv_cache=None):
     src_mask = tr.create_masks_inp(vid)
     e_out = tr.encode(params, spec, vid, src_mask, jax.random.PRNGKey(0),
                       train=False)
     step_fn, init_state, lineage_reorder = tr.make_cached_stepper(
-        params, spec, e_out, beam_tile=k, lineage=True)
+        params, spec, e_out, beam_tile=k, lineage=True, kv_cache=kv_cache)
     rows = e_out.shape[0] * k
     anc_identity = jnp.tile((jnp.arange(rows, dtype=jnp.int32) % k)[:, None],
                             (1, spec.max_len))
@@ -68,17 +68,22 @@ def _run_beam(spec, params, vid, eos_id, k, reorder_mode):
                        spec.sos_id, eos_id, reorder_fn=reorder_fn)
 
 
+@pytest.mark.parametrize("kv_cache", [None, "int8"])
 @pytest.mark.parametrize("cdtype", ["float32", "bfloat16"])
-def test_lineage_ancestry_equals_physical_reorder(tiny_vocab, rng, cdtype):
+def test_lineage_ancestry_equals_physical_reorder(tiny_vocab, rng, cdtype,
+                                                  kv_cache):
+    """kv_cache='int8' must preserve the contract: codes AND scales ride the
+    same true gathers, so ancestry tracking stays bit-identical to physically
+    permuting the (quantized) caches."""
     for seed in (0, 1):
         spec = _spec(tiny_vocab, cdtype)
         params = tr.init_params(jax.random.PRNGKey(seed), spec,
                                 tiny_vocab.vectors)
         vid = jnp.asarray(rng.standard_normal((4, 4, 12)), jnp.float32)
         t_anc, s_anc = _run_beam(spec, params, vid, tiny_vocab.eos_id, 4,
-                                 "ancestry")
+                                 "ancestry", kv_cache)
         t_phy, s_phy = _run_beam(spec, params, vid, tiny_vocab.eos_id, 4,
-                                 "physical")
+                                 "physical", kv_cache)
         np.testing.assert_array_equal(np.asarray(t_anc), np.asarray(t_phy))
         # bit-identity, not tolerance: same ops on the same bits
         assert np.array_equal(np.asarray(s_anc), np.asarray(s_phy)), (

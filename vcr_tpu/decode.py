@@ -384,7 +384,8 @@ def transformer_beam_decode(params, spec: model_base.ModelSpec,
 
 def transformer_beam_decode_fast(params, spec: model_base.ModelSpec,
                                  vid_feats: jax.Array, beam_size: int,
-                                 eos_id: int, lineage: bool = False
+                                 eos_id: int, lineage: bool = False,
+                                 kv_cache: Optional[str] = None
                                  ) -> Tuple[jax.Array, jax.Array]:
     """KV-cached beam decode — the SERVING beam path, ~L× fewer decoder FLOPs
     per step than transformer_beam_decode. Beams fold into the batch axis and
@@ -427,10 +428,12 @@ def transformer_beam_decode_fast(params, spec: model_base.ModelSpec,
     # per-layer cache leaves are rows-leading, so the default reorder works.
     if lineage:
         step_fn, init_state, reorder_fn = tr.make_cached_stepper(
-            params, spec, e_outputs, beam_tile=beam_size, lineage=True)
+            params, spec, e_outputs, beam_tile=beam_size, lineage=True,
+            kv_cache=kv_cache)
     else:
         step_fn, init_state = tr.make_cached_stepper(params, spec, e_outputs,
-                                                     beam_tile=beam_size)
+                                                     beam_tile=beam_size,
+                                                     kv_cache=kv_cache)
         reorder_fn = None
     return beam_search(step_fn, init_state, b, beam_size, spec.max_len,
                        spec.sos_id, eos_id, reorder_fn=reorder_fn)

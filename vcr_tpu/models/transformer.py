@@ -301,7 +301,8 @@ def _lineage_gather_rows(cache_b, anc_b):
 
 
 def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
-                        beam_tile: int = 1, lineage: bool = False):
+                        beam_tile: int = 1, lineage: bool = False,
+                        kv_cache: str | None = None):
     """KV-cached single-token decoder step — the SERVING-mode cell shared by
     the fast greedy scan and the fast beam search (decode.py).
 
@@ -328,6 +329,11 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
     measured 6.1 -> 4.9 ms/step (B=128, K=5, real widths) from unrolling.
     Every state leaf is rows-leading, so beam_search's default axis-0 gather
     reorders it directly.
+
+    ``kv_cache="int8"`` (default "bf16"; env ``VCR_KV_CACHE`` overrides the
+    default) stores self+cross K/V as per-vector symmetric int8 — the same
+    opt-in bounded-error mode as make_slot_stepper (state leaves become
+    (k_q, k_s, v_q, v_s) 4-tuples; see that docstring and ops/kvquant.py).
     """
     dec = params["decoder"]
     layers = dec["layers"]
@@ -341,6 +347,12 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
 
     per_layer = [jax.tree_util.tree_map(lambda a, i=i: a[i], layers)
                  for i in range(n_layers)]
+    kv_cache = kv_cache or os.environ.get("VCR_KV_CACHE", "bf16")
+    if kv_cache not in ("bf16", "int8"):
+        raise ValueError(f"kv_cache must be 'bf16' or 'int8', got {kv_cache!r}")
+    quant = kv_cache == "int8"
+    if quant:
+        from vcr_tpu.ops import kvquant
 
     def heads_split(x):  # (rows, S, hidden) -> (rows, h, S, d_k)
         return x.reshape(x.shape[0], -1, heads, d_k).transpose(0, 2, 1, 3)
@@ -355,11 +367,30 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
         if beam_tile > 1:
             k = jnp.repeat(k, beam_tile, axis=0)
             v = jnp.repeat(v, beam_tile, axis=0)
-        cross.append((k, v))
+        if quant:
+            kq, ks = kvquant.quantize(k)
+            vq, vs = kvquant.quantize(v)
+            cross.append((kq, ks[..., 0], vq, vs[..., 0]))
+        else:
+            cross.append((k, v))
 
-    zeros = jnp.zeros((rows, heads, l, d_k), cdt)
-    init_state = {f"c{i}": (zeros, zeros) for i in range(n_layers)}
+    if quant:
+        zq = jnp.zeros((rows, heads, l, d_k), jnp.int8)
+        zs = jnp.zeros((rows, heads, l), jnp.float32)
+        init_state = {f"c{i}": (zq, zs, zq, zs) for i in range(n_layers)}
+    else:
+        zeros = jnp.zeros((rows, heads, l, d_k), cdt)
+        init_state = {f"c{i}": (zeros, zeros) for i in range(n_layers)}
     pos_mask_row = jnp.arange(l)                     # attend to cols <= i
+
+    def dus_write(c_q, c_s, new, i):
+        """Quantize this step's (rows, h, 1, d_k) vectors; write codes+scales
+        at position i (dynamic_update_slice, like the bf16 writes)."""
+        q, s = kvquant.quantize(new)                  # (rows,h,1,d), (rows,h,1,1)
+        c_q = jax.lax.dynamic_update_slice_in_dim(c_q, q, i, axis=2)
+        c_s = jax.lax.dynamic_update_slice_in_dim(
+            c_s, s[..., 0].astype(c_s.dtype), i, axis=2)
+        return c_q, c_s
 
     # ------------------------------------------------------------- lineage
     # Gather-free beam mode (lineage=True): the KV caches are written once at
@@ -386,23 +417,42 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
     b_items = rows // max(beam_tile, 1)
     row_local = (jnp.arange(rows) % max(beam_tile, 1)).astype(jnp.int32)
 
-    def attend_lineage(attn_p, x2, ck, cv, i, anc):
+    def attend_lineage(attn_p, x2, cache, i, anc):
         k_b = beam_tile
         q = heads_split(dense(attn_p["q"], x2, cdt))          # (rows, h, 1, d_k)
         k_new = heads_split(dense(attn_p["k"], x2, cdt))
         v_new = heads_split(dense(attn_p["v"], x2, cdt))
-        ck = jax.lax.dynamic_update_slice_in_dim(ck, k_new.astype(ck.dtype), i,
-                                                 axis=2)
-        cv = jax.lax.dynamic_update_slice_in_dim(cv, v_new.astype(cv.dtype), i,
-                                                 axis=2)
         qb = q.reshape(b_items, k_b, heads, d_k)
-        ckb = ck.reshape(b_items, k_b, heads, l, d_k)
-        cvb = cv.reshape(b_items, k_b, heads, l, d_k)
-        # (B, k_tgt, h, L, k_src): every target beam vs every source row
-        scores_all = jnp.einsum("bthd,bshjd->bthjs", qb.astype(cdt),
-                                ckb.astype(cdt),
-                                preferred_element_type=jnp.float32) / (d_k ** 0.5)
         anc_b = anc.reshape(b_items, k_b, l)
+        if quant:
+            ck_q, ck_s, cv_q, cv_s = cache
+            ck_q, ck_s = dus_write(ck_q, ck_s, k_new, i)
+            cv_q, cv_s = dus_write(cv_q, cv_s, v_new, i)
+            cache = (ck_q, ck_s, cv_q, cv_s)
+            ckb = ck_q.reshape(b_items, k_b, heads, l, d_k)
+            cvb = cv_q.reshape(b_items, k_b, heads, l, d_k)
+            scores_all = jnp.einsum("bthd,bshjd->bthjs", qb.astype(cdt),
+                                    ckb.astype(cdt),
+                                    preferred_element_type=jnp.float32
+                                    ) / (d_k ** 0.5)
+            # fold K scales (source beam s, position j) BEFORE the select —
+            # elementwise, gather contract untouched
+            scores_all = scores_all * ck_s.reshape(
+                b_items, k_b, heads, l).transpose(0, 2, 3, 1)[:, None]
+        else:
+            ck, cv = cache
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                ck, k_new.astype(ck.dtype), i, axis=2)
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                cv, v_new.astype(cv.dtype), i, axis=2)
+            cache = (ck, cv)
+            ckb = ck.reshape(b_items, k_b, heads, l, d_k)
+            cvb = cv.reshape(b_items, k_b, heads, l, d_k)
+            # (B, k_tgt, h, L, k_src): every target beam vs every source row
+            scores_all = jnp.einsum("bthd,bshjd->bthjs", qb.astype(cdt),
+                                    ckb.astype(cdt),
+                                    preferred_element_type=jnp.float32
+                                    ) / (d_k ** 0.5)
         scores = _lineage_select(scores_all, anc_b)
         scores = jnp.where(pos_mask_row[None, None, None, :] > i, -1e9, scores)
         w = jax.nn.softmax(scores, axis=-1)                   # (B, kt, h, L)
@@ -411,36 +461,82 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
         # (bf16 w × bf16 v, exact in f32) and the reduction order no longer
         # depends on the ancestry pattern (see _lineage_gather_rows).
         vsel = _lineage_gather_rows(cvb, anc_b)               # (B, kt, h, L, d)
-        ctx = jnp.sum(w.astype(cdt).astype(jnp.float32)[..., None]
-                      * vsel.astype(jnp.float32), axis=3)     # (B, kt, h, d)
+        if quant:
+            vsels = _lineage_gather_rows(cv_s.reshape(
+                b_items, k_b, heads, l)[..., None], anc_b)[..., 0]
+            ctx = jnp.sum((w.astype(cdt).astype(jnp.float32)
+                           * vsels)[..., None]
+                          * vsel.astype(jnp.float32), axis=3)
+        else:
+            ctx = jnp.sum(w.astype(cdt).astype(jnp.float32)[..., None]
+                          * vsel.astype(jnp.float32), axis=3)  # (B, kt, h, d)
         out = ctx.reshape(rows, 1, hidden)
-        return dense(attn_p["out"], out, cdt), ck, cv
+        return dense(attn_p["out"], out, cdt), cache
 
-    def attend_cached(attn_p, x2, ck, cv, i):
+    def attend_cached(attn_p, x2, cache, i):
         """Single-token self-attention against the cache (incl. this token)."""
         q = heads_split(dense(attn_p["q"], x2, cdt))          # (rows, h, 1, d_k)
         k_new = heads_split(dense(attn_p["k"], x2, cdt))
         v_new = heads_split(dense(attn_p["v"], x2, cdt))
-        ck = jax.lax.dynamic_update_slice_in_dim(ck, k_new.astype(ck.dtype), i,
-                                                 axis=2)
-        cv = jax.lax.dynamic_update_slice_in_dim(cv, v_new.astype(cv.dtype), i,
-                                                 axis=2)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt), ck.astype(cdt),
-                            preferred_element_type=jnp.float32) / (d_k ** 0.5)
-        scores = jnp.where(pos_mask_row[None, None, None, :] > i, -1e9, scores)
-        w = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cdt), cv.astype(cdt),
-                         preferred_element_type=jnp.float32)
+        if quant:
+            ck_q, ck_s, cv_q, cv_s = cache
+            ck_q, ck_s = dus_write(ck_q, ck_s, k_new, i)
+            cv_q, cv_s = dus_write(cv_q, cv_s, v_new, i)
+            cache = (ck_q, ck_s, cv_q, cv_s)
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt),
+                                ck_q.astype(cdt),
+                                preferred_element_type=jnp.float32
+                                ) / (d_k ** 0.5)
+            scores = scores * ck_s[:, :, None, :]
+            scores = jnp.where(pos_mask_row[None, None, None, :] > i, -1e9,
+                               scores)
+            w = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd",
+                             (w * cv_s[:, :, None, :]).astype(cdt),
+                             cv_q.astype(cdt),
+                             preferred_element_type=jnp.float32)
+        else:
+            ck, cv = cache
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                ck, k_new.astype(ck.dtype), i, axis=2)
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                cv, v_new.astype(cv.dtype), i, axis=2)
+            cache = (ck, cv)
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt),
+                                ck.astype(cdt),
+                                preferred_element_type=jnp.float32
+                                ) / (d_k ** 0.5)
+            scores = jnp.where(pos_mask_row[None, None, None, :] > i, -1e9,
+                               scores)
+            w = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cdt), cv.astype(cdt),
+                             preferred_element_type=jnp.float32)
         out = ctx.transpose(0, 2, 1, 3).reshape(rows, 1, hidden)
-        return dense(attn_p["out"], out, cdt), ck, cv
+        return dense(attn_p["out"], out, cdt), cache
 
-    def attend_cross(attn_p, x2, k, v):
+    def attend_cross(attn_p, x2, kxv):
         q = heads_split(dense(attn_p["q"], x2, cdt))
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt), k.astype(cdt),
-                            preferred_element_type=jnp.float32) / (d_k ** 0.5)
-        w = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cdt), v.astype(cdt),
-                         preferred_element_type=jnp.float32)
+        if quant:
+            kq, ks, vq, vs = kxv
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt),
+                                kq.astype(cdt),
+                                preferred_element_type=jnp.float32
+                                ) / (d_k ** 0.5)
+            scores = scores * ks[:, :, None, :]
+            w = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd",
+                             (w * vs[:, :, None, :]).astype(cdt),
+                             vq.astype(cdt),
+                             preferred_element_type=jnp.float32)
+        else:
+            k, v = kxv
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cdt),
+                                k.astype(cdt),
+                                preferred_element_type=jnp.float32
+                                ) / (d_k ** 0.5)
+            w = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", w.astype(cdt), v.astype(cdt),
+                             preferred_element_type=jnp.float32)
         out = ctx.transpose(0, 2, 1, 3).reshape(rows, 1, hidden)
         return dense(attn_p["out"], out, cdt)
 
@@ -460,20 +556,19 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
             new_state["anc"] = anc
         for li in range(n_layers):
             layer_p = per_layer[li]
-            kx, vx = cross[li]
-            ck, cv = state[f"c{li}"]
             x2 = torch_norm(layer_p["norm_1"], x)
             if lineage:
-                a, ck, cv = attend_lineage(layer_p["attn_1"], x2, ck, cv, i,
-                                           anc)
+                a, cache = attend_lineage(layer_p["attn_1"], x2,
+                                          state[f"c{li}"], i, anc)
             else:
-                a, ck, cv = attend_cached(layer_p["attn_1"], x2, ck, cv, i)
+                a, cache = attend_cached(layer_p["attn_1"], x2,
+                                         state[f"c{li}"], i)
             x = x + a
             x2 = torch_norm(layer_p["norm_2"], x)
-            x = x + attend_cross(layer_p["attn_2"], x2, kx, vx)
+            x = x + attend_cross(layer_p["attn_2"], x2, cross[li])
             x2 = torch_norm(layer_p["norm_3"], x)
             x = x + _ff_apply(layer_p["ff"], x2, None, False, cdt)
-            new_state[f"c{li}"] = (ck, cv)
+            new_state[f"c{li}"] = cache
 
         h = torch_norm(dec["norm_out"], x)[:, 0]
         logits = mask_vocab_pad(dense(dec["pred_linear"], h, cdt),
@@ -778,13 +873,15 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
     return step_fn, init_self_state, cross_state
 
 
-def decode_greedy_fast(params, spec: base.ModelSpec, e_outputs, src_mask=None
-                       ) -> jax.Array:
+def decode_greedy_fast(params, spec: base.ModelSpec, e_outputs, src_mask=None,
+                       kv_cache: str | None = None) -> jax.Array:
     """KV-cached greedy decode — ~L× fewer decoder FLOPs than the parity scan
-    (see make_cached_stepper for the PE-scale deviation). -> tokens (B, L)."""
+    (see make_cached_stepper for the PE-scale deviation). -> tokens (B, L).
+    ``kv_cache="int8"``: the opt-in quantized-cache mode (bounded-error)."""
     del src_mask
     b = e_outputs.shape[0]
-    step_fn, init_state = make_cached_stepper(params, spec, e_outputs)
+    step_fn, init_state = make_cached_stepper(params, spec, e_outputs,
+                                              kv_cache=kv_cache)
 
     def step(carry, i):
         words, state = carry
