@@ -14,6 +14,13 @@ off it. This sweep separates the candidate causes:
 All runs are chained inside ONE jit (tunnel dispatch excluded). One JSON
 line each: achieved GB/s against the 819 spec.
 
+Measured (onchip_r4/diag_hbm_bw.log step_ms; the first capture's gb_per_s
+column over-counted by ITERS — fixed since): streams sustain ~340 GB/s at
+256 MB working sets and ~440-575 GB/s at 1 GB (54-70% of spec for
+triad/copy; reads-only ~365-390). Layout (1d/2d) and dtype barely matter.
+So roofline claims should use ~0.45-0.65x of the 819 spec as the
+achievable stream denominator at training-sized working sets.
+
 Run on the real TPU: python scripts/diag_hbm_bw.py
 """
 
@@ -84,7 +91,7 @@ def main() -> int:
 
                 dt = timed(triad, x, y)
                 emit(f"triad {dname} {sname} {mb}MB (3R+1W)", dt,
-                     4 * n * esize * ITERS)
+                     4 * n * esize)
 
                 def copys(x_):
                     # 1 - 2^-8: exactly representable in bf16 (0.9999997
@@ -96,7 +103,7 @@ def main() -> int:
 
                 dt = timed(copys, x)
                 emit(f"copy-scale {dname} {sname} {mb}MB (1R+1W)", dt,
-                     2 * n * esize * ITERS)
+                     2 * n * esize)
 
                 def reduce_(x_):
                     def body(c, _):
@@ -111,7 +118,7 @@ def main() -> int:
 
                 dt = timed(reduce_, x)
                 emit(f"reduce {dname} {sname} {mb}MB (1R)", dt,
-                     n * esize * ITERS)
+                     n * esize)
     return 0
 
 
