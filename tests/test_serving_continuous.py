@@ -246,6 +246,30 @@ def test_dp_mp_mesh_matches_unsharded(tiny_vocab, rng):
         np.testing.assert_array_equal(got[i], want[i])
 
 
+def test_dp_mp_mesh_int8_matches_unsharded(tiny_vocab, rng):
+    """int8 KV cache x dp x mp (round 4): the quantized pool's extra state
+    leaves (int8 codes + fp32 scales, still rows-leading) shard over dp like
+    every other leaf, and sharding must not change the quantization values —
+    token-exact vs the UNSHARDED int8 pool."""
+    from vcr_tpu.parallel.mesh import make_mesh
+
+    spec = _spec(tiny_vocab, "transformer", tf_layers=2, tf_heads=2,
+                 vocab_pad_to=4)
+    model = base.build_model("transformer")[0]
+    params = model(jax.random.PRNGKey(14), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 8, spec)
+    want = ContinuousCaptioner(params, spec, slots=4, admit_chunk=2,
+                               eos_id=tiny_vocab.eos_id,
+                               kv_cache="int8").caption_all(
+        {i: feats[i] for i in range(8)})
+    cc = ContinuousCaptioner(params, spec, slots=4, admit_chunk=2,
+                             eos_id=tiny_vocab.eos_id, kv_cache="int8",
+                             mesh=make_mesh(2, 4))
+    got = cc.caption_all({i: feats[i] for i in range(8)})
+    for i in range(8):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
 def test_dp_mp_mesh_beam_matches_unsharded(tiny_vocab, rng):
     """Tensor-parallel BEAM serving (ADVICE r3): the mp-sharded pool with
     beam_size>1 (transformer lineage slot stepper — per-group top-k over a
