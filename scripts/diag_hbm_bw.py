@@ -14,12 +14,13 @@ off it. This sweep separates the candidate causes:
 All runs are chained inside ONE jit (tunnel dispatch excluded). One JSON
 line each: achieved GB/s against the 819 spec.
 
-Measured (onchip_r4/diag_hbm_bw.log step_ms; the first capture's gb_per_s
-column over-counted by ITERS — fixed since): streams sustain ~340 GB/s at
-256 MB working sets and ~440-575 GB/s at 1 GB (54-70% of spec for
-triad/copy; reads-only ~365-390). Layout (1d/2d) and dtype barely matter.
-So roofline claims should use ~0.45-0.65x of the 819 spec as the
-achievable stream denominator at training-sized working sets.
+Measured (onchip_r4/diag_hbm_bw2.log): triad sustains ~316-343 GB/s at
+256 MB working sets and ~549-557 GB/s at 1 GB (39-68% of spec); copy
+~200-420, reads-only ~113-348. Layout (1d/2d) and dtype barely matter.
+The size dependence fits a ~1.8 ms FIXED cost per scan iteration plus a
+~600-660 GB/s stream rate — so short-per-iteration programs see far less
+than spec. Roofline claims should use ~0.4-0.65x of the 819 spec as the
+achievable denominator at training-sized working sets.
 
 Run on the real TPU: python scripts/diag_hbm_bw.py
 """
