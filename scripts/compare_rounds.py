@@ -8,6 +8,16 @@ even on warnings — a tunnel-noise wobble must not abort an unattended
 capture; the WARN lines in the committed log are the signal.
 
     python scripts/compare_rounds.py onchip_r3 onchip_r4 [--threshold 0.05]
+
+EXPECTED regressions: a `EXPECTED.json` in the NEW capture directory maps a
+metric substring to the reason the drop is intentional, e.g.
+
+    {"KV-cache, lineage": "r3 number was the one-hot-contraction build that
+     emitted wrong tokens on the MXU; r4 is the bit-exact-bookkeeping
+     lineage (true gathers), ~21% slower and correct"}
+
+Matching rows print as `ok (expected)` with the reason instead of WARN —
+the drop stays visible, the unattended capture stays signal-clean.
 """
 
 import argparse
@@ -91,6 +101,15 @@ def main(argv=None) -> int:
         print(f"no bench rows found under {args.new} — nothing to compare")
         return 0
 
+    expected = {}
+    exp_path = (args.new if args.new.is_dir() else args.new.parent) \
+        / "EXPECTED.json"
+    if exp_path.is_file():
+        try:
+            expected = json.loads(exp_path.read_text())
+        except json.JSONDecodeError as e:
+            print(f"WARN  malformed {exp_path}: {e}")
+
     warns = 0
     for metric in sorted(old):
         if metric not in new:
@@ -100,11 +119,17 @@ def main(argv=None) -> int:
         if o <= 0:
             continue
         delta = (n - o) / o
-        tag = "ok   "
+        tag, note = "ok   ", ""
         if delta < -args.threshold:
-            tag = "WARN "
-            warns += 1
-        print(f"{tag} {delta:+7.1%}  {metric}: {o:.4g} -> {n:.4g}")
+            reason = next((r for sub, r in expected.items() if sub in metric),
+                          None)
+            if reason is not None:
+                tag = "ok   "
+                note = f"  (expected: {reason})"
+            else:
+                tag = "WARN "
+                warns += 1
+        print(f"{tag} {delta:+7.1%}  {metric}: {o:.4g} -> {n:.4g}{note}")
     for metric in sorted(set(new) - set(old)):
         print(f"NEW   {metric} = {new[metric]:.4g}")
     if warns:
