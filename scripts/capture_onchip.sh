@@ -1,10 +1,10 @@
 #!/usr/bin/env bash
-# One-shot round-4 on-chip evidence capture.
+# One-shot round-5 on-chip evidence capture.
 # Run the moment the axon tunnel is back:  bash scripts/capture_onchip.sh
-# Writes logs under onchip_r4/ — commit the directory afterwards.
+# Writes logs under onchip_r5/; VCR_CAPTURE_COMMIT=1 auto-commits them.
 set -u
 cd "$(dirname "$0")/.."
-OUT=onchip_r4
+OUT="${VCR_CAPTURE_OUT:-onchip_r5}"
 mkdir -p "$OUT"
 FAILED=""
 
@@ -20,7 +20,7 @@ run() {
   echo "rc=$rc"
   tail -3 "$OUT/$name.log"
   echo "rc=$rc" >>"$OUT/$name.log"
-  # VERDICT r3 #2: a failed check must be LOUD, not a quiet line in a log.
+  # a failed check must be LOUD, not a quiet line in a log (VERDICT r3 #2)
   if [ "$rc" -ne 0 ]; then FAILED="$FAILED $name"; fi
 }
 
@@ -29,54 +29,50 @@ run probe python -c "import jax,numpy as np,jax.numpy as jnp; print('TPU OK', np
 grep -q "TPU OK" "$OUT/probe.log" || { echo "tunnel still down — aborting"; exit 1; }
 FAILED=""   # probe noise doesn't count once TPU OK is confirmed
 
-# 1. correctness FIRST (round-3 ran benches first and the tunnel died before
-#    rerunning the failed identity check): compiled Pallas parity + the
-#    lineage-beam identity row (now with forensic dumps on FAIL)
+# 1. correctness FIRST (a mid-capture tunnel death must not cost the
+#    identity evidence): compiled Pallas parity, lineage bookkeeping
+#    bit-identity, lineage-vs-gather envelope, continuous greedy/beam,
+#    per-request sampling, int8 KV-cache pool (envelope contract)
 run tpu_checks     python tpu_checks.py
 
-# 2. headline + per-family inference + per-family train
+# 2. headline + per-family inference (incl. int8 slot-decode A/B row) +
+#    per-family train; the r4-found batch sweet spots as first-class rows
 run bench          python bench.py
 run bench_train    python bench_train.py all
 run bench_all      python bench_all.py
+run bench_train_s2vt_att_b512 env VCR_BENCH_BATCH=512 python bench_train.py s2vt-att
+run bench_train_spatial_b32 env VCR_BENCH_BATCH=32 python bench_train.py spatial
 
-# 3. serving-pool geometry sweep on the real chip — round 4 adds the
-#    arrival-rate axis and enough requests that occupancy≈1 configs compete
-#    (VERDICT r3 #5; rate 0 = closed-loop saturation)
+# 3. serving-pool geometry sweep (closed-loop saturation; NOTE the
+#    tune_serving.py docstring caveat — tunnel-side picks reward dispatch
+#    count, occupancy is the transferable signal)
 run tune_serving   python scripts/tune_serving.py --synthetic \
-  --slots 16,64,128 --admit_chunk 8,16 --step_chunk 2,4,8 --rate 0 \
+  --slots 64,128 --admit_chunk 16,32 --step_chunk 4,8 --rate 0 \
   --n_requests 2048
 
-# 4. round-4 specifics: s2vt-att backward fix A/B (remat'd scan vs r3
-#    baseline) and the SpatialNet B=32 repro after the program-size fix
-run diag_s2vt_att  python scripts/diag_s2vt_att.py
-VCR_BENCH_BATCH=2048 run bench_train_s2vt_att_b2048 python bench_train.py s2vt-att
-VCR_BENCH_BATCH=32 run bench_train_spatial_b32 python bench_train.py spatial
+# 4. standing diagnostics: slot-tick write-mode A/B + roofline, s2vt-att
+#    bisect (custom-VJP A/B + HBM triad), stream-bandwidth calibration
+run diag_slot_tick python scripts/diag_slot_tick.py
+run diag_s2vt_att  python scripts/diag_s2vt_att.py --bisect
+run diag_hbm_bw    python scripts/diag_hbm_bw.py
 
-# 5. cross-round regression tracking (VERDICT r3 #7): compare this capture's
-#    JSON rows against onchip_r3 and warn on >5% drops
-run compare_rounds python scripts/compare_rounds.py onchip_r3 "$OUT"
+# 5. cross-round regression tracking: compare against onchip_r4; expected
+#    intentional drops belong in $OUT/EXPECTED.json (substring -> reason)
+run compare_rounds python scripts/compare_rounds.py onchip_r4 "$OUT"
 
 echo
 if [ -n "$FAILED" ]; then
   echo "!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!"
   echo "!!! CAPTURE HAD FAILURES:$FAILED"
-  echo "!!! read the forensic dumps in $OUT/<name>.log"
   echo "!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!"
 else
   echo "capture clean — all entries rc=0"
 fi
-echo "All logs in $OUT/ — review, then: git add $OUT && git commit"
-
-# Unattended capture (the tunnel watcher sets VCR_CAPTURE_COMMIT=1): commit
-# the raw logs immediately so the round's on-chip evidence survives even if
-# no interactive session is alive afterwards. Doc folding stays a manual
-# review step (scripts/fold_onchip.py). Failures go in the COMMIT MESSAGE so
-# they cannot be missed from the log listing alone.
 if [ "${VCR_CAPTURE_COMMIT:-0}" = "1" ]; then
   if [ -n "$FAILED" ]; then
-    msg="onchip_r4: raw capture (unattended) — FAILURES:$FAILED"
+    msg="$OUT: raw capture (unattended) — FAILURES:$FAILED"
   else
-    msg="onchip_r4: raw capture (unattended) — all entries rc=0"
+    msg="$OUT: raw capture (unattended) — all entries rc=0"
   fi
   git add "$OUT" && git commit -m "$msg" \
     && echo "capture committed: $(git rev-parse --short HEAD)"
