@@ -76,6 +76,28 @@ def _ff_apply(params, x, key, train, cdtype):
     return dense(params["linear_2"], h, cdtype)
 
 
+# The ff block's saved residuals dominate transformer train memory AND its
+# HBM traffic: autodiff stores the (B, N, d_ff=4096) relu output in f32 plus
+# the dropout mask PER LAYER (the B=512 OOM dump shows six 1.41 GB f32
+# stacks + masks — onchip_r4/bench_train_tf_remat.log). jax.checkpoint
+# around just the ff recomputes them in the backward from the LayerNorm'd
+# input (one extra 512->4096->relu per layer, cheap MXU work; dropout keys
+# are explicit so the recompute is bit-exact) — outputs and gradients are
+# numerically IDENTICAL to the unremat'd form by construction.
+# VCR_TF_FF_REMAT=0 restores plain autodiff for A/B.
+_ff_train = jax.checkpoint(
+    lambda params, x, key, cdtype_name: _ff_apply(
+        params, x, key, True, jnp.dtype(cdtype_name)),
+    static_argnums=(3,))
+
+
+def _ff_block(params, x, key, train, cdtype):
+    """ff with selective rematerialization at train (see _ff_train)."""
+    if train and os.environ.get("VCR_TF_FF_REMAT", "1") != "0":
+        return _ff_train(params, x, key, jnp.dtype(cdtype).name)
+    return _ff_apply(params, x, key, train, cdtype)
+
+
 def _encoder_layer_init(key, heads, hidden, flag, spec):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
@@ -95,7 +117,7 @@ def _encoder_layer(params, x, mask, key, heads, train, cdtype):
                                   train=train, compute_dtype=cdtype),
                     INTERNAL_DROPOUT, train)
     x2 = torch_norm(params["norm_2"], x)
-    x = x + dropout(k3, _ff_apply(params["ff"], x2, k4, train, cdtype),
+    x = x + dropout(k3, _ff_block(params["ff"], x2, k4, train, cdtype),
                     INTERNAL_DROPOUT, train)
     return x
 
@@ -129,7 +151,7 @@ def _decoder_layer(params, x, e_outputs, src_mask, trg_mask, key, heads, train, 
                                      train=train, compute_dtype=cdtype),
                     INTERNAL_DROPOUT, train)
     x2 = torch_norm(params["norm_3"], x)
-    x = x + dropout(ks[4], _ff_apply(params["ff"], x2, ks[5], train, cdtype),
+    x = x + dropout(ks[4], _ff_block(params["ff"], x2, ks[5], train, cdtype),
                     INTERNAL_DROPOUT, train)
     return x
 
