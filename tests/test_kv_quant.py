@@ -174,6 +174,48 @@ def test_int8_lineage_bookkeeping_bitexact(tiny_vocab, rng):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("lineage", [False, True])
+def test_int8_matches_dequant_oracle(tiny_vocab, rng, lineage):
+    """Decisive fold-correctness proof: run the int8 stepper a few steps,
+    then DEQUANTIZE its cache state (codes x scales) into plain caches and
+    feed those to the fp32-cache stepper — one more step on each must agree
+    to fp32 tolerance. A wrong scale alignment (e.g. a bad transpose in the
+    lineage fold) would diverge grossly; the fold identities commute with
+    the dots exactly (test_fold_k/v), so agreement is ~1e-5."""
+    import vcr_tpu.models.transformer as trm
+
+    bt = 2 if lineage else 1
+    spec, step_q, st_q, rows = _setup(tiny_vocab, rng, bt=bt, lineage=lineage)
+    _, step_f, st_f, _ = _setup(tiny_vocab, rng, bt=bt, lineage=lineage,
+                                kv="bf16")
+    w = jnp.full((rows,), spec.sos_id, jnp.int32)
+    for i in range(3):
+        st_q, lg = step_q(st_q, w, jnp.full((rows,), i, jnp.int32))
+        w = jnp.argmax(lg, -1).astype(jnp.int32)
+
+    # transplant the dequantized int8 state into the plain stepper's state
+    st_mix = dict(st_f)
+    for k, v in st_q.items():
+        if k == "anc":
+            st_mix[k] = v
+        elif len(v) == 4:
+            kq, ks, vq, vs = v
+            st_mix[k] = (kvquant.dequantize(kq, ks[..., None],
+                                            st_f[k][0].dtype),
+                         kvquant.dequantize(vq, vs[..., None],
+                                            st_f[k][1].dtype))
+        else:
+            st_mix[k] = v
+
+    iv = jnp.full((rows,), 3, jnp.int32)
+    _, lg_q = step_q(st_q, w, iv)
+    _, lg_o = step_f(st_mix, w, iv)
+    # the NEW token's K/V are quantized on the int8 side and exact on the
+    # oracle side — that one vector's quantization error bounds the gap
+    np.testing.assert_allclose(np.asarray(lg_q), np.asarray(lg_o),
+                               rtol=0, atol=0.05)
+
+
 def test_int8_batch_fast_decode(tiny_vocab, rng):
     """The BATCH fast paths share the option: decode_greedy_fast and
     transformer_beam_decode_fast run with kv_cache='int8' and emit
