@@ -42,6 +42,11 @@ run bench_train    python bench_train.py all
 run bench_all      python bench_all.py
 run bench_train_s2vt_att_b512 env VCR_BENCH_BATCH=512 python bench_train.py s2vt-att
 run bench_train_spatial_b32 env VCR_BENCH_BATCH=32 python bench_train.py spatial
+# speculative: B=32 beat B=16 once the program-size fix landed — probe B=64
+# (may exceed HBM; a loud rc!=0 here is informative, not a regression)
+run bench_train_spatial_b64 env VCR_BENCH_BATCH=64 python bench_train.py spatial
+# transformer B=256 beat B=128 by 5% in r4 (bench_train_tf_remat.log)
+run bench_train_tf_b256 env VCR_BENCH_BATCH=256 python bench_train.py transformer
 
 # 3. serving-pool geometry sweep (closed-loop saturation; NOTE the
 #    tune_serving.py docstring caveat — tunnel-side picks reward dispatch
