@@ -76,15 +76,18 @@ def _ff_apply(params, x, key, train, cdtype):
     return dense(params["linear_2"], h, cdtype)
 
 
-# The ff block's saved residuals dominate transformer train memory AND its
-# HBM traffic: autodiff stores the (B, N, d_ff=4096) relu output in f32 plus
-# the dropout mask PER LAYER (the B=512 OOM dump shows six 1.41 GB f32
-# stacks + masks — onchip_r4/bench_train_tf_remat.log). jax.checkpoint
-# around just the ff recomputes them in the backward from the LayerNorm'd
-# input (one extra 512->4096->relu per layer, cheap MXU work; dropout keys
-# are explicit so the recompute is bit-exact) — outputs and gradients are
-# numerically IDENTICAL to the unremat'd form by construction.
-# VCR_TF_FF_REMAT=0 restores plain autodiff for A/B.
+# OPT-IN selective ff rematerialization (VCR_TF_FF_REMAT=1): jax.checkpoint
+# around just the ff block recomputes its saved residuals — the per-layer
+# (B, N, d_ff) relu output + dropout mask — in the backward from the
+# LayerNorm'd input (explicit dropout keys, so the recompute is bit-exact;
+# the whole train step is BITWISE identical either way,
+# tests/test_ff_remat.py). On-chip A/B (bench_train_tf_remat.log): it cuts
+# per-layer activation memory but measures 2-5% SLOWER (the step is
+# bandwidth-bound and the recompute re-reads its inputs), and B=512 still
+# exceeds HBM because the dominant stacks are the 4096-wide residual-stream
+# saves, not the ff's — so plain autodiff is the default and the remat is
+# the memory-pressure escape hatch. (Whole-forward remat — `--remat` — was
+# 18% slower: same log.)
 _ff_train = jax.checkpoint(
     lambda params, x, key, cdtype_name: _ff_apply(
         params, x, key, True, jnp.dtype(cdtype_name)),
@@ -92,8 +95,8 @@ _ff_train = jax.checkpoint(
 
 
 def _ff_block(params, x, key, train, cdtype):
-    """ff with selective rematerialization at train (see _ff_train)."""
-    if train and os.environ.get("VCR_TF_FF_REMAT", "1") != "0":
+    """ff with opt-in selective rematerialization at train (see _ff_train)."""
+    if train and os.environ.get("VCR_TF_FF_REMAT") == "1":
         return _ff_train(params, x, key, jnp.dtype(cdtype).name)
     return _ff_apply(params, x, key, train, cdtype)
 
