@@ -74,7 +74,8 @@ def export_captioner(params, spec, out_dir: str,
                      input_shape: Optional[Sequence[int]] = None,
                      image_size: int = 224,
                      platforms: Optional[Sequence[str]] = None,
-                     dp: int = 1) -> str:
+                     dp: int = 1,
+                     kv_cache: Optional[str] = None) -> str:
     """Serialize the serving captioner for (params, spec) into ``out_dir``.
 
     Mirrors ``serving.build_captioner``'s surface (all five families, greedy /
@@ -113,7 +114,8 @@ def export_captioner(params, spec, out_dir: str,
         assert feat_params is not None
     caption = serving.make_caption_fn(spec, featurizer, darknet_obj, rng,
                                       beam_size, eos_id, sample_temperature,
-                                      sample_top_k, sample_top_p)
+                                      sample_top_k, sample_top_p,
+                                      kv_cache=kv_cache)
 
     # Flatten (captioner weights, featurizer weights) into ONE ordered leaf
     # list: a list-of-arrays pytree is reconstructible from an .npz by key

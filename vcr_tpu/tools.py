@@ -243,7 +243,8 @@ def export_serving_artifact(cfg: Config, checkpoint_path: str = "",
         vocab=vocab, rng=rng, sample_temperature=cfg.sample_temperature,
         sample_top_k=cfg.sample_top_k, sample_top_p=cfg.sample_top_p,
         platforms=("cpu", "tpu"),
-        dp=max(cfg.mesh_dp, 1))
+        dp=max(cfg.mesh_dp, 1),
+        kv_cache=cfg.serve_kv_cache)
 
 
 def decode_corpus(cfg: Config, checkpoint_path: str = "",
