@@ -47,6 +47,12 @@ run bench_train_spatial_b32 env VCR_BENCH_BATCH=32 python bench_train.py spatial
 run bench_train_spatial_b64 env VCR_BENCH_BATCH=64 python bench_train.py spatial
 # transformer B=256 beat B=128 by 5% in r4 (bench_train_tf_remat.log)
 run bench_train_tf_b256 env VCR_BENCH_BATCH=256 python bench_train.py transformer
+# bf16 residual stream (round-4: kills the six f32 encoder-stream stacks,
+# 13.9 -> 6.1 GiB of scan saves at B=512 — diag_tf_saves.py): B=512 should
+# now FIT (it OOMed by 4.0 GiB before); A/B the f32-stream escape hatch at
+# B=256 to confirm the byte cut is also a time win on the memory-bound step
+run bench_train_tf_b512 env VCR_BENCH_BATCH=512 python bench_train.py transformer
+run bench_train_tf_b256_f32stream env VCR_BENCH_BATCH=256 VCR_TF_F32_STREAM=1 python bench_train.py transformer
 
 # 3. serving-pool geometry sweep (closed-loop saturation; NOTE the
 #    tune_serving.py docstring caveat — tunnel-side picks reward dispatch

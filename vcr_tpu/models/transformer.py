@@ -101,6 +101,39 @@ def _ff_block(params, x, key, train, cdtype):
     return _ff_apply(params, x, key, train, cdtype)
 
 
+# --- train-time residual-stream dtype (VCR_TF_F32_STREAM=1 restores f32) ---
+#
+# The reference trains everything in f32. Under compute_dtype=bfloat16 this
+# package casts matmul OPERANDS to bf16 (nn/layers.vdot) but historically let
+# the residual stream itself ride in f32 — so the layer-scan backward stacked
+# per-layer f32 saves: six f32 (layers, B, 30, 4096) encoder-stream stacks =
+# 8.4 GiB at B=512, the exact allocations in the round-4 OOM dump
+# (onchip_r4/bench_train_tf_remat.log; reproduced locally by
+# scripts/diag_tf_saves.py). Standard TPU mixed precision keeps the stream in
+# bf16: at train, when compute_dtype != float32, the stream is cast to the
+# compute dtype after the positional encoding and every residual add stays in
+# it (torch_norm computes its mean/var in f32 internally and casts back).
+# Norms are additionally rematerialized (jax.checkpoint) so their backward
+# recomputes (x - mean)/std from the bf16 carry instead of stacking full-width
+# f32 intermediates. f32 compute (every parity/lockstep test) is bitwise
+# untouched: the casts are no-ops and the checkpoint wrapper is only applied
+# to non-f32 streams.
+_norm_remat = jax.checkpoint(torch_norm)
+
+
+def _stream_cast(x, train, cdtype):
+    if train and jnp.dtype(cdtype) != jnp.float32 \
+            and os.environ.get("VCR_TF_F32_STREAM") != "1":
+        return x.astype(cdtype)
+    return x
+
+
+def _norm(params, x, train):
+    if train and x.dtype != jnp.float32:
+        return _norm_remat(params, x)
+    return torch_norm(params, x)
+
+
 def _encoder_layer_init(key, heads, hidden, flag, spec):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
@@ -114,14 +147,14 @@ def _encoder_layer_init(key, heads, hidden, flag, spec):
 
 def _encoder_layer(params, x, mask, key, heads, train, cdtype):
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    x2 = torch_norm(params["norm_1"], x)
+    x2 = _norm(params["norm_1"], x, train)
     x = x + dropout(k1, mha_apply(params["attn"], heads, x2, x2, x2, mask,
                                   dropout_key=k2, dropout_rate=INTERNAL_DROPOUT,
                                   train=train, compute_dtype=cdtype),
-                    INTERNAL_DROPOUT, train)
-    x2 = torch_norm(params["norm_2"], x)
+                    INTERNAL_DROPOUT, train).astype(x.dtype)
+    x2 = _norm(params["norm_2"], x, train)
     x = x + dropout(k3, _ff_block(params["ff"], x2, k4, train, cdtype),
-                    INTERNAL_DROPOUT, train)
+                    INTERNAL_DROPOUT, train).astype(x.dtype)
     return x
 
 
@@ -142,20 +175,20 @@ def _decoder_layer_init(key, heads, hidden, flag, spec):
 
 def _decoder_layer(params, x, e_outputs, src_mask, trg_mask, key, heads, train, cdtype):
     ks = jax.random.split(key, 6)
-    x2 = torch_norm(params["norm_1"], x)
+    x2 = _norm(params["norm_1"], x, train)
     x = x + dropout(ks[0], mha_apply(params["attn_1"], heads, x2, x2, x2, trg_mask,
                                      dropout_key=ks[1], dropout_rate=INTERNAL_DROPOUT,
                                      train=train, compute_dtype=cdtype),
-                    INTERNAL_DROPOUT, train)
-    x2 = torch_norm(params["norm_2"], x)
+                    INTERNAL_DROPOUT, train).astype(x.dtype)
+    x2 = _norm(params["norm_2"], x, train)
     x = x + dropout(ks[2], mha_apply(params["attn_2"], heads, x2, e_outputs, e_outputs,
                                      src_mask,
                                      dropout_key=ks[3], dropout_rate=INTERNAL_DROPOUT,
                                      train=train, compute_dtype=cdtype),
-                    INTERNAL_DROPOUT, train)
-    x2 = torch_norm(params["norm_3"], x)
+                    INTERNAL_DROPOUT, train).astype(x.dtype)
+    x2 = _norm(params["norm_3"], x, train)
     x = x + dropout(ks[4], _ff_block(params["ff"], x2, ks[5], train, cdtype),
-                    INTERNAL_DROPOUT, train)
+                    INTERNAL_DROPOUT, train).astype(x.dtype)
     return x
 
 
@@ -219,12 +252,13 @@ def encode(params, spec: base.ModelSpec, vid_features: jax.Array,
     """(B, N, 4096) -> encoder outputs (B, N, 4096) (TransformerNet.py:190-200)."""
     enc = params["encoder"]
     x = _apply_pe(enc["pe"], vid_features, vid_features.shape[1])
+    x = _stream_cast(x, train, spec.cdtype)
 
     def layer(p, h, k, mask):
         return _encoder_layer(p, h, mask, k, spec.tf_heads, train, spec.cdtype)
 
     x = _run_stack(layer, enc["layers"], x, rng, spec.tf_layers, src_mask)
-    return torch_norm(enc["norm"], x)
+    return _norm(enc["norm"], x, train)
 
 
 def decode_train(params, spec: base.ModelSpec, e_outputs, s, src_mask, trg_mask,
@@ -235,13 +269,14 @@ def decode_train(params, spec: base.ModelSpec, e_outputs, s, src_mask, trg_mask,
     k_layers, k_pred = jax.random.split(rng)
     x = embed(dec["embedding"], s.astype(jnp.int32))
     x = _apply_pe(dec["pe"], x, x.shape[1])
+    x = _stream_cast(x, train, spec.cdtype)
 
     def layer(p, h, k, eo, sm, tm):
         return _decoder_layer(p, h, eo, sm, tm, k, spec.tf_heads, train, spec.cdtype)
 
     x = _run_stack(layer, dec["layers"], x, k_layers, spec.tf_layers,
                    e_outputs, src_mask, trg_mask)
-    x = torch_norm(dec["norm_out"], x)
+    x = _norm(dec["norm_out"], x, train)
     x = dropout(k_pred, x, spec.dropout_p, train)
     return mask_vocab_pad(dense(dec["pred_linear"], x, spec.cdtype), spec.vocab_size)
 

@@ -84,12 +84,21 @@ def torch_norm(params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
     """The reference Transformer's hand-rolled Norm (model/TransformerNet.py:91-106):
     alpha * (x - mean) / (std + eps) + bias, where std is the *unbiased*
     (Bessel-corrected) std, as torch's Tensor.std defaults to. Replicated exactly
-    for checkpoint/decode parity — do not "fix" to rsqrt(var + eps)."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
+    for checkpoint/decode parity — do not "fix" to rsqrt(var + eps).
+
+    Dtype-preserving: internals always run in float32 (mean/var of a bf16
+    stream would lose the quantum), the result is cast back to x.dtype. For
+    float32 input both casts are no-ops — bitwise identical to the original
+    formulation — which keeps every f32 parity path untouched while letting
+    the train-time bf16 residual stream (models/transformer.py) flow through
+    without silently promoting back to f32."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
     n = x.shape[-1]
-    var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / (n - 1)
+    var = jnp.sum((x32 - mean) ** 2, axis=-1, keepdims=True) / (n - 1)
     std = jnp.sqrt(var)
-    return params["alpha"] * (x - mean) / (std + eps) + params["bias"]
+    out = params["alpha"] * (x32 - mean) / (std + eps) + params["bias"]
+    return out.astype(x.dtype)
 
 
 # ---------------- conv2d (NCHW, torch layout) + batchnorm ----------------
