@@ -53,6 +53,11 @@ run bench_train_tf_b256 env VCR_BENCH_BATCH=256 python bench_train.py transforme
 # B=256 to confirm the byte cut is also a time win on the memory-bound step
 run bench_train_tf_b512 env VCR_BENCH_BATCH=512 python bench_train.py transformer
 run bench_train_tf_b256_f32stream env VCR_BENCH_BATCH=256 VCR_TF_F32_STREAM=1 python bench_train.py transformer
+# GRU gate remat (round-4: cuts s2vt stacked saves 2.42 -> 0.87 GiB/step,
+# bitwise-identical step — diag_train_saves.py): A/B the memory-bound GRU
+# flagships; if it wins, flip the default and update CLAUDE/PARITY
+run bench_train_s2vt_gremat env VCR_GRU_GATES_REMAT=1 python bench_train.py s2vt
+run bench_train_att_gremat env VCR_GRU_GATES_REMAT=1 python bench_train.py s2vt-att
 
 # 3. serving-pool geometry sweep (closed-loop saturation; NOTE the
 #    tune_serving.py docstring caveat — tunnel-side picks reward dispatch

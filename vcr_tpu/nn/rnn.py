@@ -13,6 +13,7 @@ i,f,g,o) so that converted reference checkpoints decode token-for-token.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -36,12 +37,8 @@ def gru_init(key: jax.Array, input_size: int, hidden_size: int):
     }
 
 
-def gru_gates(x_gates: jax.Array, h: jax.Array, params, compute_dtype=jnp.bfloat16):
-    """One GRU step given precomputed input gates x_gates = x @ w_ih + b_ih.
-
-    torch semantics: r = σ(xr + hr); z = σ(xz + hz); n = tanh(xn + r∘hn);
-    h' = (1-z)∘n + z∘h.
-    """
+def _gru_gates_impl(x_gates: jax.Array, h: jax.Array, params,
+                    compute_dtype=jnp.bfloat16):
     h_gates = vdot(h, params["w_hh"], compute_dtype) + params["b_hh"]
     xr, xz, xn = jnp.split(x_gates, 3, axis=-1)
     hr, hz, hn = jnp.split(h_gates, 3, axis=-1)
@@ -49,6 +46,30 @@ def gru_gates(x_gates: jax.Array, h: jax.Array, params, compute_dtype=jnp.bfloat
     z = jax.nn.sigmoid(xz + hz)
     n = jnp.tanh(xn + r * hn)
     return (1.0 - z) * n + z * h
+
+
+# OPT-IN gate rematerialization (VCR_GRU_GATES_REMAT=1): jax.checkpoint
+# around the per-step gate math, so the scan backward recomputes r/z/n and
+# the (B, H) @ (H, 3H) recurrent matmul from x_gates + h instead of stacking
+# the gate intermediates — scripts/diag_train_saves.py counts ~5 f32
+# (T, B, H) stacks per GRU scan at the bench spec (s2vt: 2.4 GiB/step at
+# B=1024, ~25% of the memory-bound step's byte traffic). The recompute is
+# the identical f32 op sequence, so the train step is BITWISE unchanged
+# (tests/test_gru_gates_remat.py). Opt-in until the on-chip A/B rows decide
+# the default (the ff-remat lesson: recompute re-reads its inputs, so a byte
+# win on paper can still measure slower through HBM).
+_gru_gates_remat = jax.checkpoint(_gru_gates_impl, static_argnums=(3,))
+
+
+def gru_gates(x_gates: jax.Array, h: jax.Array, params, compute_dtype=jnp.bfloat16):
+    """One GRU step given precomputed input gates x_gates = x @ w_ih + b_ih.
+
+    torch semantics: r = σ(xr + hr); z = σ(xz + hz); n = tanh(xn + r∘hn);
+    h' = (1-z)∘n + z∘h.
+    """
+    if os.environ.get("VCR_GRU_GATES_REMAT") == "1":
+        return _gru_gates_remat(x_gates, h, params, compute_dtype)
+    return _gru_gates_impl(x_gates, h, params, compute_dtype)
 
 
 def gru_step(params, x: jax.Array, h: jax.Array, compute_dtype=jnp.bfloat16):
@@ -96,7 +117,7 @@ def lstm_init(key: jax.Array, input_size: int, hidden_size: int):
     }
 
 
-def lstm_gates(x_gates, hc, params, compute_dtype=jnp.bfloat16):
+def _lstm_gates_impl(x_gates, hc, params, compute_dtype=jnp.bfloat16):
     h, c = hc
     h_gates = vdot(h, params["w_hh"], compute_dtype) + params["b_hh"]
     xi, xf, xg, xo = jnp.split(x_gates, 4, axis=-1)
@@ -108,6 +129,17 @@ def lstm_gates(x_gates, hc, params, compute_dtype=jnp.bfloat16):
     c_next = f * c + i * g
     h_next = o * jnp.tanh(c_next)
     return h_next, c_next
+
+
+_lstm_gates_remat = jax.checkpoint(_lstm_gates_impl, static_argnums=(3,))
+
+
+def lstm_gates(x_gates, hc, params, compute_dtype=jnp.bfloat16):
+    """One LSTM step; VCR_GRU_GATES_REMAT=1 remats the gate math exactly as
+    gru_gates does (same save-stack accounting, same bitwise contract)."""
+    if os.environ.get("VCR_GRU_GATES_REMAT") == "1":
+        return _lstm_gates_remat(x_gates, hc, params, compute_dtype)
+    return _lstm_gates_impl(x_gates, hc, params, compute_dtype)
 
 
 def lstm_sequence(params, xs, hc0=None, reverse: bool = False, compute_dtype=jnp.bfloat16):
