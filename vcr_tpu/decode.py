@@ -265,7 +265,11 @@ def s2vt_att_beam_from_states(params, spec: model_base.ModelSpec,
     proj_key = bahdanau_project_keys(dec["attention"], encoder_outs, spec.cdtype)
     b = encoder_outs.shape[0]
 
-    tiled = _tile_beam({"h": encoder_final, "pk": proj_key, "eo": encoder_outs},
+    # eo is only ever consumed through bahdanau_attend's values.astype(cdtype)
+    # cast — tile/read the stream at cdtype (bit-identical, halves the
+    # per-step HBM read at bf16)
+    tiled = _tile_beam({"h": encoder_final, "pk": proj_key,
+                        "eo": encoder_outs.astype(spec.cdtype)},
                        beam_size)
     step_fn = _s2vt_att_stepper(params, spec, tiled["pk"], tiled["eo"])
     return beam_search(step_fn, {"h": tiled["h"]}, b, beam_size, spec.max_len,
@@ -279,7 +283,8 @@ def s2vt_att_sample_from_states(params, spec: model_base.ModelSpec,
                                 top_k: int = 0, top_p: float = 0.0) -> jax.Array:
     proj_key = bahdanau_project_keys(params["decoder"]["attention"],
                                      encoder_outs, spec.cdtype)
-    step_fn = _s2vt_att_stepper(params, spec, proj_key, encoder_outs)
+    step_fn = _s2vt_att_stepper(params, spec, proj_key,
+                                encoder_outs.astype(spec.cdtype))
     return sample_search(step_fn, {"h": encoder_final}, encoder_outs.shape[0],
                          spec.max_len, spec.sos_id, eos_id, rng,
                          temperature, top_k, top_p)

@@ -257,6 +257,13 @@ def decode(
             dense(dec["pred_linear"], dropped, spec.cdtype), spec.vocab_size)
         return jnp.transpose(logits, (1, 0, 2))                  # (B, L, V)
 
+    # Inference reads encoder_outs every decode step but only ever consumes
+    # it through bahdanau_attend's values.astype(cdtype) cast — store the
+    # stream at cdtype once instead, halving the dominant per-step HBM read
+    # at bf16. Bit-identical: one f32->bf16 rounding either way. (Train is
+    # untouched: its backward accumulates eo cotangents in f32.)
+    encoder_outs = encoder_outs.astype(spec.cdtype)
+
     def step(carry, key):
         state, words = carry
         context, _ = bahdanau_attend(dec["attention"], state, proj_key, encoder_outs,

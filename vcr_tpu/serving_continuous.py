@@ -432,7 +432,13 @@ class ContinuousCaptioner:
         if self._base == "s2vt":
             return {"s1": h, "s2": h}
         n = spec.num_frames
-        eo = jnp.zeros((rows, n, spec.hidden_size), jnp.float32)
+        # pk/eo are the tick's dominant HBM stream (read whole every step);
+        # store them at cdtype: pk is produced at cdtype anyway and eo is
+        # only ever consumed through bahdanau_attend's values.astype(cdtype)
+        # cast, so this is bit-identical to the batch steppers and halves
+        # the per-tick context read at bf16. h stays f32 (recurrent state,
+        # parity with the batch steppers' f32 carry).
+        eo = jnp.zeros((rows, n, spec.hidden_size), spec.cdtype)
         return {"h": h, "pk": eo, "eo": eo}
 
     def _init_state(self):
@@ -500,7 +506,7 @@ class ContinuousCaptioner:
                 return {"s1": rnn_state,
                         "s2": s2vt._prime_state2(cap, spec, out1)}
             eo = jnp.transpose(out1, (1, 0, 2))
-            return {"h": rnn_state, "eo": eo,
+            return {"h": rnn_state, "eo": eo.astype(spec.cdtype),
                     "pk": bahdanau_project_keys(cap["decoder"]["attention"],
                                                 eo, spec.cdtype)}
         elif spec.arch == "transformer":
@@ -519,7 +525,7 @@ class ContinuousCaptioner:
             enc_outs, s1 = s2vt.encode(params, spec, feats)
             return {"s1": s1, "s2": s2vt._prime_state2(params, spec, enc_outs)}
         eo, h = s2vt_att.encode(params, spec, feats)
-        return {"h": h, "eo": eo,
+        return {"h": h, "eo": eo.astype(spec.cdtype),
                 "pk": bahdanau_project_keys(params["decoder"]["attention"],
                                             eo, spec.cdtype)}
 
