@@ -16,6 +16,8 @@ captions/s. The ≥5x target (BASELINE.json) therefore means ≥15,000 captions/
 """
 
 import json
+
+from vcr_tpu.utils.benchutil import emit_row
 import os
 import sys
 import time
@@ -96,7 +98,7 @@ def main() -> None:
     }
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
-    print(json.dumps(out))
+    emit_row(out)
 
 
 if __name__ == "__main__":

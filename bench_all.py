@@ -16,6 +16,8 @@ Configs (BASELINE.json):
 """
 
 import json
+
+from vcr_tpu.utils.benchutil import emit_row
 import os
 import sys
 
@@ -91,7 +93,7 @@ def main() -> None:
         }
         if mfu is not None:
             row["mfu"] = round(mfu, 4)
-        print(json.dumps(row), flush=True)
+        emit_row(row)
 
     def run_config(name, module, spec, feats_shape, batch):
         params = jax.device_put(
@@ -237,7 +239,7 @@ def main() -> None:
     }
     if cc_mfu is not None:
         cc_row["mfu"] = round(cc_mfu, 4)
-    print(json.dumps(cc_row), flush=True)
+    emit_row(cc_row)
 
     # int8 KV-cache A/B of the same row (round 4): per-vector symmetric
     # int8 self+cross caches with the dequant folded into score-side
@@ -281,7 +283,7 @@ def main() -> None:
     }
     if cc8_mfu is not None:
         cc8_row["mfu"] = round(cc8_mfu, 4)
-    print(json.dumps(cc8_row), flush=True)
+    emit_row(cc8_row)
 
     # Continuous BEAM tick rate (s2vt-att): prices the per-step within-group
     # beam reorder, which now permutes ONLY the recurrent `h` (pk/eo are
@@ -329,7 +331,7 @@ def main() -> None:
     }
     if cb_mfu is not None:
         cb_row["mfu"] = round(cb_mfu, 4)
-    print(json.dumps(cb_row), flush=True)
+    emit_row(cb_row)
 
     def tr_parity_beam(params, xi):
         tokens, _ = vdecode.transformer_beam_decode(

@@ -16,6 +16,8 @@ Timing: N optimization steps chained inside one jit via lax.scan — removes the
 """
 
 import json
+
+from vcr_tpu.utils.benchutil import emit_row
 import os
 import sys
 import time
@@ -126,7 +128,7 @@ def bench_family(name: str, iters: int) -> None:
         out["grad_accum"] = accum
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
-    print(json.dumps(out), flush=True)
+    emit_row(out)
 
 
 def main() -> None:

@@ -26,7 +26,7 @@ import pathlib
 import sys
 
 
-def collect(path: pathlib.Path) -> dict:
+def collect(path: pathlib.Path, exclude=()) -> dict:
     """-> {metric: value} from every JSON line in *.log / *.json under path.
     A metric appearing multiple times keeps the LAST occurrence (retries
     overwrite earlier flaky attempts)."""
@@ -35,6 +35,9 @@ def collect(path: pathlib.Path) -> dict:
         files = [path]
     else:
         files = sorted(path.glob("*.log")) + sorted(path.glob("*.json"))
+    if exclude:
+        files = [f for f in files
+                 if not any(sub in f.name for sub in exclude)]
     for f in files:
         try:
             text = f.read_text(errors="replace")
@@ -50,12 +53,16 @@ def collect(path: pathlib.Path) -> dict:
             except json.JSONDecodeError:
                 continue
             for rec in _extract(obj):
+                if not isinstance(rec.get("value"), (int, float)):
+                    continue  # backend-probe failure rows emit value=null
                 rows[rec["metric"]] = float(rec["value"])
                 found_in_file = True
         # BENCH_r*.json driver records are concatenated pretty-printed
         # objects, not JSON lines — fall back per FILE, not per directory
         if f.suffix == ".json" and not found_in_file:
             for rec in _extract_concat(text):
+                if not isinstance(rec.get("value"), (int, float)):
+                    continue
                 rows[rec["metric"]] = float(rec["value"])
     return rows
 
@@ -91,9 +98,18 @@ def main(argv=None) -> int:
     ap.add_argument("new", type=pathlib.Path)
     ap.add_argument("--threshold", type=float, default=0.05,
                     help="warn when new < old by more than this fraction")
+    ap.add_argument("--exclude", action="append", default=[],
+                    help="skip capture files whose NAME contains this "
+                         "substring (repeatable) — for pre-r5 variant logs "
+                         "whose rows reuse the product metric string; new "
+                         "captures tag variants via VCR_BENCH_TAG instead")
     args = ap.parse_args(argv)
 
-    old, new = collect(args.old), collect(args.new)
+    if args.exclude:
+        print("excluding capture files matching: "
+              + ", ".join(args.exclude))
+    old, new = (collect(args.old, args.exclude),
+                collect(args.new, args.exclude))
     if not old:
         print(f"no bench rows found under {args.old} — nothing to compare")
         return 0

@@ -61,6 +61,48 @@ def test_matches_batch_greedy(tiny_vocab, rng, arch):
         np.testing.assert_array_equal(got[i], want[i])
 
 
+@pytest.mark.parametrize("arch", ["s2vt", "s2vt-att", "transformer"])
+def test_matches_batch_greedy_bf16(tiny_vocab, rng, arch):
+    """Token-exact slot-pool parity at the SERVING default compute dtype.
+
+    Regression guard for the pk-dtype bug: the slot pool stores the
+    attention context stream `eo` at cdtype (safe — bahdanau_attend casts
+    values to cdtype before the contraction either way), but `pk` MUST stay
+    f32: bahdanau_project_keys returns f32 and bahdanau_attend adds it to
+    the f32 query projection inside tanh with no cdtype cast, so a
+    bf16-stored pk rounds the energies and diverges from the batch steppers
+    at compute_dtype='bfloat16'."""
+    kw = {"compute_dtype": "bfloat16"}
+    if arch == "transformer":
+        kw.update(tf_layers=2, tf_heads=2)
+    spec = _spec(tiny_vocab, arch, **kw)
+    model = base.build_model(arch)[0]
+    params = model(jax.random.PRNGKey(5), spec, tiny_vocab.vectors)
+    feats = _feats(rng, 6, spec)
+    if arch == "transformer":
+        # the slot stepper's exactness contract is vs the KV-CACHED fast
+        # greedy (same per-step program); the full-recompute decode_tokens
+        # path has different dot shapes and is not bit-equal at bf16
+        import vcr_tpu.models.transformer as trm
+
+        rows = np.asarray(trm.decode_greedy_fast(params, spec, trm.encode(
+            params, spec, jnp.asarray(feats), trm.create_masks_inp(feats),
+            jax.random.PRNGKey(0), train=False)))
+        want = []
+        for row in rows:
+            hits = np.nonzero(row == tiny_vocab.eos_id)[0]
+            want.append(row[: hits[0] + 1] if len(hits) else row)
+    else:
+        want = _greedy_truncated(params, spec, feats, tiny_vocab.eos_id)
+
+    cc = ContinuousCaptioner(params, spec, slots=3, admit_chunk=2,
+                             step_chunk=2, eos_id=tiny_vocab.eos_id)
+    got = cc.caption_all({i: feats[i] for i in range(6)})
+    assert sorted(got) == list(range(6))
+    for i in range(6):
+        np.testing.assert_array_equal(got[i], want[i])
+
+
 def test_streaming_arrivals_and_completion_order(tiny_vocab, rng):
     """Requests arriving from a lazy generator are all served; each result
     is yielded as its slot finishes (never more in flight than slots)."""

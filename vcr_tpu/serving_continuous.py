@@ -432,14 +432,20 @@ class ContinuousCaptioner:
         if self._base == "s2vt":
             return {"s1": h, "s2": h}
         n = spec.num_frames
-        # pk/eo are the tick's dominant HBM stream (read whole every step);
-        # store them at cdtype: pk is produced at cdtype anyway and eo is
-        # only ever consumed through bahdanau_attend's values.astype(cdtype)
-        # cast, so this is bit-identical to the batch steppers and halves
-        # the per-tick context read at bf16. h stays f32 (recurrent state,
-        # parity with the batch steppers' f32 carry).
+        # pk/eo are the tick's dominant HBM stream (read whole every step).
+        # eo is stored at cdtype: it is only ever consumed through
+        # bahdanau_attend's values.astype(cdtype) cast, so consuming a
+        # cdtype-stored copy is bit-identical to the batch steppers and
+        # halves the per-tick context read at bf16. pk must stay f32:
+        # bahdanau_project_keys returns f32 (vdot accumulates at f32 and the
+        # bias add is f32) and bahdanau_attend adds it to the f32 query
+        # projection inside tanh with NO cdtype cast — storing it at bf16
+        # would round the energies and break token-exact parity with the
+        # batch greedy/beam steppers. h stays f32 (recurrent state, parity
+        # with the batch steppers' f32 carry).
         eo = jnp.zeros((rows, n, spec.hidden_size), spec.cdtype)
-        return {"h": h, "pk": eo, "eo": eo}
+        pk = jnp.zeros((rows, n, spec.hidden_size), jnp.float32)
+        return {"h": h, "pk": pk, "eo": eo}
 
     def _init_state(self):
         st = self._init_state_shared()

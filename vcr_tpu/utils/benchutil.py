@@ -12,7 +12,23 @@ convention (elementwise/gather work rides along for free on the VPU).
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Optional
+
+
+def emit_row(row: dict) -> None:
+    """Print one bench JSON line, tagging the metric with $VCR_BENCH_TAG.
+
+    Capture scripts set VCR_BENCH_TAG for A/B-variant invocations (e.g.
+    "gate-remat", "f32-stream") so variant rows carry a DISTINCT metric
+    string — compare_rounds.py keys on the metric and keeps the last
+    occurrence, so an untagged variant would silently replace the product
+    row in the cross-round report (VERDICT r4 weak #3)."""
+    tag = os.environ.get("VCR_BENCH_TAG")
+    if tag and "metric" in row:
+        row = {**row, "metric": f'{row["metric"]} [{tag}]'}
+    print(json.dumps(row), flush=True)
 
 # Peak dense bf16 FLOP/s per chip, from published TPU specs.
 _PEAK_BF16 = {
