@@ -22,6 +22,7 @@ run() {
   echo "rc=$rc" >>"$OUT/$name.log"
   # a failed check must be LOUD, not a quiet line in a log (VERDICT r3 #2)
   if [ "$rc" -ne 0 ]; then FAILED="$FAILED $name"; fi
+  return $rc
 }
 
 # 0. probe (flake-robust; fails fast if the tunnel is still down)
@@ -29,52 +30,72 @@ run probe python -c "import jax,numpy as np,jax.numpy as jnp; print('TPU OK', np
 grep -q "TPU OK" "$OUT/probe.log" || { echo "tunnel still down — aborting"; exit 1; }
 FAILED=""   # probe noise doesn't count once TPU OK is confirmed
 
-# 1. correctness FIRST (a mid-capture tunnel death must not cost the
-#    identity evidence): compiled Pallas parity, lineage bookkeeping
-#    bit-identity, lineage-vs-gather envelope, continuous greedy/beam,
-#    per-request sampling, int8 KV-cache pool (envelope contract)
-run tpu_checks     python tpu_checks.py
+# 1. correctness FIRST, as the GATE (VERDICT r4 #1: the r5 capture burned
+#    ~90 min of benches with NO passing tpu_checks at HEAD). Retry with
+#    backoff — a tunnel hiccup on the one gating entry must not demote the
+#    whole capture to perf-only. Covers: compiled Pallas parity, lineage
+#    bookkeeping bit-identity (bf16 AND int8), lineage-vs-gather envelope,
+#    continuous greedy/beam (f32 AND the bf16 eo/pk dtype contract),
+#    per-request sampling, int8 KV pool + BATCH fast decode + frozen int8
+#    artifact, bf16 residual-stream train, gate remat.
+CHECKS_OK=0
+for attempt in 1 2 3; do
+  if run tpu_checks python tpu_checks.py; then CHECKS_OK=1; break; fi
+  echo "tpu_checks attempt $attempt failed — backing off 120s"
+  sleep 120
+done
+[ "$CHECKS_OK" = "1" ] && FAILED=""   # retries that later passed don't count
 
-# 2. headline + per-family inference (incl. int8 slot-decode A/B row) +
-#    per-family train; the r4-found batch sweet spots as first-class rows
+# 2. headline + per-family inference (incl. int8 slot-decode A/B + the
+#    transformer continuous-BEAM rows) + per-family train; the measured
+#    batch sweet spots as first-class rows
 run bench          python bench.py
 run bench_train    python bench_train.py all
 run bench_all      python bench_all.py
 run bench_train_s2vt_att_b512 env VCR_BENCH_BATCH=512 python bench_train.py s2vt-att
+run bench_train_s2vt_att_b2048 env VCR_BENCH_BATCH=2048 python bench_train.py s2vt-att
 run bench_train_spatial_b32 env VCR_BENCH_BATCH=32 python bench_train.py spatial
-# speculative: B=32 beat B=16 once the program-size fix landed — probe B=64
-# (may exceed HBM; a loud rc!=0 here is informative, not a regression)
 run bench_train_spatial_b64 env VCR_BENCH_BATCH=64 python bench_train.py spatial
-# transformer B=256 beat B=128 by 5% in r4 (bench_train_tf_remat.log)
 run bench_train_tf_b256 env VCR_BENCH_BATCH=256 python bench_train.py transformer
-# bf16 residual stream (round-4: kills the six f32 encoder-stream stacks,
-# 13.9 -> 6.1 GiB of scan saves at B=512 — diag_tf_saves.py): B=512 should
-# now FIT (it OOMed by 4.0 GiB before); A/B the f32-stream escape hatch at
-# B=256 to confirm the byte cut is also a time win on the memory-bound step
 run bench_train_tf_b512 env VCR_BENCH_BATCH=512 python bench_train.py transformer
-run bench_train_tf_b256_f32stream env VCR_BENCH_BATCH=256 VCR_TF_F32_STREAM=1 python bench_train.py transformer
-# GRU gate remat (round-4: cuts s2vt stacked saves 2.42 -> 0.87 GiB/step,
-# bitwise-identical step — diag_train_saves.py): A/B the memory-bound GRU
-# flagships; if it wins, flip the default and update CLAUDE/PARITY
-run bench_train_s2vt_gremat env VCR_GRU_GATES_REMAT=1 python bench_train.py s2vt
-run bench_train_att_gremat env VCR_GRU_GATES_REMAT=1 python bench_train.py s2vt-att
 
-# 3. serving-pool geometry sweep (closed-loop saturation; NOTE the
-#    tune_serving.py docstring caveat — tunnel-side picks reward dispatch
-#    count, occupancy is the transferable signal)
+# 3. remat policy A/B (VERDICT r4 #3): >=3 INTERLEAVED pairs per family in
+#    one tunnel session, variant rows tagged via VCR_BENCH_TAG so they can
+#    never shadow the product rows in compare_rounds. Decides the
+#    gate-remat and ff-remat defaults; summarized by ab_summary.py below.
+run ab_remat bash scripts/ab_remat.sh
+run ab_summary python scripts/ab_summary.py "$OUT/ab_remat.log"
+
+# 4. serving-pool geometry sweep — the SATURATED protocol (VERDICT r4 #6):
+#    >=4k requests, arrival-rate axis, occupancy-qualified best pick
+#    (tune_serving.py rejects <0.9-occupancy picks at rate 0).
 run tune_serving   python scripts/tune_serving.py --synthetic \
-  --slots 64,128 --admit_chunk 16,32 --step_chunk 4,8 --rate 0 \
-  --n_requests 2048
+  --slots 32,64,128 --admit_chunk 16,32 --step_chunk 4,8 --rate 0,100,300 \
+  --n_requests 4096
 
-# 4. standing diagnostics: slot-tick write-mode A/B + roofline, s2vt-att
-#    bisect (custom-VJP A/B + HBM triad), stream-bandwidth calibration
+# 5. standing diagnostics: slot-tick write-mode A/B + per-tensor byte
+#    decomposition, s2vt-att bisect (custom-VJP A/B + HBM triad),
+#    stream-bandwidth calibration
 run diag_slot_tick python scripts/diag_slot_tick.py
 run diag_s2vt_att  python scripts/diag_s2vt_att.py --bisect
 run diag_hbm_bw    python scripts/diag_hbm_bw.py
 
-# 5. cross-round regression tracking: compare against onchip_r4; expected
-#    intentional drops belong in $OUT/EXPECTED.json (substring -> reason)
-run compare_rounds python scripts/compare_rounds.py onchip_r4 "$OUT"
+# 6. if the gate never passed above, try once more now that the tunnel has
+#    been continuously alive through the benches (VERDICT r4 #1: the one
+#    entry that matters most must not be the one with zero retries)
+if [ "$CHECKS_OK" != "1" ]; then
+  if run tpu_checks python tpu_checks.py; then
+    CHECKS_OK=1
+    FAILED=$(echo "$FAILED" | sed 's/ tpu_checks//g')
+  fi
+fi
+
+# 7. cross-round regression tracking: compare against onchip_r4; expected
+#    intentional drops belong in $OUT/EXPECTED.json (substring -> reason).
+#    tf_remat is r4's untagged variant log (pre-VCR_BENCH_TAG) — exclude it
+#    so its rows can't masquerade as product rows.
+run compare_rounds python scripts/compare_rounds.py onchip_r4 "$OUT" \
+  --exclude tf_remat
 
 echo
 if [ -n "$FAILED" ]; then
@@ -83,6 +104,9 @@ if [ -n "$FAILED" ]; then
   echo "!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!!"
 else
   echo "capture clean — all entries rc=0"
+fi
+if [ "$CHECKS_OK" != "1" ]; then
+  echo "!!! tpu_checks NEVER PASSED — treat every number above as UNVERIFIED"
 fi
 if [ "${VCR_CAPTURE_COMMIT:-0}" = "1" ]; then
   if [ -n "$FAILED" ]; then

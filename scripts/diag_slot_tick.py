@@ -102,17 +102,61 @@ def main():
     t_m = timed(chain(mstep_fn), st0, words0, ivec0)
     print(f"prod-masked{t_m*1e3:8.3f} ms/step  {R/t_m/1e3:9.1f}k tokens/s")
 
-    # ---- per-tick roofline (XLA cost model, like scripts/roofline_train) --
-    # Decode ticks are bandwidth-dominated (KV+cross cache reads + the masked
-    # rewrite); this prints how close the measured tick sits to the HBM bound.
+    # int8 KV-cache tick at the same rows (the serving mode bench_all A/Bs)
+    q_step, q_init, q_cross = trm.make_slot_stepper(params, spec,
+                                                    kv_cache="int8")
+    qst0 = jax.device_put({**q_init(R), **q_cross(eo)})
+    t_q = timed(chain(q_step), qst0, words0, ivec0)
+    print(f"int8-masked{t_q*1e3:8.3f} ms/step  {R/t_q/1e3:9.1f}k tokens/s")
+
+    # ---- per-tick byte decomposition (VERDICT r4 #4) ---------------------
+    # ANALYTIC per-tensor accounting instead of the XLA cost model: the cost
+    # model over-counted a tick ~3x (1891.6 MB printed in the r5 capture vs
+    # ~600 MB of tensors a tick can physically touch — it bills fused
+    # reloads that stay in VMEM). Every term below is a real HBM stream the
+    # tick cannot avoid: caches are read whole (and the masked-write form
+    # REWRITES the self caches whole), decoder weights stream once per tick
+    # regardless of R, logits leave at f32.
     PEAK_FLOPS, PEAK_BW = 197e12, 819e9          # TPU v5e bf16 / HBM
-    ca = jax.jit(mstep_fn).lower(st0, words0, ivec0).compile().cost_analysis()
-    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-    fl, by = float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
-    bound = max(fl / PEAK_FLOPS, by / PEAK_BW)
-    print(f"roofline   {bound*1e3:8.3f} ms/step  bytes={by/1e6:.1f}MB "
-          f"flops={fl/1e9:.2f}G  measured/bound={t_m/bound:.2f}x "
-          f"({'bandwidth' if by/PEAK_BW > fl/PEAK_FLOPS else 'compute'}-bound)")
+    heads_, l_, n_ = spec.tf_heads, spec.max_len, spec.num_frames
+    hid_ = params["decoder"]["layers"]["attn_1"]["q"]["w"].shape[-1]
+    dk_, nl_ = hid_ // heads_, spec.tf_layers
+    pv_ = spec.padded_vocab_size
+    d_ff = params["decoder"]["layers"]["ff"]["linear_1"]["w"].shape[-1]
+
+    def byte_table(kv_bytes, label):
+        selfrd = nl_ * 2 * R * heads_ * l_ * dk_ * kv_bytes
+        selfwr = selfrd                      # masked form rewrites whole
+        crossrd = nl_ * 2 * R * heads_ * n_ * dk_ * kv_bytes
+        scales = (nl_ * 2 * R * heads_ * (l_ + n_) * 4 * 2
+                  if kv_bytes == 1 else 0)   # f32 amax scales, rd+wr
+        w_attn = nl_ * 2 * 4 * hid_ * hid_ * 2
+        w_ff = nl_ * 2 * hid_ * d_ff * 2
+        w_norm = nl_ * 3 * 2 * hid_ * 4 + 2 * hid_ * 4
+        w_pred = hid_ * pv_ * 2
+        w_emb = R * spec.embed_size * 4      # R gathered GloVe rows
+        weights = w_attn + w_ff + w_norm + w_pred + w_emb
+        logits = R * pv_ * 4
+        acts = 12 * R * hid_ * 2             # residual stream hops (approx)
+        total = selfrd + selfwr + crossrd + scales + weights + logits + acts
+        print(f"  bytes/tick ({label}, masked write): "
+              f"total={total/1e6:7.1f} MB -> HBM bound "
+              f"{total/PEAK_BW*1e3:6.3f} ms")
+        for nm, v in [("self-cache read", selfrd),
+                      ("self-cache write", selfwr),
+                      ("cross-cache read", crossrd),
+                      ("int8 scales", scales),
+                      ("decoder weights", weights),
+                      ("f32 logits out", logits),
+                      ("activations", acts)]:
+            if v:
+                print(f"    {nm:18s} {v/1e6:7.1f} MB  ({v/total:5.1%})")
+        return total
+
+    tot_bf = byte_table(2, "bf16 KV")
+    tot_i8 = byte_table(1, "int8 KV")
+    print(f"measured/analytic-bound: bf16 {t_m/(tot_bf/PEAK_BW):.2f}x  "
+          f"int8 {t_q/(tot_i8/PEAK_BW):.2f}x")
 
     # ---- ablations: rebuild the step with modified cache-write behavior ---
     def make_variant(write_mode):

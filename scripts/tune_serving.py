@@ -211,15 +211,30 @@ def main(argv=None) -> int:
     for rate in rates:
         scored = [r for r in results if r["served"] and r["rate"] == rate]
         if scored:
-            # saturation sweeps (rate 0) size for capacity: throughput, then
-            # occupancy; finite rates size for latency at the offered load
+            # saturation sweeps (rate 0) size for capacity: throughput among
+            # OCCUPANCY-QUALIFIED geometries (>= 0.9 useful token-steps per
+            # slot-step). Through the axon tunnel, unqualified picks reward
+            # dispatch count — r4's "best" sat at 0.09 occupancy (512 slots,
+            # tune_serving2.log), a pure RTT artifact that doesn't transfer
+            # to a co-located host (VERDICT r4 #6). Finite rates size for
+            # latency at the offered load.
             if rate == 0:
-                best = max(scored, key=lambda r: (r["throughput_caps_s"],
-                                                  r["occupancy"]))
+                qual = [r for r in scored if r["occupancy"] >= 0.9]
+                best = max(qual or scored,
+                           key=lambda r: (r["throughput_caps_s"],
+                                          r["occupancy"]))
+                out = {"rate": rate, "best": best,
+                       "occupancy_qualified": bool(qual)}
+                if not qual:
+                    out["caveat"] = (
+                        "no geometry reached 0.9 occupancy — the pick may "
+                        "be a tunnel dispatch-count artifact; re-tune on "
+                        "the deployment host")
             else:
                 best = min(scored, key=lambda r: (r["latency_p95_ms"],
                                                   -r["throughput_caps_s"]))
-            print(json.dumps({"rate": rate, "best": best}), flush=True)
+                out = {"rate": rate, "best": best}
+            print(json.dumps(out), flush=True)
     return 0
 
 

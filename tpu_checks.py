@@ -484,6 +484,236 @@ def main() -> int:
     print(f"{'PASS' if cs_ok else 'FAIL'}  per-request sampling + cancel (compiled)")
     ok &= cs_ok
 
+    # ------------------------------------------------------------------
+    # Round-5 rows: every compiled surface that landed after the last
+    # on-chip ALL PASS (VERDICT r4 #1). Each row covers ONE post-r4d
+    # source change on the real MXU.
+    # ------------------------------------------------------------------
+
+    # (R5-1) bf16 attention-family continuous serving. Covers BOTH the
+    # eo-stream-at-cdtype change (84212d4: eo is only consumed through
+    # bahdanau_attend's values.astype(cdtype), so a cdtype-stored copy is
+    # bit-identical) and the r5 pk fix (pk MUST stay f32: it feeds
+    # tanh(q + pk) with no cast). Token identity vs batch greedy at the
+    # SERVING compute dtype — the contract the CPU suite proves eagerly.
+    aspec = mbase.ModelSpec(
+        arch="s2vt-att", vocab_size=512, embed_size=300, hidden_size=256,
+        vid_feat_size=512, max_len=10, num_frames=8, dropout_p=0.0,
+        sos_id=508, compute_dtype="bfloat16")
+    ainit = mbase.build_model("s2vt-att")[0]
+    aparams = jax.device_put(ainit(
+        jax.random.PRNGKey(10), aspec,
+        rng.standard_normal((512, 300)).astype(np.float32)))
+    afeats = rng.standard_normal((5, 8, 512)).astype(np.float32)
+    atoks, _ = decode_tokens(aparams, aspec, jnp.asarray(afeats), 509,
+                             beam_size=1)
+    arows = np.asarray(atoks)[:, 0]
+    acc = ContinuousCaptioner(aparams, aspec, slots=2, admit_chunk=2,
+                              step_chunk=2, eos_id=509)
+    got_a = acc.caption_all({i: afeats[i] for i in range(5)})
+    a_ok = True
+    for i2 in range(5):
+        row = arows[i2]
+        hits = np.nonzero(row == 509)[0]
+        want_row = row[: hits[0] + 1] if len(hits) else row
+        row_ok = np.array_equal(got_a[i2], want_row)
+        if not row_ok:
+            print(f"  FORENSICS: key {i2}: continuous="
+                  f"{np.asarray(got_a[i2]).tolist()} vs "
+                  f"greedy={np.asarray(want_row).tolist()}")
+        a_ok &= row_ok
+    print(f"{'PASS' if a_ok else 'FAIL'}  bf16 s2vt-att continuous ≡ batch "
+          "greedy (compiled; eo@cdtype + pk@f32 contract)")
+    ok &= a_ok
+
+    # (R5-2a) int8 KV-cache on the BATCH fast greedy (f32a765): lockstep
+    # the int8-cache stepper against the bf16-cache stepper on the big
+    # bf16 transformer (tspec/tparams/te_out from the lineage rows) —
+    # identical token feed (bf16 side's argmax), compiled logit envelope
+    # < 0.5 (bounded quantization error, same contract as the pool row).
+    i8step, i8init = transformer.make_cached_stepper(
+        tparams, tspec, te_out, kv_cache="int8")
+    bfstep, bfinit = transformer.make_cached_stepper(tparams, tspec, te_out)
+
+    @jax.jit
+    def batch_lockstep():
+        sti, stf = i8init, bfinit
+        w = jnp.full((te_out.shape[0],), tspec.sos_id, jnp.int32)
+
+        def body(carry, i2):
+            sti, stf, w = carry
+            sti, li = i8step(sti, w, i2)
+            stf, lf = bfstep(stf, w, i2)
+            gap = jnp.max(jnp.abs(li.astype(jnp.float32)
+                                  - lf.astype(jnp.float32)))
+            w = jnp.argmax(lf, -1).astype(jnp.int32)
+            return (sti, stf, w), gap
+
+        (_, _, _), gaps = jax.lax.scan(body, (sti, stf, w),
+                                       jnp.arange(tspec.max_len))
+        return jnp.max(gaps)
+
+    bi8_gap = float(batch_lockstep())
+    bi8_tok = np.asarray(transformer.decode_greedy_fast(
+        tparams, tspec, te_out, kv_cache="int8"))
+    bi8_ok = (bi8_gap < 0.5 and bi8_tok.shape == (te_out.shape[0],
+                                                  tspec.max_len)
+              and bool((bi8_tok >= 0).all()))
+    print(f"{'PASS' if bi8_ok else 'FAIL'}  int8 batch fast greedy "
+          f"(compiled lockstep envelope {bi8_gap:.3f} < 0.5)")
+    ok &= bi8_ok
+
+    # (R5-2b) int8 lineage BEAM bookkeeping (f32a765): the bit-exact
+    # ancestry contract re-proven with quantized caches — the same int8
+    # lineage stepper under ancestry-only reorders vs physically permuted
+    # codes+scales with identity ancestry must emit bit-identical tokens
+    # and scores compiled (mirrors row (a); int8 codes/scales ride the
+    # reorder like any other leaf).
+    t8step, t8init, t8reorder = transformer.make_cached_stepper(
+        tparams, tspec, te_out, beam_tile=5, lineage=True, kv_cache="int8")
+    run8_anc = jax.jit(lambda st: vdecode.beam_search(
+        t8step, st, te_out.shape[0], 5, tspec.max_len, tspec.sos_id, 509,
+        reorder_fn=t8reorder))
+    run8_phy = jax.jit(lambda st: vdecode.beam_search(
+        t8step, st, te_out.shape[0], 5, tspec.max_len, tspec.sos_id, 509,
+        reorder_fn=phys_reorder))
+    tok8_a, sc8_a = run8_anc(t8init)
+    tok8_p, sc8_p = run8_phy(t8init)
+    bk8_ok = bool(np.array_equal(np.asarray(tok8_a), np.asarray(tok8_p))
+                  and np.array_equal(np.asarray(sc8_a), np.asarray(sc8_p)))
+    if not bk8_ok:
+        dump_token_mismatch("int8-ancestry", tok8_a, "int8-physical", tok8_p,
+                            sc8_a, sc8_p)
+    print(f"{'PASS' if bk8_ok else 'FAIL'}  int8 lineage bookkeeping ≡ "
+          "physical reorder (compiled, bit-exact)")
+    ok &= bk8_ok
+
+    # (R5-3) frozen int8 continuous artifact (fd8ba0c): export the int8
+    # pool to StableHLO, replay it fresh, and demand token identity with
+    # the LIVE int8 pool on the same requests (same traced program — the
+    # export must not perturb the quantization arithmetic).
+    from vcr_tpu import export_continuous as excont
+
+    with tempfile.TemporaryDirectory() as td8:
+        excont.export_continuous(cparams, cspec, td8, slots=3,
+                                 admit_chunk=2, step_chunk=3, eos_id=509,
+                                 kv_cache="int8")
+        art8 = excont.load_continuous(td8)
+        got_art8 = art8.caption_all({i: cfeats[i] for i in range(6)})
+    f8_ok = set(got_art8) == set(range(6))
+    for i2 in range(6):
+        if not f8_ok:
+            break
+        row_ok = np.array_equal(got_art8[i2], got8[i2])
+        if not row_ok:
+            print(f"  FORENSICS: key {i2}: artifact="
+                  f"{np.asarray(got_art8[i2]).tolist()} vs "
+                  f"live={np.asarray(got8[i2]).tolist()}")
+        f8_ok &= row_ok
+    print(f"{'PASS' if f8_ok else 'FAIL'}  frozen int8 artifact ≡ live "
+          "int8 pool (compiled replay)")
+    ok &= f8_ok
+
+    # (R5-4) bf16 residual-stream train program (fb3e93c): the default
+    # bf16-stream transformer train step vs the VCR_TF_F32_STREAM=1
+    # escape hatch, compiled — same envelope as the CPU contract (rel
+    # loss gap < 5e-2, param updates within 5e-3); both programs must
+    # produce finite losses on the MXU.
+    from vcr_tpu.train import optim as toptim
+    from vcr_tpu.train.step import build_step_fns
+
+    wspec = mbase.ModelSpec(
+        arch="transformer", vocab_size=512, embed_size=300, hidden_size=512,
+        vid_feat_size=4096, max_len=10, num_frames=8, dropout_p=0.2,
+        sos_id=508, compute_dtype="bfloat16", tf_layers=2, tf_heads=4)
+    winit = mbase.build_model("transformer")[0]
+    wparams = jax.device_put(winit(
+        jax.random.PRNGKey(11), wspec,
+        rng.standard_normal((512, 300)).astype(np.float32)))
+    wopt = toptim.build_optimizer("adam", 1e-3, 0.0, 1.0)
+    wostate = wopt.init(wparams)
+    wbatch = {
+        "vid_feats": jnp.asarray(
+            rng.standard_normal((8, 8, 4096)), jnp.float32),
+        "sent": jnp.asarray(rng.integers(0, 512, (8, 10)), jnp.int32),
+        "sent_len": jnp.full((8,), 6, jnp.int32),
+        "valid": jnp.ones((8,), jnp.float32),
+    }
+    wkey = jax.random.PRNGKey(12)
+    wouts = {}
+    for flag in ("0", "1"):
+        os.environ["VCR_TF_F32_STREAM"] = flag
+        try:
+            wts, _ = build_step_fns("transformer", wspec, wopt,
+                                    static_tf=1.0)
+            p2, _, m2, _ = jax.jit(
+                lambda p, s_, b2, k: wts(p, s_, b2, k, 1.0))(
+                    wparams, wostate, wbatch, wkey)
+            wouts[flag] = (jax.device_get(p2), float(m2["loss"]))
+        finally:
+            os.environ.pop("VCR_TF_F32_STREAM", None)
+    l_bf, l_f32 = wouts["0"][1], wouts["1"][1]
+    wgap = max(
+        float(np.max(np.abs(np.asarray(a, np.float32)
+                            - np.asarray(b2, np.float32))))
+        for a, b2 in zip(jax.tree_util.tree_leaves(wouts["0"][0]),
+                         jax.tree_util.tree_leaves(wouts["1"][0])))
+    w_ok = (np.isfinite(l_bf) and np.isfinite(l_f32)
+            and abs(l_bf - l_f32) / max(abs(l_f32), 1e-6) < 0.05
+            and wgap < 5e-3)
+    print(f"{'PASS' if w_ok else 'FAIL'}  bf16 residual-stream train vs "
+          f"f32-stream (compiled: loss {l_bf:.4f} vs {l_f32:.4f}, "
+          f"max param delta {wgap:.2e} < 5e-3)")
+    ok &= w_ok
+
+    # (R5-5) GRU gate remat (42c6d69): VCR_GRU_GATES_REMAT=1 vs 0 on the
+    # bf16 s2vt train step, compiled. The recompute is the identical op
+    # sequence, so the CPU contract is BITWISE; compiled they are two
+    # different XLA programs (remat duplicates the gate subgraph into the
+    # backward), so fusion may move an ulp — report bitwise status and
+    # gate on a tight envelope, the masked-vs-scatter lesson.
+    gspec = mbase.ModelSpec(
+        arch="s2vt", vocab_size=512, embed_size=300, hidden_size=512,
+        vid_feat_size=512, max_len=10, num_frames=8, dropout_p=0.2,
+        sos_id=508, compute_dtype="bfloat16")
+    ginit = mbase.build_model("s2vt")[0]
+    gparams = jax.device_put(ginit(
+        jax.random.PRNGKey(13), gspec,
+        rng.standard_normal((512, 300)).astype(np.float32)))
+    gostate = wopt.init(gparams)
+    gbatch = {
+        "vid_feats": jnp.asarray(
+            rng.standard_normal((16, 8, 512)), jnp.float32),
+        "sent": jnp.asarray(rng.integers(0, 512, (16, 10)), jnp.int32),
+        "sent_len": jnp.full((16,), 6, jnp.int32),
+        "valid": jnp.ones((16,), jnp.float32),
+    }
+    gkey = jax.random.PRNGKey(14)
+    gouts = {}
+    for flag in ("0", "1"):
+        os.environ["VCR_GRU_GATES_REMAT"] = flag
+        try:
+            gts, _ = build_step_fns("s2vt", gspec, wopt, static_tf=1.0)
+            p2, _, m2, _ = jax.jit(
+                lambda p, s_, b2, k: gts(p, s_, b2, k, 1.0))(
+                    gparams, gostate, gbatch, gkey)
+            gouts[flag] = (jax.device_get(p2), float(m2["loss"]))
+        finally:
+            os.environ.pop("VCR_GRU_GATES_REMAT", None)
+    g_bit = gouts["0"][1] == gouts["1"][1] and all(
+        np.array_equal(np.asarray(a), np.asarray(b2))
+        for a, b2 in zip(jax.tree_util.tree_leaves(gouts["0"][0]),
+                         jax.tree_util.tree_leaves(gouts["1"][0])))
+    ggap = max(
+        float(np.max(np.abs(np.asarray(a, np.float32)
+                            - np.asarray(b2, np.float32))))
+        for a, b2 in zip(jax.tree_util.tree_leaves(gouts["0"][0]),
+                         jax.tree_util.tree_leaves(gouts["1"][0])))
+    g_ok = g_bit or ggap < 1e-5
+    print(f"{'PASS' if g_ok else 'FAIL'}  gate remat ≡ default train step "
+          f"(compiled: bitwise={g_bit}, max param delta {ggap:.2e})")
+    ok &= g_ok
+
     print("ALL PASS" if ok else "FAILURES")
     return 0 if ok else 1
 
