@@ -66,7 +66,7 @@ def main(argv=None) -> int:
             for i in range(len(ds))]
 
     rows = {}
-    for kv in ("bf16", "int8"):
+    for kv in ("bf16", "int8", "int4"):
         cc = ContinuousCaptioner(params, spec, slots=cfg.serve_slots,
                                  admit_chunk=cfg.serve_admit_chunk,
                                  eos_id=vocab.eos_id,
@@ -87,21 +87,24 @@ def main(argv=None) -> int:
         print(json.dumps(row), flush=True)
 
     (a_row, a_toks, a_hyps) = rows["bf16"]
-    (b_row, b_toks, b_hyps) = rows["int8"]
-    same_caption = sum(a_hyps[i] == b_hyps[i] for i in range(len(ds)))
-    a_flat = [int(t) for i in range(len(ds)) for t in np.asarray(a_toks[i])]
-    b_flat = [int(t) for i in range(len(ds)) for t in np.asarray(b_toks[i])]
-    n = min(len(a_flat), len(b_flat))
-    tok_agree = (sum(a == b for a, b in zip(a_flat[:n], b_flat[:n]))
-                 / max(n, 1))
-    print(json.dumps({
-        "metric": "int8 vs bf16 delta",
-        "d_METEOR": round(b_row["METEOR"] - a_row["METEOR"], 5),
-        "d_BLEU4": round(b_row["BLEU4"] - a_row["BLEU4"], 5),
-        "d_ROUGE_L": round(b_row["ROUGE_L"] - a_row["ROUGE_L"], 5),
-        "identical_captions": f"{same_caption}/{len(ds)}",
-        "token_agreement": round(tok_agree, 4),
-    }), flush=True)
+    for kv in ("int8", "int4"):
+        (b_row, b_toks, b_hyps) = rows[kv]
+        same_caption = sum(a_hyps[i] == b_hyps[i] for i in range(len(ds)))
+        a_flat = [int(t) for i in range(len(ds))
+                  for t in np.asarray(a_toks[i])]
+        b_flat = [int(t) for i in range(len(ds))
+                  for t in np.asarray(b_toks[i])]
+        n = min(len(a_flat), len(b_flat))
+        tok_agree = (sum(a == b for a, b in zip(a_flat[:n], b_flat[:n]))
+                     / max(n, 1))
+        print(json.dumps({
+            "metric": f"{kv} vs bf16 delta",
+            "d_METEOR": round(b_row["METEOR"] - a_row["METEOR"], 5),
+            "d_BLEU4": round(b_row["BLEU4"] - a_row["BLEU4"], 5),
+            "d_ROUGE_L": round(b_row["ROUGE_L"] - a_row["ROUGE_L"], 5),
+            "identical_captions": f"{same_caption}/{len(ds)}",
+            "token_agreement": round(tok_agree, 4),
+        }), flush=True)
     return 0
 
 

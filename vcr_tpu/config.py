@@ -136,10 +136,13 @@ class Config:
     # enables it (the pool is already on the sampling path then).
     serve_request_sampling: bool = False
     # KV-cache storage for the serving pool's transformer decode caches:
-    # "bf16" (exact — token-identical to the batch decode paths) or "int8"
+    # "bf16" (exact — token-identical to the batch decode paths), "int8"
     # (per-vector symmetric quantization, ~2x less cache HBM traffic per
-    # tick; bounded-error, NOT token-identical — ops/kvquant.py). Only
-    # meaningful for transformer-family models; others reject "int8".
+    # tick; bounded-error, NOT token-identical — ops/kvquant.py) or "int4"
+    # (experimental ±7 codebook in native s4 storage, ~4x less cache
+    # traffic, ~16x int8's per-element error — A/B quality with
+    # scripts/eval_kv_quant.py first). Only meaningful for
+    # transformer-family models; others reject quantized modes.
     serve_kv_cache: str = "bf16"
     # Enable POST /profile?seconds=S: capture a jax.profiler trace of live
     # serving under this directory. "" (default) = endpoint disabled (an

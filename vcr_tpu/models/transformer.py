@@ -408,11 +408,14 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
     per_layer = [jax.tree_util.tree_map(lambda a, i=i: a[i], layers)
                  for i in range(n_layers)]
     kv_cache = kv_cache or os.environ.get("VCR_KV_CACHE", "bf16")
-    if kv_cache not in ("bf16", "int8"):
-        raise ValueError(f"kv_cache must be 'bf16' or 'int8', got {kv_cache!r}")
-    quant = kv_cache == "int8"
+    if kv_cache not in ("bf16", "int8", "int4"):
+        raise ValueError(
+            f"kv_cache must be 'bf16', 'int8' or 'int4', got {kv_cache!r}")
+    quant = kv_cache in ("int8", "int4")
     if quant:
         from vcr_tpu.ops import kvquant
+
+        qmax, qdtype = kvquant.mode_params(kv_cache)
 
     def heads_split(x):  # (rows, S, hidden) -> (rows, h, S, d_k)
         return x.reshape(x.shape[0], -1, heads, d_k).transpose(0, 2, 1, 3)
@@ -428,14 +431,14 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
             k = jnp.repeat(k, beam_tile, axis=0)
             v = jnp.repeat(v, beam_tile, axis=0)
         if quant:
-            kq, ks = kvquant.quantize(k)
-            vq, vs = kvquant.quantize(v)
+            kq, ks = kvquant.quantize(k, qmax=qmax, qdtype=qdtype)
+            vq, vs = kvquant.quantize(v, qmax=qmax, qdtype=qdtype)
             cross.append((kq, ks[..., 0], vq, vs[..., 0]))
         else:
             cross.append((k, v))
 
     if quant:
-        zq = jnp.zeros((rows, heads, l, d_k), jnp.int8)
+        zq = jnp.zeros((rows, heads, l, d_k), qdtype)
         zs = jnp.zeros((rows, heads, l), jnp.float32)
         init_state = {f"c{i}": (zq, zs, zq, zs) for i in range(n_layers)}
     else:
@@ -446,7 +449,7 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
     def dus_write(c_q, c_s, new, i):
         """Quantize this step's (rows, h, 1, d_k) vectors; write codes+scales
         at position i (dynamic_update_slice, like the bf16 writes)."""
-        q, s = kvquant.quantize(new)                  # (rows,h,1,d), (rows,h,1,1)
+        q, s = kvquant.quantize(new, qmax=qmax, qdtype=qdtype)  # (rows,h,1,d), (rows,h,1,1)
         c_q = jax.lax.dynamic_update_slice_in_dim(c_q, q, i, axis=2)
         c_s = jax.lax.dynamic_update_slice_in_dim(
             c_s, s[..., 0].astype(c_s.dtype), i, axis=2)
@@ -724,11 +727,14 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
     # cache sizes. VCR_SLOT_WRITE=scatter restores the scatter form.
     masked_write = os.environ.get("VCR_SLOT_WRITE", "masked") != "scatter"
     kv_cache = kv_cache or os.environ.get("VCR_KV_CACHE", "bf16")
-    if kv_cache not in ("bf16", "int8"):
-        raise ValueError(f"kv_cache must be 'bf16' or 'int8', got {kv_cache!r}")
-    quant = kv_cache == "int8"
+    if kv_cache not in ("bf16", "int8", "int4"):
+        raise ValueError(
+            f"kv_cache must be 'bf16', 'int8' or 'int4', got {kv_cache!r}")
+    quant = kv_cache in ("int8", "int4")
     if quant:
         from vcr_tpu.ops import kvquant
+
+        qmax, qdtype = kvquant.mode_params(kv_cache)
 
     def cache_write(c, new, i_vec, rows_idx):
         """Write this step's (rows, h, d_k) K/V at [r, :, i_vec[r], :]."""
@@ -746,7 +752,7 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
 
     def quant_write(c_q, c_s, new, i_vec, rows_idx):
         """Quantize this step's (rows, h, d_k) vectors and write codes+scales."""
-        q, s = kvquant.quantize(new)
+        q, s = kvquant.quantize(new, qmax=qmax, qdtype=qdtype)
         return (cache_write(c_q, q, i_vec, rows_idx),
                 cache_write_s(c_s, s[..., 0].astype(c_s.dtype), i_vec,
                               rows_idx))
@@ -760,8 +766,8 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
             k = heads_split(dense(lp["attn_2"]["k"], e_outputs, cdt)).astype(cdt)
             v = heads_split(dense(lp["attn_2"]["v"], e_outputs, cdt)).astype(cdt)
             if quant:
-                kq, ks = kvquant.quantize(k)
-                vq, vs = kvquant.quantize(v)
+                kq, ks = kvquant.quantize(k, qmax=qmax, qdtype=qdtype)
+                vq, vs = kvquant.quantize(v, qmax=qmax, qdtype=qdtype)
                 out[f"x{li}"] = (kq, ks[..., 0], vq, vs[..., 0])
             else:
                 out[f"x{li}"] = (k, v)
@@ -769,7 +775,7 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
 
     def init_self_state(rows: int):
         if quant:
-            zq = jnp.zeros((rows, heads, l, d_k), jnp.int8)
+            zq = jnp.zeros((rows, heads, l, d_k), qdtype)
             zs = jnp.zeros((rows, heads, l), jnp.float32)
             out = {f"c{li}": (zq, zs, zq, zs) for li in range(n_layers)}
         else:

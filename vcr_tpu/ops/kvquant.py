@@ -43,24 +43,42 @@ import jax
 import jax.numpy as jnp
 
 # int8 symmetric range. 127 (not 128) keeps the codebook symmetric so that
-# round(v/scale) can never overflow to -128 spuriously.
+# round(v/scale) can never overflow to -128 spuriously. int4 likewise uses
+# +/-7 (not -8) for a symmetric codebook.
 _QMAX = 127.0
 
+# kv_cache mode -> (qmax, code dtype). int4 codes use the native jnp.int4
+# storage type (XLA packs s4 two-per-byte on TPU), quartering the bf16
+# cache byte stream at ~16x the int8 per-element quantization error —
+# the coarser codebook rides the SAME per-(row, head, position) scales,
+# so error stays bounded per vector. Opt-in, experimental: measure with
+# scripts/eval_kv_quant.py before serving with it.
+_MODES = {
+    "int8": (127.0, jnp.int8),
+    "int4": (7.0, jnp.int4),
+}
 
-def quantize(v: jax.Array, axis: int = -1):
-    """Per-vector symmetric int8 quantization along ``axis``.
 
-    Returns ``(q int8, scale)`` with ``scale`` shaped like ``v`` with
+def mode_params(kv_cache: str):
+    """-> (qmax, code dtype) for a quantized kv_cache mode name."""
+    return _MODES[kv_cache]
+
+
+def quantize(v: jax.Array, axis: int = -1, qmax: float = _QMAX,
+             qdtype=jnp.int8):
+    """Per-vector symmetric integer quantization along ``axis``.
+
+    Returns ``(q qdtype, scale)`` with ``scale`` shaped like ``v`` with
     ``axis`` reduced to 1 (broadcast-ready), dtype float32 — the scale
     joins small score-side tensors, so fp32 costs nothing and avoids a
     second rounding.
     """
     amax = jnp.max(jnp.abs(v.astype(jnp.float32)), axis=axis, keepdims=True)
-    scale = amax / _QMAX
+    scale = amax / qmax
     # guard the all-zero vector: q = 0, scale = 0 -> dequant exact zeros
     inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
     q = jnp.round(v.astype(jnp.float32) * inv)
-    q = jnp.clip(q, -_QMAX, _QMAX).astype(jnp.int8)
+    q = jnp.clip(q, -qmax, qmax).astype(qdtype)
     return q, scale
 
 

@@ -342,13 +342,14 @@ class ContinuousCaptioner:
         # bounded quantization error. See transformer.make_slot_stepper and
         # ops/kvquant.py; NOT token-identical to the bf16 pool.
         self.kv_cache = kv_cache or os.environ.get("VCR_KV_CACHE", "bf16")
-        if self.kv_cache not in ("bf16", "int8"):
-            raise ValueError(f"kv_cache must be 'bf16' or 'int8', "
+        if self.kv_cache not in ("bf16", "int8", "int4"):
+            raise ValueError(f"kv_cache must be 'bf16', 'int8' or 'int4', "
                              f"got {self.kv_cache!r}")
-        if self.kv_cache == "int8" and self._base != "transformer":
+        if self.kv_cache != "bf16" and self._base != "transformer":
             raise ValueError(
-                f"kv_cache='int8' quantizes the transformer's attention "
-                f"caches; arch {spec.arch!r} (base {self._base!r}) has none")
+                f"kv_cache={self.kv_cache!r} quantizes the transformer's "
+                f"attention caches; arch {spec.arch!r} "
+                f"(base {self._base!r}) has none")
 
         # the pool state (incl. the transformer's KV caches — by far the
         # largest leaves) is DONATED to every state->state device fn: without
@@ -416,9 +417,12 @@ class ContinuousCaptioner:
             hidden = self._dec_params["decoder"]["layers"]["attn_1"]["q"][
                 "w"].shape[-1]
             d_k = hidden // spec.tf_heads
-            if self.kv_cache == "int8":
+            if self.kv_cache in ("int8", "int4"):
+                from vcr_tpu.ops import kvquant
+
+                _, qdtype = kvquant.mode_params(self.kv_cache)
                 zxq = jnp.zeros((rows, spec.tf_heads, spec.num_frames, d_k),
-                                jnp.int8)
+                                qdtype)
                 zxs = jnp.zeros((rows, spec.tf_heads, spec.num_frames),
                                 jnp.float32)
                 cross_zero = (zxq, zxs, zxq, zxs)
