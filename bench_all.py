@@ -241,29 +241,38 @@ def main() -> None:
         cc_row["mfu"] = round(cc_mfu, 4)
     emit_row(cc_row)
 
-    # Quantized KV-cache A/B of the same row: per-vector symmetric codes
+    # Quantized serving A/B of the same row: per-vector symmetric KV codes
     # with the dequant folded into score-side tensors (ops/kvquant.py) —
     # int8 (round 4) halves, int4 (round 5) quarters the tick's dominant
-    # cache byte stream. Opt-in serving modes; bounded-error, not
-    # token-identical.
-    for kvmode in ("int8", "int4"):
-        def cc8_state0(params, xi, _kv=kvmode):
+    # cache byte stream — and per-output-channel int8 decode WEIGHTS
+    # (ops/wquant.py, round 5) — halves the weight stream, the largest
+    # remaining term once caches are quantized. Weight variants pre-quantize
+    # OUTSIDE the jit (the pool's init-time form) so the tick streams int8
+    # weight ARGS. Opt-in serving modes; bounded-error, not token-identical.
+    for kvmode, wmode in (("int8", "bf16"), ("int4", "bf16"),
+                          ("bf16", "int8"), ("int8", "int8"),
+                          ("int4", "int8")):
+        ccq_params = (jax.device_put(trm.quantize_decoder_params(tr_params))
+                      if wmode == "int8" else tr_params)
+
+        def cc8_state0(params, xi, _kv=kvmode, _w=wmode):
             src_mask = trm.create_masks_inp(xi)
             eo = trm.encode(params, tr_spec, xi, src_mask,
                             jax.random.PRNGKey(0), train=False)
             _, init_self, cross_state = trm.make_slot_stepper(
-                params, tr_spec, kv_cache=_kv)
+                params, tr_spec, kv_cache=_kv, decode_weights=_w)
             return {"dec": {**init_self(xi.shape[0]), **cross_state(eo)},
                     "last": jnp.full((xi.shape[0],), tr_spec.sos_id,
                                      jnp.int32),
                     "i": jnp.zeros((xi.shape[0],), jnp.int32)}
 
-        cc8_st0 = jax.jit(cc8_state0)(tr_params, tr_x[:slot_rows])
+        cc8_st0 = jax.jit(cc8_state0)(ccq_params, tr_x[:slot_rows])
 
         @jax.jit
-        def cc8_run_n(params, st0, _kv=kvmode):
+        def cc8_run_n(params, st0, _kv=kvmode, _w=wmode):
             step_fn, _, _ = trm.make_slot_stepper(params, tr_spec,
-                                                  kv_cache=_kv)
+                                                  kv_cache=_kv,
+                                                  decode_weights=_w)
 
             def body(st, _):
                 dec, logits = step_fn(st["dec"], st["last"], st["i"])
@@ -277,10 +286,12 @@ def main() -> None:
             return st["last"].astype(jnp.float32).ravel()[0] * 1e-12
 
         cc8_dt, _f8, cc8_mfu = benchutil.time_chained(
-            cc8_run_n, (tr_params, cc8_st0), device)
+            cc8_run_n, (ccq_params, cc8_st0), device)
+        label = f"{kvmode} KV cache" + (f", {wmode} weights"
+                                        if wmode != "bf16" else "")
         cc8_row = {
             "metric": (f"Transformer continuous slot decode tokens/sec/chip "
-                       f"(R={slot_rows}, {kvmode} KV cache)"),
+                       f"(R={slot_rows}, {label})"),
             "value": round(slot_rows * iters * tr_spec.max_len / cc8_dt, 2),
             "unit": "tokens/s",
             "captions_equiv_per_s": round(slot_rows * iters / cc8_dt, 2),

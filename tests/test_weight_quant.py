@@ -1,0 +1,257 @@
+"""int8 decode-WEIGHT quantization (ops/wquant.py): helper math + the opt-in
+``decode_weights="int8"`` serving mode on the transformer steppers.
+
+Like the KV-cache modes, the serving claim is NOT bit-identity but a bounded
+envelope: per-output-channel symmetric int8 keeps relative error <= 1/254
+per weight, the fold ``(x @ Wq) * s`` is mathematically exact vs
+dequantize-then-matmul (the scale is constant over the contraction axis),
+and greedy token agreement is high. What IS bitwise-tested: pre-quantized
+params (quantize_decoder_params — the pool's init-time form) produce the
+identical program to in-stepper quantization, and the slot pool stays
+token-exact vs the batch fast decode WITHIN the mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vcr_tpu.ops import wquant
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(13)
+
+
+def test_roundtrip_error_bound(rng):
+    w = jnp.asarray(rng.standard_normal((24, 17)).astype(np.float32))
+    q = wquant.quantize_dense({"w": w, "b": jnp.zeros((17,))})
+    assert np.asarray(q["wq"]).dtype == np.int8
+    back = wquant.dequantize_dense(q)["w"]
+    amax = np.max(np.abs(np.asarray(w)), axis=0, keepdims=True)
+    err = np.abs(np.asarray(back) - np.asarray(w))
+    # round-to-nearest: |err| <= scale/2 = amax/254 per column
+    assert (err <= amax / 254.0 + 1e-7).all()
+
+
+def test_stacked_matches_sliced(rng):
+    """Quantizing the stacked (n_layers, in, out) tree == quantizing each
+    layer slice (bitwise) — the reduction runs over the contraction axis."""
+    w = jnp.asarray(rng.standard_normal((3, 10, 6)).astype(np.float32))
+    stacked = wquant.quantize_dense({"w": w})
+    for i in range(3):
+        sl = wquant.quantize_dense({"w": w[i]})
+        np.testing.assert_array_equal(np.asarray(stacked["wq"][i]),
+                                      np.asarray(sl["wq"]))
+        np.testing.assert_array_equal(np.asarray(stacked["ws"][i]),
+                                      np.asarray(sl["ws"]))
+
+
+def test_fold_matches_dequant_matmul(rng):
+    """(x @ Wq) * s + b tracks x @ dequant(Wq, s) + b to fp32 tolerance —
+    the per-column scale commutes with the contraction exactly; only fp
+    reassociation differs."""
+    x = jnp.asarray(rng.standard_normal((5, 24)).astype(np.float32))
+    p = {"w": jnp.asarray(rng.standard_normal((24, 17)).astype(np.float32)),
+         "b": jnp.asarray(rng.standard_normal((17,)).astype(np.float32))}
+    q = wquant.quantize_dense(p)
+    from vcr_tpu.nn.layers import dense
+
+    want = dense(wquant.dequantize_dense(q), x, jnp.float32)
+    got = wquant.dense_q(q, x, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_zero_column_is_exact(rng):
+    w = jnp.asarray(rng.standard_normal((8, 5)).astype(np.float32)
+                    ).at[:, 2].set(0.0)
+    q = wquant.quantize_dense({"w": w})
+    back = np.asarray(wquant.dequantize_dense(q)["w"])
+    np.testing.assert_array_equal(back[:, 2], 0.0)
+    assert np.isfinite(back).all()
+
+
+# ----------------------------------------------- stepper / pool integration
+
+
+def _spec(tiny_vocab, **kw):
+    from vcr_tpu.models import base
+
+    return base.ModelSpec(
+        arch="transformer", vocab_size=tiny_vocab.vocab_size,
+        embed_size=tiny_vocab.embed_size, hidden_size=16, vid_feat_size=12,
+        max_len=8, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+        compute_dtype="float32", tf_layers=2, tf_heads=2, **kw)
+
+
+def _setup(tiny_vocab, n=3, bt=1, lineage=False, dw="int8", kv="bf16",
+           seed=5, prequant=False):
+    import vcr_tpu.models.transformer as trm
+
+    spec = _spec(tiny_vocab)
+    params = trm.init_params(jax.random.PRNGKey(seed), spec,
+                             tiny_vocab.vectors)
+    if prequant:
+        params = trm.quantize_decoder_params(params)
+    feats = jnp.asarray(np.random.default_rng(11).standard_normal((n, 4, 12)),
+                        jnp.float32)
+    eo = trm.encode(params, spec, feats, trm.create_masks_inp(feats),
+                    jax.random.PRNGKey(0), train=False)
+    step, init_self, cross = trm.make_slot_stepper(
+        params, spec, beam_tile=bt, lineage=lineage, kv_cache=kv,
+        decode_weights=dw)
+    rows = n * bt
+    st = {**init_self(rows),
+          **cross(jnp.repeat(eo, bt, axis=0) if bt > 1 else eo)}
+    return spec, step, st, rows
+
+
+def test_slot_stepper_logit_envelope(tiny_vocab):
+    """int8-weight logits track the fp32-weight path within a small envelope
+    and (fp32 compute, comfortable random-logit gaps) emit the same greedy
+    tokens for most steps."""
+    spec, step_q, st_q, rows = _setup(tiny_vocab, dw="int8")
+    _, step_f, st_f, _ = _setup(tiny_vocab, dw="bf16")
+    w = jnp.full((rows,), spec.sos_id, jnp.int32)
+    max_gap, agree, steps = 0.0, 0, 6
+    for i in range(steps):
+        iv = jnp.full((rows,), i, jnp.int32)
+        st_q, lq = step_q(st_q, w, iv)
+        st_f, lf = step_f(st_f, w, iv)   # same (teacher-forced) word stream
+        max_gap = max(max_gap, float(jnp.max(jnp.abs(
+            lq.astype(jnp.float32) - lf.astype(jnp.float32)))))
+        agree += int((jnp.argmax(lq, -1) == jnp.argmax(lf, -1)).sum())
+        w = jnp.argmax(lf, -1).astype(jnp.int32)
+    assert max_gap < 0.35, max_gap
+    assert agree >= 0.8 * rows * steps
+
+
+def test_prequantized_bitwise_identical(tiny_vocab):
+    """quantize_decoder_params (the pool's one-time init form) and
+    in-stepper quantization produce bit-identical logits and state: the
+    stepper detects the "wq" leaves and the quantization math is the same
+    deterministic eager computation either way."""
+    spec, step_a, st_a, rows = _setup(tiny_vocab, dw="int8", prequant=False)
+    _, step_b, st_b, _ = _setup(tiny_vocab, dw="int8", prequant=True)
+    w = jnp.full((rows,), spec.sos_id, jnp.int32)
+    for i in range(4):
+        iv = jnp.full((rows,), i, jnp.int32)
+        st_a, la = step_a(st_a, w, iv)
+        st_b, lb = step_b(st_b, w, iv)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        w = jnp.argmax(la, -1).astype(jnp.int32)
+    for a, b in zip(jax.tree_util.tree_leaves(st_a),
+                    jax.tree_util.tree_leaves(st_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_env_var_matches_kwarg(tiny_vocab, monkeypatch):
+    """VCR_DECODE_WEIGHTS=int8 defaults the mode exactly like the kwarg."""
+    monkeypatch.setenv("VCR_DECODE_WEIGHTS", "int8")
+    spec, step_e, st_e, rows = _setup(tiny_vocab, dw=None)
+    monkeypatch.delenv("VCR_DECODE_WEIGHTS")
+    _, step_k, st_k, _ = _setup(tiny_vocab, dw="int8")
+    w = jnp.full((rows,), spec.sos_id, jnp.int32)
+    iv = jnp.zeros((rows,), jnp.int32)
+    _, le = step_e(st_e, w, iv)
+    _, lk = step_k(st_k, w, iv)
+    np.testing.assert_array_equal(np.asarray(le), np.asarray(lk))
+
+
+@pytest.mark.parametrize("kv", ["int8", "int4"])
+def test_composes_with_kv_cache(tiny_vocab, kv):
+    """decode_weights='int8' + quantized KV caches run together; the joint
+    envelope stays bounded (errors add, they don't interact)."""
+    spec, step_q, st_q, rows = _setup(tiny_vocab, dw="int8", kv=kv)
+    _, step_f, st_f, _ = _setup(tiny_vocab, dw="bf16", kv="bf16")
+    w = jnp.full((rows,), spec.sos_id, jnp.int32)
+    for i in range(4):
+        iv = jnp.full((rows,), i, jnp.int32)
+        st_q, lq = step_q(st_q, w, iv)
+        st_f, lf = step_f(st_f, w, iv)
+        gap = float(jnp.max(jnp.abs(lq.astype(jnp.float32)
+                                    - lf.astype(jnp.float32))))
+        assert gap < (0.7 if kv == "int8" else 3.0), (kv, i, gap)
+        w = jnp.argmax(lf, -1).astype(jnp.int32)
+
+
+def test_batch_fast_decode(tiny_vocab):
+    """The BATCH fast paths share the option: decode_greedy_fast and both
+    beam variants run with decode_weights='int8' and mostly agree with the
+    fp32-weight tokens."""
+    import vcr_tpu.models.transformer as trm
+    from vcr_tpu.decode import transformer_beam_decode_fast
+
+    spec = _spec(tiny_vocab)
+    params = trm.init_params(jax.random.PRNGKey(4), spec, tiny_vocab.vectors)
+    feats = jnp.asarray(np.random.default_rng(12).standard_normal((3, 4, 12)),
+                        jnp.float32)
+    eo = trm.encode(params, spec, feats, trm.create_masks_inp(feats),
+                    jax.random.PRNGKey(0), train=False)
+    t_f = np.asarray(trm.decode_greedy_fast(params, spec, eo))
+    t_q = np.asarray(trm.decode_greedy_fast(params, spec, eo,
+                                            decode_weights="int8"))
+    assert t_q.shape == t_f.shape and t_q.dtype == t_f.dtype
+    assert float((t_q == t_f).mean()) >= 0.8
+    for lineage in (False, True):
+        toks, scores = transformer_beam_decode_fast(
+            params, spec, feats, beam_size=2, eos_id=tiny_vocab.eos_id,
+            lineage=lineage, decode_weights="int8")
+        assert np.asarray(toks).shape == (3, 2, spec.max_len)
+        assert np.isfinite(np.asarray(scores)).all()
+
+
+@pytest.mark.parametrize("beam", [1, 2])
+def test_pool_token_exact_vs_batch_within_mode(tiny_vocab, rng, beam):
+    """The slot-vs-batch parity contract holds WITHIN the int8-weight mode:
+    a ContinuousCaptioner(decode_weights='int8') pool emits token-identical
+    captions to the batch fast decode run with the same mode (fp32 compute,
+    CPU). The pool pre-quantizes at init; the batch path quantizes in-trace
+    — test_prequantized_bitwise_identical pins that those are bit-equal."""
+    import vcr_tpu.models.transformer as trm
+    from vcr_tpu.decode import transformer_beam_decode_fast
+    from vcr_tpu.serving_continuous import ContinuousCaptioner
+
+    spec = _spec(tiny_vocab)
+    params = trm.init_params(jax.random.PRNGKey(3), spec, tiny_vocab.vectors)
+    feats = rng.standard_normal((5, 4, 12)).astype(np.float32)
+    cap = ContinuousCaptioner(params, spec, slots=4, admit_chunk=2,
+                              eos_id=tiny_vocab.eos_id, beam_size=beam,
+                              decode_weights="int8")
+    got = cap.caption_all({i: feats[i] for i in range(5)})
+
+    if beam == 1:
+        eo = trm.encode(params, spec, jnp.asarray(feats),
+                        trm.create_masks_inp(jnp.asarray(feats)),
+                        jax.random.PRNGKey(0), train=False)
+        ref = np.asarray(trm.decode_greedy_fast(params, spec, eo,
+                                                decode_weights="int8"))
+    else:
+        toks, _ = transformer_beam_decode_fast(
+            params, spec, jnp.asarray(feats), beam_size=beam,
+            eos_id=tiny_vocab.eos_id, lineage=True, decode_weights="int8")
+        ref = np.asarray(toks[:, 0])
+
+    for i in range(5):
+        row = ref[i]
+        stop = np.where(row == tiny_vocab.eos_id)[0]
+        want = row[:stop[0] + 1] if len(stop) else row
+        np.testing.assert_array_equal(np.asarray(got[i]), want)
+
+
+def test_gru_families_reject(tiny_vocab):
+    import vcr_tpu.models.base as mbase
+    from vcr_tpu.serving_continuous import ContinuousCaptioner
+
+    s2 = mbase.ModelSpec(
+        arch="s2vt", vocab_size=tiny_vocab.vocab_size,
+        embed_size=tiny_vocab.embed_size, hidden_size=16, vid_feat_size=12,
+        max_len=8, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+        compute_dtype="float32")
+    p2 = mbase.build_model("s2vt")[0](jax.random.PRNGKey(0), s2,
+                                      tiny_vocab.vectors)
+    with pytest.raises(ValueError, match="decode_weights"):
+        ContinuousCaptioner(p2, s2, slots=4, admit_chunk=2,
+                            eos_id=tiny_vocab.eos_id, decode_weights="int8")

@@ -615,6 +615,74 @@ def main() -> int:
           "int8 pool (compiled replay)")
     ok &= f8_ok
 
+    # (R5-W) int8 decode WEIGHTS (round 5, ops/wquant.py): per-output-
+    # channel W8 on every decoder dense. (a) Lockstep the W8 cached stepper
+    # (pre-quantized params — the pool's init-time form) against the plain
+    # stepper on the big bf16 transformer; compiled logit envelope bounds
+    # the rounding like the KV rows. (b) The slot pool with
+    # decode_weights="int8" must emit TOKEN-IDENTICAL captions to the batch
+    # W8 greedy when both consume the same pre-quantized codes (the
+    # slot-vs-batch contract holds within the mode — identical elementwise
+    # math, like the bf16 pool rows; only bf16-vs-int8 needs an envelope).
+    tqparams = jax.device_put(transformer.quantize_decoder_params(tparams))
+    wqstep, wqinit = transformer.make_cached_stepper(
+        tqparams, tspec, te_out, decode_weights="int8")
+
+    @jax.jit
+    def w8_lockstep():
+        sti, stf = wqinit, bfinit
+        w = jnp.full((te_out.shape[0],), tspec.sos_id, jnp.int32)
+
+        def body(carry, i2):
+            sti, stf, w = carry
+            sti, li = wqstep(sti, w, i2)
+            stf, lf = bfstep(stf, w, i2)
+            gap = jnp.max(jnp.abs(li.astype(jnp.float32)
+                                  - lf.astype(jnp.float32)))
+            w = jnp.argmax(lf, -1).astype(jnp.int32)
+            return (sti, stf, w), gap
+
+        (_, _, _), gaps = jax.lax.scan(body, (sti, stf, w),
+                                       jnp.arange(tspec.max_len))
+        return jnp.max(gaps)
+
+    w8_gap = float(w8_lockstep())
+    w8_tok = np.asarray(transformer.decode_greedy_fast(
+        tqparams, tspec, te_out, decode_weights="int8"))
+    w8_ok = (w8_gap < 0.5
+             and w8_tok.shape == (te_out.shape[0], tspec.max_len)
+             and bool((w8_tok >= 0).all()))
+    print(f"{'PASS' if w8_ok else 'FAIL'}  int8 decode weights batch fast "
+          f"greedy (compiled lockstep envelope {w8_gap:.3f} < 0.5)")
+    ok &= w8_ok
+
+    ccw = ContinuousCaptioner(cparams, cspec, slots=3, admit_chunk=2,
+                              step_chunk=3, eos_id=509,
+                              decode_weights="int8")
+    got_w8 = ccw.caption_all({i: cfeats[i] for i in range(6)})
+    cqparams = transformer.quantize_decoder_params(cparams)
+    w8rows = np.asarray(transformer.decode_greedy_fast(
+        cqparams, cspec, transformer.encode(
+            cqparams, cspec, jnp.asarray(cfeats),
+            transformer.create_masks_inp(cfeats), jax.random.PRNGKey(0),
+            train=False), decode_weights="int8"))
+    cw_ok = set(got_w8) == set(range(6))
+    for i2 in range(6):
+        if not cw_ok:
+            break
+        row = w8rows[i2]
+        hits = np.nonzero(row == 509)[0]
+        want_row = row[: hits[0] + 1] if len(hits) else row
+        row_ok = np.array_equal(got_w8[i2], want_row)
+        if not row_ok:
+            print(f"  FORENSICS: key {i2}: pool="
+                  f"{np.asarray(got_w8[i2]).tolist()} vs "
+                  f"batch={np.asarray(want_row).tolist()}")
+        cw_ok &= row_ok
+    print(f"{'PASS' if cw_ok else 'FAIL'}  int8-weight pool ≡ batch W8 "
+          "greedy (compiled, token-exact within mode)")
+    ok &= cw_ok
+
     # (R5-4) bf16 residual-stream train program (fb3e93c): the default
     # bf16-stream transformer train step vs the VCR_TF_F32_STREAM=1
     # escape hatch, compiled — same envelope as the CPU contract (rel

@@ -144,6 +144,13 @@ class Config:
     # scripts/eval_kv_quant.py first). Only meaningful for
     # transformer-family models; others reject quantized modes.
     serve_kv_cache: str = "bf16"
+    # Decoder WEIGHT storage for the transformer serving paths: "bf16"
+    # (exact) or "int8" (per-output-channel symmetric W8 — halves the
+    # per-tick decoder weight byte stream, the largest remaining term once
+    # the KV caches are quantized; bounded-error, NOT token-identical —
+    # ops/wquant.py). Composes with serve_kv_cache. Transformer-family
+    # only; others reject it.
+    serve_decode_weights: str = "bf16"
     # Enable POST /profile?seconds=S: capture a jax.profiler trace of live
     # serving under this directory. "" (default) = endpoint disabled (an
     # unauthenticated capture holds a handler thread and costs memory).
@@ -216,7 +223,7 @@ _CLI_OVERRIDE_FIELDS = (
     "mesh_dp", "mesh_mp", "compile_cache_dir",
     "serve_port", "serve_slots", "serve_admit_chunk",
     "serve_max_pending", "serve_timeout_s", "serve_request_sampling",
-    "serve_kv_cache",
+    "serve_kv_cache", "serve_decode_weights",
     "serve_profile_dir", "serve_models", "serve_auth_token",
     "serve_max_body_mb",
     "meteor_synonyms", "meteor_paraphrases",

@@ -390,7 +390,8 @@ def transformer_beam_decode(params, spec: model_base.ModelSpec,
 def transformer_beam_decode_fast(params, spec: model_base.ModelSpec,
                                  vid_feats: jax.Array, beam_size: int,
                                  eos_id: int, lineage: bool = False,
-                                 kv_cache: Optional[str] = None
+                                 kv_cache: Optional[str] = None,
+                                 decode_weights: Optional[str] = None
                                  ) -> Tuple[jax.Array, jax.Array]:
     """KV-cached beam decode — the SERVING beam path, ~L× fewer decoder FLOPs
     per step than transformer_beam_decode. Beams fold into the batch axis and
@@ -434,11 +435,12 @@ def transformer_beam_decode_fast(params, spec: model_base.ModelSpec,
     if lineage:
         step_fn, init_state, reorder_fn = tr.make_cached_stepper(
             params, spec, e_outputs, beam_tile=beam_size, lineage=True,
-            kv_cache=kv_cache)
+            kv_cache=kv_cache, decode_weights=decode_weights)
     else:
         step_fn, init_state = tr.make_cached_stepper(params, spec, e_outputs,
                                                      beam_tile=beam_size,
-                                                     kv_cache=kv_cache)
+                                                     kv_cache=kv_cache,
+                                                     decode_weights=decode_weights)
         reorder_fn = None
     return beam_search(step_fn, init_state, b, beam_size, spec.max_len,
                        spec.sos_id, eos_id, reorder_fn=reorder_fn)

@@ -63,7 +63,8 @@ def export_continuous(params, spec, out_dir: str, *,
                       seed: int = 0,
                       feat_item_shape: Optional[Sequence[int]] = None,
                       platforms: Optional[Sequence[str]] = None,
-                      kv_cache: Optional[str] = None) -> str:
+                      kv_cache: Optional[str] = None,
+                      decode_weights: Optional[str] = None) -> str:
     """Freeze a continuous-batching slot pool for (params, spec) into
     ``out_dir``. Pool geometry (slots/admit_chunk/step_chunk) is baked into
     the graphs (fixed shapes are the design). ``feat_item_shape`` overrides
@@ -80,6 +81,7 @@ def export_continuous(params, spec, out_dir: str, *,
                              admit_chunk=admit_chunk, step_chunk=step_chunk,
                              beam_size=beam_size, eos_id=eos_id, vocab=vocab,
                              kv_cache=kv_cache,
+                             decode_weights=decode_weights,
                              rng=jax.random.PRNGKey(seed))
     step_impl = cc._step_n if beam_size == 1 else cc._step_n_beam
 

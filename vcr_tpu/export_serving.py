@@ -75,7 +75,8 @@ def export_captioner(params, spec, out_dir: str,
                      image_size: int = 224,
                      platforms: Optional[Sequence[str]] = None,
                      dp: int = 1,
-                     kv_cache: Optional[str] = None) -> str:
+                     kv_cache: Optional[str] = None,
+                     decode_weights: Optional[str] = None) -> str:
     """Serialize the serving captioner for (params, spec) into ``out_dir``.
 
     Mirrors ``serving.build_captioner``'s surface (all five families, greedy /
@@ -115,7 +116,8 @@ def export_captioner(params, spec, out_dir: str,
     caption = serving.make_caption_fn(spec, featurizer, darknet_obj, rng,
                                       beam_size, eos_id, sample_temperature,
                                       sample_top_k, sample_top_p,
-                                      kv_cache=kv_cache)
+                                      kv_cache=kv_cache,
+                                      decode_weights=decode_weights)
 
     # Flatten (captioner weights, featurizer weights) into ONE ordered leaf
     # list: a list-of-arrays pytree is reconstructible from an .npz by key

@@ -360,9 +360,82 @@ def _lineage_gather_rows(cache_b, anc_b):
     return out[:, :, 0]                        # (B, t, h, L, d)
 
 
+def _resolve_decode_weights(decode_weights: str | None) -> str:
+    dw = decode_weights or os.environ.get("VCR_DECODE_WEIGHTS", "bf16")
+    if dw not in ("bf16", "int8"):
+        raise ValueError(
+            f"decode_weights must be 'bf16' or 'int8', got {dw!r}")
+    return dw
+
+
+def _maybe_quantize_decoder(per_layer, pred_linear, decode_weights: str):
+    """-> (per_layer, pred_linear, dn): int8-quantize every decoder DENSE
+    weight (attn q/k/v/out, ff, pred_linear) when decode_weights == "int8"
+    (ops/wquant.py W8 fold — halves the per-tick weight byte stream), with
+    ``dn`` the matching dense apply. Norms / embedding / PE stay fp32.
+
+    Idempotent: params already holding "wq" codes (pre-quantized once by
+    quantize_decoder_params — the serving pool does this at init so the
+    per-tick jit receives int8 ARGS instead of re-quantizing f32 weights
+    inside every compiled tick) pass through untouched. In-stepper
+    quantization is the BATCH-path form: it traces once per decode call and
+    XLA hoists the loop-invariant codes out of the token scan."""
+    if decode_weights != "int8":
+        return per_layer, pred_linear, dense
+    from vcr_tpu.ops import wquant
+
+    def q_dense(v):
+        return v if "wq" in v else wquant.quantize_dense(v)
+
+    def q_layer(lp):
+        out = dict(lp)
+        for attn in ("attn_1", "attn_2"):
+            out[attn] = {k: q_dense(v) for k, v in lp[attn].items()}
+        out["ff"] = {k: q_dense(v) for k, v in lp["ff"].items()}
+        return out
+
+    return ([q_layer(lp) for lp in per_layer],
+            q_dense(pred_linear), wquant.dense_q)
+
+
+def quantize_decoder_params(params: dict) -> dict:
+    """One-time W8 pre-quantization of the decoder's dense weights (stacked
+    layer tree + pred_linear) — ops/wquant.py. The serving pool calls this
+    at init so its per-tick jitted step streams int8 weight ARGS; the
+    steppers detect the "wq" leaves and skip re-quantizing. Encoder,
+    embedding, PE and norms are untouched."""
+    from vcr_tpu.ops import wquant
+
+    dec = dict(params["decoder"])
+    layers = dict(dec["layers"])
+    for attn in ("attn_1", "attn_2"):
+        layers[attn] = {k: wquant.quantize_dense(v)
+                        for k, v in layers[attn].items()}
+    layers["ff"] = {k: wquant.quantize_dense(v)
+                    for k, v in layers["ff"].items()}
+    dec["layers"] = layers
+    dec["pred_linear"] = wquant.quantize_dense(dec["pred_linear"])
+    return dict(params, decoder=dec)
+
+
+def _attn_hidden(layers: dict) -> int:
+    """Attention hidden width off the (possibly W8-quantized) layer tree."""
+    q_p = layers["attn_1"]["q"]
+    return (q_p["w"] if "w" in q_p else q_p["wq"]).shape[-1]
+
+
+def _ff_eval(ffp, x, cdtype, dn=dense):
+    """Eval-time ff (no dropout), parameterized over the dense apply so the
+    int8-weight steppers reuse it — op-identical to
+    _ff_apply(..., train=False) when dn is the plain dense."""
+    return dn(ffp["linear_2"], jax.nn.relu(dn(ffp["linear_1"], x, cdtype)),
+              cdtype)
+
+
 def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
                         beam_tile: int = 1, lineage: bool = False,
-                        kv_cache: str | None = None):
+                        kv_cache: str | None = None,
+                        decode_weights: str | None = None):
     """KV-cached single-token decoder step — the SERVING-mode cell shared by
     the fast greedy scan and the fast beam search (decode.py).
 
@@ -394,13 +467,18 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
     default) stores self+cross K/V as per-vector symmetric int8 — the same
     opt-in bounded-error mode as make_slot_stepper (state leaves become
     (k_q, k_s, v_q, v_s) 4-tuples; see that docstring and ops/kvquant.py).
+
+    ``decode_weights="int8"`` (default "bf16"; env ``VCR_DECODE_WEIGHTS``)
+    streams every decoder dense weight as per-output-channel int8 — the
+    opt-in weight-quantized mode shared with make_slot_stepper (see that
+    docstring and ops/wquant.py).
     """
     dec = params["decoder"]
     layers = dec["layers"]
     rows = e_outputs.shape[0] * beam_tile
     l = spec.max_len
     heads = spec.tf_heads
-    hidden = layers["attn_1"]["q"]["w"].shape[-1]
+    hidden = _attn_hidden(layers)
     d_k = hidden // heads
     n_layers = spec.tf_layers
     cdt = spec.cdtype
@@ -416,6 +494,14 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
         from vcr_tpu.ops import kvquant
 
         qmax, qdtype = kvquant.mode_params(kv_cache)
+    # decode_weights="int8": rebind `dense` (locally) to the W8 apply, with
+    # per_layer/pred_p holding int8 codes + per-column scales — every dense
+    # call below then streams int8 weights from HBM (ops/wquant.py). The
+    # "bf16" default keeps the plain apply and fp32 weights, bit-identical
+    # to the pre-option stepper.
+    decode_weights = _resolve_decode_weights(decode_weights)
+    per_layer, pred_p, dense = _maybe_quantize_decoder(
+        per_layer, dec["pred_linear"], decode_weights)
 
     def heads_split(x):  # (rows, S, hidden) -> (rows, h, S, d_k)
         return x.reshape(x.shape[0], -1, heads, d_k).transpose(0, 2, 1, 3)
@@ -630,12 +716,11 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
             x2 = torch_norm(layer_p["norm_2"], x)
             x = x + attend_cross(layer_p["attn_2"], x2, cross[li])
             x2 = torch_norm(layer_p["norm_3"], x)
-            x = x + _ff_apply(layer_p["ff"], x2, None, False, cdt)
+            x = x + _ff_eval(layer_p["ff"], x2, cdt, dense)
             new_state[f"c{li}"] = cache
 
         h = torch_norm(dec["norm_out"], x)[:, 0]
-        logits = mask_vocab_pad(dense(dec["pred_linear"], h, cdt),
-                                spec.vocab_size)
+        logits = mask_vocab_pad(dense(pred_p, h, cdt), spec.vocab_size)
         return new_state, logits
 
     if lineage:
@@ -653,7 +738,8 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
 
 
 def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
-                      lineage: bool = False, kv_cache: str | None = None):
+                      lineage: bool = False, kv_cache: str | None = None,
+                      decode_weights: str | None = None):
     """Per-slot-position KV-cached decode cell for continuous-batching
     serving (serving_continuous.ContinuousCaptioner).
 
@@ -705,11 +791,19 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
     bit-exact) still holds WITHIN int8 mode because codes and scales move
     through the same true gathers. State leaves become 4-tuples
     (k_q, k_s, v_q, v_s) per layer.
+
+    ``decode_weights="int8"`` (default ``"bf16"``; env ``VCR_DECODE_WEIGHTS``
+    overrides the default) stores every decoder DENSE weight (attn q/k/v/out,
+    ff, pred_linear) as per-output-channel symmetric int8 — ops/wquant.py.
+    Weights stream from HBM once per tick regardless of R, so at int8/int4
+    KV caches they are the largest remaining byte term; this halves it.
+    Bounded-error like the KV modes (tests/test_weight_quant.py); composes
+    orthogonally with ``kv_cache``.
     """
     dec = params["decoder"]
     layers = dec["layers"]
     heads = spec.tf_heads
-    hidden = layers["attn_1"]["q"]["w"].shape[-1]
+    hidden = _attn_hidden(layers)
     d_k = hidden // heads
     n_layers = spec.tf_layers
     l = spec.max_len
@@ -735,6 +829,12 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
         from vcr_tpu.ops import kvquant
 
         qmax, qdtype = kvquant.mode_params(kv_cache)
+    # decode_weights="int8": rebind `dense` (locally) to the W8 apply with
+    # int8 codes + per-column scales in per_layer/pred_p — see
+    # make_cached_stepper and ops/wquant.py. "bf16" keeps the plain apply.
+    decode_weights = _resolve_decode_weights(decode_weights)
+    per_layer, pred_p, dense = _maybe_quantize_decoder(
+        per_layer, dec["pred_linear"], decode_weights)
 
     def cache_write(c, new, i_vec, rows_idx):
         """Write this step's (rows, h, d_k) K/V at [r, :, i_vec[r], :]."""
@@ -929,25 +1029,27 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
             x2 = torch_norm(lp["norm_2"], x)
             x = x + attend_cross(lp["attn_2"], x2, state[f"x{li}"])
             x2 = torch_norm(lp["norm_3"], x)
-            x = x + _ff_apply(lp["ff"], x2, None, False, cdt)
+            x = x + _ff_eval(lp["ff"], x2, cdt, dense)
             new_state[f"c{li}"] = cache
         h = torch_norm(dec["norm_out"], x)[:, 0]
-        logits = mask_vocab_pad(dense(dec["pred_linear"], h, cdt),
-                                spec.vocab_size)
+        logits = mask_vocab_pad(dense(pred_p, h, cdt), spec.vocab_size)
         return new_state, logits
 
     return step_fn, init_self_state, cross_state
 
 
 def decode_greedy_fast(params, spec: base.ModelSpec, e_outputs, src_mask=None,
-                       kv_cache: str | None = None) -> jax.Array:
+                       kv_cache: str | None = None,
+                       decode_weights: str | None = None) -> jax.Array:
     """KV-cached greedy decode — ~L× fewer decoder FLOPs than the parity scan
     (see make_cached_stepper for the PE-scale deviation). -> tokens (B, L).
-    ``kv_cache="int8"``: the opt-in quantized-cache mode (bounded-error)."""
+    ``kv_cache="int8"`` / ``decode_weights="int8"``: the opt-in quantized
+    cache / weight modes (bounded-error)."""
     del src_mask
     b = e_outputs.shape[0]
     step_fn, init_state = make_cached_stepper(params, spec, e_outputs,
-                                              kv_cache=kv_cache)
+                                              kv_cache=kv_cache,
+                                              decode_weights=decode_weights)
 
     def step(carry, i):
         words, state = carry

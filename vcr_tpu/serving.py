@@ -50,7 +50,8 @@ def build_captioner(params, spec: model_base.ModelSpec,
                     sample_top_k: int = 0,
                     sample_top_p: float = 0.0,
                     vocab=None,
-                    kv_cache: str | None = None) -> Callable:
+                    kv_cache: str | None = None,
+                    decode_weights: str | None = None) -> Callable:
     """-> fn(frames (B, N, 3, S, S) normalized) -> tokens (B, L) int32.
     The returned fn is ALREADY jitted (params passed as a jit argument — see
     the note at the bottom); do not wrap it in jax.jit again or the weights
@@ -76,7 +77,9 @@ def build_captioner(params, spec: model_base.ModelSpec,
     temperature/top-k/top-p sampling (decode.sample_tokens) instead.
     ``kv_cache="int8"`` (transformer only) serves through quantized K/V
     caches — the same opt-in bounded-error mode as the continuous pool
-    (ops/kvquant.py).
+    (ops/kvquant.py). ``decode_weights="int8"`` (transformer only) streams
+    the decoder dense weights as per-output-channel int8 (ops/wquant.py) —
+    composes with kv_cache.
 
     ``eos_id`` resolution: pass ``vocab`` (a vcr_tpu.vocab.Vocab) and its
     ``eos_id`` is used and cross-checked against ``spec.sos_id``; or pass
@@ -99,7 +102,8 @@ def build_captioner(params, spec: model_base.ModelSpec,
         darknet_obj = None
     caption = make_caption_fn(spec, featurizer, darknet_obj, rng, beam_size,
                               eos_id, sample_temperature, sample_top_k,
-                              sample_top_p, kv_cache=kv_cache)
+                              sample_top_p, kv_cache=kv_cache,
+                              decode_weights=decode_weights)
     # jit with params as an ARGUMENT: closing over them would bake every
     # weight into the compiled program as a constant — XLA then constant-folds
     # them (minutes of compile at real widths) and re-uploads them with the
@@ -119,7 +123,8 @@ def make_caption_fn(spec: model_base.ModelSpec,
                     sample_temperature: float = 0.0,
                     sample_top_k: int = 0,
                     sample_top_p: float = 0.0,
-                    kv_cache: str | None = None) -> Callable:
+                    kv_cache: str | None = None,
+                    decode_weights: str | None = None) -> Callable:
     """The PURE serving function ``caption(params, feat_params, frames)`` that
     ``build_captioner`` jits and ``export_serving.export_captioner``
     serializes to a StableHLO artifact. ``eos_id`` must already be resolved
@@ -184,7 +189,7 @@ def make_caption_fn(spec: model_base.ModelSpec,
             if spec.arch == "transformer":
                 tokens, _ = vdecode.transformer_beam_decode_fast(
                     params, spec, feats, beam_size, eos_id,
-                    kv_cache=kv_cache)
+                    kv_cache=kv_cache, decode_weights=decode_weights)
             else:
                 tokens, _ = vdecode.decode_tokens(params, spec, feats, eos_id,
                                                   beam_size, rng=rng)
@@ -199,8 +204,9 @@ def make_caption_fn(spec: model_base.ModelSpec,
             src_mask = transformer.create_masks_inp(feats)
             e_out = transformer.encode(params, spec, feats, src_mask,
                                        jax.random.PRNGKey(0), train=False)
-            return transformer.decode_greedy_fast(params, spec, e_out,
-                                                  kv_cache=kv_cache)
+            return transformer.decode_greedy_fast(
+                params, spec, e_out, kv_cache=kv_cache,
+                decode_weights=decode_weights)
         if spec.arch == "rationale":
             sel, _ = rationale.generator(params["gen"], spec,
                                          feats.astype(spec.cdtype), rng,

@@ -284,7 +284,8 @@ class ContinuousCaptioner:
                  mesh=None, beam_size: int = 1,
                  sample_temperature: float = 0.0, sample_top_k: int = 0,
                  sample_top_p: float = 0.0, request_sampling: bool = False,
-                 kv_cache: Optional[str] = None):
+                 kv_cache: Optional[str] = None,
+                 decode_weights: Optional[str] = None):
         if spec.arch not in _ARCHS:
             raise NotImplementedError(
                 f"continuous serving covers {_ARCHS}; got {spec.arch!r}")
@@ -351,6 +352,35 @@ class ContinuousCaptioner:
                 f"attention caches; arch {spec.arch!r} "
                 f"(base {self._base!r}) has none")
 
+        # int8 decode WEIGHTS (transformer only): per-output-channel W8 for
+        # every decoder dense — halves the per-tick weight byte stream, the
+        # largest remaining term once the KV caches are int8/int4. See
+        # transformer.make_slot_stepper and ops/wquant.py; bounded-error,
+        # composes with kv_cache.
+        self.decode_weights = (decode_weights
+                               or os.environ.get("VCR_DECODE_WEIGHTS", "bf16"))
+        if self.decode_weights not in ("bf16", "int8"):
+            raise ValueError(f"decode_weights must be 'bf16' or 'int8', "
+                             f"got {self.decode_weights!r}")
+        if self.decode_weights != "bf16" and self._base != "transformer":
+            raise ValueError(
+                f"decode_weights={self.decode_weights!r} quantizes the "
+                f"transformer's decoder dense weights; arch {spec.arch!r} "
+                f"(base {self._base!r}) decodes through a GRU cell")
+        if self.decode_weights == "int8":
+            # Pre-quantize ONCE (transformer.quantize_decoder_params): the
+            # tick jit then receives int8 weight ARGS and streams 1 byte per
+            # weight — in-trace quantization would re-read the f32 weights
+            # inside every compiled tick. The steppers detect the "wq"
+            # leaves and skip re-quantizing.
+            if mesh is not None and dict(mesh.shape).get("mp", 1) > 1:
+                raise ValueError(
+                    "decode_weights='int8' with an mp>1 mesh is unsupported"
+                    ": the int8 vocab projection does not column-shard")
+            params = tr.quantize_decoder_params(params)
+            self.params = params
+            self._dec_params = params
+
         # the pool state (incl. the transformer's KV caches — by far the
         # largest leaves) is DONATED to every state->state device fn: without
         # donation XLA cannot alias the scatter updates and each tick pays a
@@ -411,11 +441,11 @@ class ContinuousCaptioner:
         if self._base == "transformer":
             _, init_self, _ = tr.make_slot_stepper(
                 self._dec_params, spec, beam_tile=self.beam_size,
-                lineage=self.beam_size > 1, kv_cache=self.kv_cache)
+                lineage=self.beam_size > 1, kv_cache=self.kv_cache,
+                decode_weights=self.decode_weights)
             # widths are spec-derived (transformer._width quirk): read the
             # attention width off the params, like the stepper does
-            hidden = self._dec_params["decoder"]["layers"]["attn_1"]["q"][
-                "w"].shape[-1]
+            hidden = tr._attn_hidden(self._dec_params["decoder"]["layers"])
             d_k = hidden // spec.tf_heads
             if self.kv_cache in ("int8", "int4"):
                 from vcr_tpu.ops import kvquant
@@ -524,7 +554,8 @@ class ContinuousCaptioner:
             e_out = tr.encode(params, spec, feats, src_mask, rng, train=False)
             _, init_self, cross_state = tr.make_slot_stepper(
                 params, spec, beam_tile=self.beam_size,
-                lineage=self.beam_size > 1, kv_cache=self.kv_cache)
+                lineage=self.beam_size > 1, kv_cache=self.kv_cache,
+                decode_weights=self.decode_weights)
             # full dec-state rows (self caches zeroed): admission's generic
             # scatter then also RESETS the slot's self caches (beam mode: the
             # tiled ancestry is garbage here; _admit re-arms it per group)
@@ -614,8 +645,9 @@ class ContinuousCaptioner:
             # dead rows free-run unmasked (see module docstring); only the
             # bookkeeping leaves below are masked by `active`
             if self._base == "transformer":
-                step_fn, _, _ = tr.make_slot_stepper(dparams, spec,
-                                                     kv_cache=self.kv_cache)
+                step_fn, _, _ = tr.make_slot_stepper(
+                    dparams, spec, kv_cache=self.kv_cache,
+                    decode_weights=self.decode_weights)
                 i_vec = jnp.minimum(st["steps"], spec.max_len - 1)
                 new_dec, logits = step_fn(dec, st["last"], i_vec)
                 dec = new_dec
@@ -681,7 +713,7 @@ class ContinuousCaptioner:
             if self._base == "transformer":
                 step_fn, _, _ = tr.make_slot_stepper(
                     dparams, spec, beam_tile=k, lineage=True,
-                    kv_cache=self.kv_cache)
+                    kv_cache=self.kv_cache, decode_weights=self.decode_weights)
                 i_vec = jnp.repeat(jnp.minimum(st["gstep"], l - 1), k)
                 dec, logits = step_fn(dec, st["last"], i_vec)
             elif self._base == "s2vt":

@@ -116,6 +116,7 @@ def _build_serving_pool(cfg: Config, checkpoint_path: str = ""):
                              # every token); with beam it raises loudly
                              request_sampling=cfg.serve_request_sampling,
                              kv_cache=cfg.serve_kv_cache,
+                             decode_weights=cfg.serve_decode_weights,
                              rng=jax.random.PRNGKey(cfg.seed))
     return cc, vocab, spec.arch
 
@@ -219,6 +220,7 @@ def export_continuous_artifact(cfg: Config, checkpoint_path: str = "",
                              beam_size=max(cfg.beam_size, 1),
                              vocab=vocab, seed=cfg.seed,
                              kv_cache=cfg.serve_kv_cache,
+                             decode_weights=cfg.serve_decode_weights,
                              platforms=("cpu", "tpu"))
 
 
@@ -244,7 +246,8 @@ def export_serving_artifact(cfg: Config, checkpoint_path: str = "",
         sample_top_k=cfg.sample_top_k, sample_top_p=cfg.sample_top_p,
         platforms=("cpu", "tpu"),
         dp=max(cfg.mesh_dp, 1),
-        kv_cache=cfg.serve_kv_cache)
+        kv_cache=cfg.serve_kv_cache,
+        decode_weights=cfg.serve_decode_weights)
 
 
 def decode_corpus(cfg: Config, checkpoint_path: str = "",
