@@ -424,6 +424,17 @@ def _attn_hidden(layers: dict) -> int:
     return (q_p["w"] if "w" in q_p else q_p["wq"]).shape[-1]
 
 
+# EAGER creation of an s4 (jnp.int4) array trips "RecursionError:
+# Recursively calling jit" on the axon TPU client (onchip_r5 round-5
+# tpu_checks traceback: lax.full -> scalar convert_element_type to S4
+# dispatches a jit from inside the eager impl). Creating the same array
+# inside a trace lowers fine — so the quantized cache zeros go through a
+# jitted thunk, which also makes eager stepper construction (tpu_checks,
+# direct decode_greedy_fast calls) backend-portable. Nested under an outer
+# jit this inlines; shapes/dtypes are static so the executable is cached.
+_jit_zeros = jax.jit(jnp.zeros, static_argnums=(0, 1))
+
+
 def _ff_eval(ffp, x, cdtype, dn=dense):
     """Eval-time ff (no dropout), parameterized over the dense apply so the
     int8-weight steppers reuse it — op-identical to
@@ -524,7 +535,7 @@ def make_cached_stepper(params, spec: base.ModelSpec, e_outputs,
             cross.append((k, v))
 
     if quant:
-        zq = jnp.zeros((rows, heads, l, d_k), qdtype)
+        zq = _jit_zeros((rows, heads, l, d_k), qdtype)
         zs = jnp.zeros((rows, heads, l), jnp.float32)
         init_state = {f"c{i}": (zq, zs, zq, zs) for i in range(n_layers)}
     else:
@@ -875,7 +886,7 @@ def make_slot_stepper(params, spec: base.ModelSpec, beam_tile: int = 1,
 
     def init_self_state(rows: int):
         if quant:
-            zq = jnp.zeros((rows, heads, l, d_k), qdtype)
+            zq = _jit_zeros((rows, heads, l, d_k), qdtype)
             zs = jnp.zeros((rows, heads, l), jnp.float32)
             out = {f"c{li}": (zq, zs, zq, zs) for li in range(n_layers)}
         else:

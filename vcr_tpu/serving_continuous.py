@@ -451,8 +451,8 @@ class ContinuousCaptioner:
                 from vcr_tpu.ops import kvquant
 
                 _, qdtype = kvquant.mode_params(self.kv_cache)
-                zxq = jnp.zeros((rows, spec.tf_heads, spec.num_frames, d_k),
-                                qdtype)
+                zxq = tr._jit_zeros(
+                    (rows, spec.tf_heads, spec.num_frames, d_k), qdtype)
                 zxs = jnp.zeros((rows, spec.tf_heads, spec.num_frames),
                                 jnp.float32)
                 cross_zero = (zxq, zxs, zxq, zxs)
