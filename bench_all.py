@@ -249,30 +249,29 @@ def main() -> None:
     # remaining term once caches are quantized. Weight variants pre-quantize
     # OUTSIDE the jit (the pool's init-time form) so the tick streams int8
     # weight ARGS. Opt-in serving modes; bounded-error, not token-identical.
+    # State creation (encode + cache init) happens INSIDE the timed jit:
+    # an s4 (int4) state crossing a jit boundary trips an axon-client
+    # relayout bug ("Recursively calling jit" inside device_put — first r5
+    # on-chip bench_all, onchip_r5/bench_all.log traceback; see
+    # scripts/probe_int4_eager.py). One-time creation amortizes to ~0.1%
+    # over iters*max_len chained ticks, so the row still measures the tick.
     for kvmode, wmode in (("int8", "bf16"), ("int4", "bf16"),
                           ("bf16", "int8"), ("int8", "int8"),
                           ("int4", "int8")):
         ccq_params = (jax.device_put(trm.quantize_decoder_params(tr_params))
                       if wmode == "int8" else tr_params)
 
-        def cc8_state0(params, xi, _kv=kvmode, _w=wmode):
+        @jax.jit
+        def cc8_run_n(params, xi, _kv=kvmode, _w=wmode):
             src_mask = trm.create_masks_inp(xi)
             eo = trm.encode(params, tr_spec, xi, src_mask,
                             jax.random.PRNGKey(0), train=False)
-            _, init_self, cross_state = trm.make_slot_stepper(
+            step_fn, init_self, cross_state = trm.make_slot_stepper(
                 params, tr_spec, kv_cache=_kv, decode_weights=_w)
-            return {"dec": {**init_self(xi.shape[0]), **cross_state(eo)},
-                    "last": jnp.full((xi.shape[0],), tr_spec.sos_id,
-                                     jnp.int32),
-                    "i": jnp.zeros((xi.shape[0],), jnp.int32)}
-
-        cc8_st0 = jax.jit(cc8_state0)(ccq_params, tr_x[:slot_rows])
-
-        @jax.jit
-        def cc8_run_n(params, st0, _kv=kvmode, _w=wmode):
-            step_fn, _, _ = trm.make_slot_stepper(params, tr_spec,
-                                                  kv_cache=_kv,
-                                                  decode_weights=_w)
+            st0 = {"dec": {**init_self(xi.shape[0]), **cross_state(eo)},
+                   "last": jnp.full((xi.shape[0],), tr_spec.sos_id,
+                                    jnp.int32),
+                   "i": jnp.zeros((xi.shape[0],), jnp.int32)}
 
             def body(st, _):
                 dec, logits = step_fn(st["dec"], st["last"], st["i"])
@@ -286,7 +285,7 @@ def main() -> None:
             return st["last"].astype(jnp.float32).ravel()[0] * 1e-12
 
         cc8_dt, _f8, cc8_mfu = benchutil.time_chained(
-            cc8_run_n, (ccq_params, cc8_st0), device)
+            cc8_run_n, (ccq_params, tr_x[:slot_rows]), device)
         label = f"{kvmode} KV cache" + (f", {wmode} weights"
                                         if wmode != "bf16" else "")
         cc8_row = {

@@ -50,6 +50,45 @@ def main():
     ok &= try_("jitted kvquant.quantize int4",
                lambda: jax.jit(lambda v: kvquant.quantize(
                    v, qmax=qmax, qdtype=qdtype)[0])(x))
+
+    # The r5 bench_all on-chip crash: an s4 array produced by one jit and
+    # consumed by ANOTHER jit whose executable wants a different (packed)
+    # layout — jax relayouts via device_put, which recurses on the axon
+    # client. These probes map whether any cross-program s4 handoff works.
+    big = jax.jit(lambda v: jnp.round(v * 3).astype(jnp.int4))(
+        jnp.asarray(np.random.randn(512, 8, 20, 64), jnp.float32))
+    try_("s4 jit-A output -> jit-B arg (matmul-shaped consumer)",
+         lambda: jax.jit(lambda q: jnp.einsum(
+             "rhld,rhd->rhl", q.astype(jnp.bfloat16),
+             jnp.ones((512, 8, 64), jnp.bfloat16)))(big))
+    try_("s4 jit-A output -> jit-B arg (elementwise consumer)",
+         lambda: jax.jit(lambda q: q.astype(jnp.float32).sum())(big))
+
+    # The product surface at risk: the int4 POOL state crosses the tick
+    # jit's boundary every call. A 4-slot end-to-end caption_all decides
+    # whether kv_cache="int4" serving works on this backend at all.
+    from vcr_tpu.models import base as mbase
+    from vcr_tpu.models import transformer as trm
+    from vcr_tpu.serving_continuous import ContinuousCaptioner
+
+    rng = np.random.default_rng(0)
+    spec = mbase.ModelSpec(
+        arch="transformer", vocab_size=128, embed_size=16, hidden_size=16,
+        vid_feat_size=24, max_len=8, num_frames=4, dropout_p=0.0,
+        sos_id=124, compute_dtype="bfloat16", tf_layers=2, tf_heads=2)
+    params = trm.init_params(jax.random.PRNGKey(0), spec,
+                             rng.standard_normal((128, 16)).astype(np.float32))
+    feats = rng.standard_normal((5, 4, 24)).astype(np.float32)
+
+    def pool(kv):
+        cc = ContinuousCaptioner(params, spec, slots=4, admit_chunk=2,
+                                 eos_id=125, kv_cache=kv)
+        got = cc.caption_all({i: feats[i] for i in range(5)})
+        assert sorted(got) == list(range(5))
+        return got[0]
+
+    ok &= try_("int8 pool caption_all", lambda: pool("int8"))
+    try_("int4 pool caption_all", lambda: pool("int4"))
     return 0 if ok else 1
 
 

@@ -555,13 +555,19 @@ def main() -> int:
     # bf16 transformer (tspec/tparams/te_out from the lineage rows) —
     # identical token feed (bf16 side's argmax), compiled logit envelope
     # < 0.5 (bounded quantization error, same contract as the pool row).
+    # Stepper CONSTRUCTION (incl. the quantized cache init) happens inside
+    # the jit: an s4 (int4) state crossing a jit boundary trips an
+    # axon-client relayout bug (onchip_r5/bench_all.log traceback;
+    # scripts/probe_int4_eager.py maps the surface). This also mirrors the
+    # product reality — serving decodes run under one jit
+    # (serving.make_caption_fn).
     bfstep, bfinit = transformer.make_cached_stepper(tparams, tspec, te_out)
     for kvm, kv_bound in (("int8", 0.5), ("int4", 2.5)):
-        i8step, i8init = transformer.make_cached_stepper(
-            tparams, tspec, te_out, kv_cache=kvm)
 
         @jax.jit
-        def batch_lockstep(_qs=i8step, _qi=i8init):
+        def batch_lockstep(_kv=kvm):
+            _qs, _qi = transformer.make_cached_stepper(
+                tparams, tspec, te_out, kv_cache=_kv)
             sti, stf = _qi, bfinit
             w = jnp.full((te_out.shape[0],), tspec.sos_id, jnp.int32)
 
@@ -579,8 +585,9 @@ def main() -> int:
             return jnp.max(gaps)
 
         bi8_gap = float(batch_lockstep())
-        bi8_tok = np.asarray(transformer.decode_greedy_fast(
-            tparams, tspec, te_out, kv_cache=kvm))
+        bi8_tok = np.asarray(jax.jit(
+            lambda _kv=kvm: transformer.decode_greedy_fast(
+                tparams, tspec, te_out, kv_cache=_kv))())
         bi8_ok = (bi8_gap < kv_bound
                   and bi8_tok.shape == (te_out.shape[0], tspec.max_len)
                   and bool((bi8_tok >= 0).all()))
