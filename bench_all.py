@@ -347,6 +347,53 @@ def main() -> None:
         cb_row["mfu"] = round(cb_mfu, 4)
     emit_row(cb_row)
 
+    # GRU continuous GREEDY slot decode (s2vt) + int8-weight A/B: a GRU
+    # tick's bytes are DOMINATED by the dense weights (rnn gates + the
+    # hidden x vocab projection stream once per tick; the recurrent state
+    # is just h) — so W8 (ops/wquant.py) targets most of the tick. The pool
+    # pre-quantizes at init (cg._step_params carries the int8 codes as jit
+    # args). Chained 10x like the att row (tiny ticks; tunnel dispatch
+    # would otherwise dominate).
+    s2_spec = spec_for("s2vt", 512)
+    s2_params = jax.device_put(s2vt.init_params(
+        jax.random.PRNGKey(3), s2_spec, glove))
+    s2_r = scaled(512)
+    s2_iters = iters * 10
+    for wmode in ("bf16", "int8"):
+        cg = ContinuousCaptioner(s2_params, s2_spec, slots=s2_r,
+                                 admit_chunk=min(s2_r, 64), step_chunk=4,
+                                 eos_id=eos_id,
+                                 decode_weights=(None if wmode == "bf16"
+                                                 else wmode))
+        feats_g = rng.standard_normal((s2_r, 30, 512)).astype(np.float32)
+        for lo in range(0, s2_r, 64):
+            hi = min(lo + 64, s2_r)
+            cg.encode_admit(feats_g[lo:hi],
+                            np.arange(lo, hi, dtype=np.int32),
+                            np.ones((hi - lo,), bool))
+        cg_st0 = cg.state
+
+        @jax.jit
+        def s2_run_n(params, st, _cg=cg):
+            def body(st, _):
+                st = _cg._step_n(params, st)
+                return dict(st, active=jnp.ones_like(st["active"])), None
+
+            st, _ = jax.lax.scan(body, st, None, length=s2_iters)
+            return st["last"].astype(jnp.float32).ravel()[0] * 1e-12
+
+        cg_dt, _fg, cg_mfu = benchutil.time_chained(
+            s2_run_n, (cg._step_params, cg_st0), device)
+        cg_row = {
+            "metric": (f"S2VT continuous slot decode tokens/sec/chip "
+                       f"(R={s2_r}, {wmode} weights)"),
+            "value": round(s2_r * 4 * s2_iters / cg_dt, 2),
+            "unit": "tokens/s",
+        }
+        if cg_mfu is not None:
+            cg_row["mfu"] = round(cg_mfu, 4)
+        emit_row(cg_row)
+
     # Continuous BEAM tick rate (TRANSFORMER): the lineage slot beam — a
     # product serving path that had no number through round 4 (VERDICT r4
     # weak #8). Per-slot positions + ancestry-bookkeeping beam

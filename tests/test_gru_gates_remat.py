@@ -54,3 +54,48 @@ def test_gate_remat_step_bitwise_identical(tiny_vocab, rng, arch,
     for a, b in zip(jax.tree_util.tree_leaves(outs["1"][0]),
                     jax.tree_util.tree_leaves(outs["0"][0])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_s2vt_train_defaults_to_gate_remat(tiny_vocab, monkeypatch):
+    """Round-5 policy: the S2VT train step traces its GRU gate math under
+    jax.checkpoint BY DEFAULT (two independent on-chip wins, +10-11%;
+    nn/rnn.gate_remat_default), s2vt-att does NOT (opposite sign), and
+    VCR_GRU_GATES_REMAT=0 restores plain autodiff for s2vt. Detected via
+    the remat primitive in the traced train step's jaxpr."""
+    import jax
+    import numpy as np
+
+    from vcr_tpu.models import base
+    from vcr_tpu.train import optim
+    from vcr_tpu.train.step import build_step_fns
+
+    def traced(arch, env=None):
+        if env is None:
+            monkeypatch.delenv("VCR_GRU_GATES_REMAT", raising=False)
+        else:
+            monkeypatch.setenv("VCR_GRU_GATES_REMAT", env)
+        spec = base.ModelSpec(
+            arch=arch, vocab_size=tiny_vocab.vocab_size,
+            embed_size=tiny_vocab.embed_size, hidden_size=8,
+            vid_feat_size=12, max_len=6, num_frames=4, dropout_p=0.0,
+            sos_id=tiny_vocab.sos_id, compute_dtype="float32")
+        params = base.build_model(arch)[0](jax.random.PRNGKey(0), spec,
+                                           tiny_vocab.vectors)
+        opt = optim.build_optimizer("adam", 1e-3, 0.0, 1.0)
+        ostate = opt.init(params)
+        train_step, _ = build_step_fns(arch, spec, opt, static_tf=1.0)
+        rng = np.random.default_rng(0)
+        batch = {
+            "vid_feats": rng.standard_normal((4, 4, 12)).astype(np.float32),
+            "sent": rng.integers(0, spec.vocab_size, (4, 6)).astype(np.int32),
+            "sent_len": np.full((4,), 4, np.int32),
+            "valid": np.ones((4,), np.float32),
+        }
+        tr = train_step.trace(params, ostate, batch, jax.random.PRNGKey(0),
+                              1.0)
+        return str(tr.jaxpr)
+
+    assert "remat" in traced("s2vt")
+    assert "remat" not in traced("s2vt-att")
+    assert "remat" not in traced("s2vt", env="0")
+    assert "remat" in traced("s2vt-att", env="1")

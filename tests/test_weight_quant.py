@@ -241,7 +241,7 @@ def test_pool_token_exact_vs_batch_within_mode(tiny_vocab, rng, beam):
         np.testing.assert_array_equal(np.asarray(got[i]), want)
 
 
-def test_gru_families_reject(tiny_vocab):
+def test_invalid_mode_rejects(tiny_vocab):
     import vcr_tpu.models.base as mbase
     from vcr_tpu.serving_continuous import ContinuousCaptioner
 
@@ -254,4 +254,137 @@ def test_gru_families_reject(tiny_vocab):
                                       tiny_vocab.vectors)
     with pytest.raises(ValueError, match="decode_weights"):
         ContinuousCaptioner(p2, s2, slots=4, admit_chunk=2,
-                            eos_id=tiny_vocab.eos_id, decode_weights="int8")
+                            eos_id=tiny_vocab.eos_id, decode_weights="int3")
+
+
+# ----------------------------------------------------- GRU-family W8 mode
+
+
+def test_gru_fold_matches_dequant(rng):
+    """gru_x_gates / gru_h_gates through the int8 codes track the f32 gate
+    pre-activations computed from the dequantized weights (exact fold, fp
+    reassociation only)."""
+    from vcr_tpu.nn.layers import vdot
+
+    p = {"w_ih": jnp.asarray(rng.standard_normal((20, 24)).astype(np.float32)),
+         "w_hh": jnp.asarray(rng.standard_normal((8, 24)).astype(np.float32)),
+         "b_ih": jnp.asarray(rng.standard_normal((24,)).astype(np.float32)),
+         "b_hh": jnp.asarray(rng.standard_normal((24,)).astype(np.float32))}
+    q = wquant.augment_gru(p)
+    assert wquant.augment_gru(q) is q          # idempotent
+    x = jnp.asarray(rng.standard_normal((5, 20)).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((5, 8)).astype(np.float32))
+    deq_ih = wquant.dequantize_dense({"wq": q["wq_ih"], "ws": q["ws_ih"]})["w"]
+    deq_hh = wquant.dequantize_dense({"wq": q["wq_hh"], "ws": q["ws_hh"]})["w"]
+    np.testing.assert_allclose(
+        np.asarray(wquant.gru_x_gates(q, x, jnp.float32)),
+        np.asarray(vdot(x, deq_ih, jnp.float32) + p["b_ih"]),
+        rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(wquant.gru_h_gates(q, h, jnp.float32)),
+        np.asarray(vdot(h, deq_hh, jnp.float32) + p["b_hh"]),
+        rtol=1e-6, atol=1e-6)
+
+
+def _gru_spec(tiny_vocab, arch, **kw):
+    from vcr_tpu.models import base
+
+    vf = kw.pop("vid_feat_size", 12)
+    return base.ModelSpec(
+        arch=arch, vocab_size=tiny_vocab.vocab_size,
+        embed_size=tiny_vocab.embed_size, hidden_size=16, vid_feat_size=vf,
+        max_len=8, num_frames=4, dropout_p=0.0, sos_id=tiny_vocab.sos_id,
+        compute_dtype="float32", **kw)
+
+
+@pytest.mark.parametrize("arch,kw", [
+    ("s2vt", {}),
+    ("s2vt-att", {}),
+    ("rationale", {"base_arch": "s2vt", "tau": 1.0}),
+    ("spatial", {"base_arch": "s2vt-att", "grid_size": 3,
+                 "vid_feat_size": 6}),
+])
+def test_gru_pool_token_exact_vs_batch_within_mode(tiny_vocab, rng, arch, kw):
+    """The slot-vs-batch parity contract holds WITHIN the GRU W8 mode for
+    all four GRU-decode families: a decode_weights='int8' pool emits
+    token-identical captions to decode_tokens(beam-1, decode_weights='int8')
+    (fp32 compute, CPU; rationale under zero-noise Gumbel — the pool and
+    batch rng streams differ)."""
+    import vcr_tpu.models.base as mbase
+    from vcr_tpu.decode import decode_tokens
+    from vcr_tpu.nn import gumbel
+    from vcr_tpu.serving_continuous import ContinuousCaptioner
+
+    spec = _gru_spec(tiny_vocab, arch, **kw)
+    params = mbase.build_model(arch)[0](jax.random.PRNGKey(1), spec,
+                                        tiny_vocab.vectors)
+    shape = ((5, 4, spec.vid_feat_size, 3, 3) if arch == "spatial"
+             else (5, 4, spec.vid_feat_size))
+    feats = rng.standard_normal(shape).astype(np.float32)
+    old = gumbel.ZERO_NOISE
+    gumbel.ZERO_NOISE = True
+    try:
+        toks, _ = decode_tokens(params, spec, jnp.asarray(feats),
+                                tiny_vocab.eos_id, beam_size=1,
+                                decode_weights="int8")
+        rows = np.asarray(toks)[:, 0]
+        cc = ContinuousCaptioner(params, spec, slots=3, admit_chunk=2,
+                                 eos_id=tiny_vocab.eos_id,
+                                 decode_weights="int8")
+        got = cc.caption_all({i: feats[i] for i in range(5)})
+    finally:
+        gumbel.ZERO_NOISE = old
+    for i in range(5):
+        row = rows[i]
+        hits = np.nonzero(row == tiny_vocab.eos_id)[0]
+        want = row[: hits[0] + 1] if len(hits) else row
+        np.testing.assert_array_equal(np.asarray(got[i]), want)
+
+
+def test_gru_w8_tracks_bf16_weights(tiny_vocab, rng):
+    """W8 s2vt pool logit trajectory tracks the exact pool: compare emitted
+    captions — near-identical on a confident random model (and the envelope
+    is implicitly bounded by the within-mode exactness + fold oracle)."""
+    import vcr_tpu.models.base as mbase
+    from vcr_tpu.serving_continuous import ContinuousCaptioner
+
+    spec = _gru_spec(tiny_vocab, "s2vt")
+    params = mbase.build_model("s2vt")[0](jax.random.PRNGKey(3), spec,
+                                          tiny_vocab.vectors)
+    feats = rng.standard_normal((6, 4, 12)).astype(np.float32)
+    reqs = {i: feats[i] for i in range(6)}
+    got_f = ContinuousCaptioner(params, spec, slots=3, admit_chunk=2,
+                                eos_id=tiny_vocab.eos_id).caption_all(reqs)
+    got_q = ContinuousCaptioner(params, spec, slots=3, admit_chunk=2,
+                                eos_id=tiny_vocab.eos_id,
+                                decode_weights="int8").caption_all(reqs)
+    same = sum(np.array_equal(got_f[i], got_q[i]) for i in range(6))
+    assert same >= 4, {i: (np.asarray(got_f[i]), np.asarray(got_q[i]))
+                       for i in range(6)}
+
+
+def test_gru_w8_frozen_artifact(tiny_vocab, rng, tmp_path):
+    """A decode_weights='int8' GRU continuous artifact replays
+    token-identically to the live W8 pool (the augmented tree serves both
+    the encode and step graphs)."""
+    import vcr_tpu.models.base as mbase
+    from vcr_tpu import export_continuous as excont
+    from vcr_tpu.serving_continuous import ContinuousCaptioner
+
+    spec = _gru_spec(tiny_vocab, "s2vt-att")
+    params = mbase.build_model("s2vt-att")[0](jax.random.PRNGKey(5), spec,
+                                              tiny_vocab.vectors)
+    feats = rng.standard_normal((5, 4, 12)).astype(np.float32)
+    reqs = {i: feats[i] for i in range(5)}
+    live = ContinuousCaptioner(params, spec, slots=3, admit_chunk=2,
+                               eos_id=tiny_vocab.eos_id,
+                               decode_weights="int8").caption_all(reqs)
+    out = str(tmp_path / "art")
+    excont.export_continuous(params, spec, out, slots=3, admit_chunk=2,
+                             eos_id=tiny_vocab.eos_id,
+                             decode_weights="int8", platforms=("cpu",))
+    art = excont.load_continuous(out)
+    got = art.caption_all(reqs)
+    for i in range(5):
+        np.testing.assert_array_equal(np.asarray(got[i]),
+                                      np.asarray(live[i]))

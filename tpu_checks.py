@@ -714,6 +714,50 @@ def main() -> int:
           "greedy (compiled, token-exact within mode)")
     ok &= cw_ok
 
+    # (R5-W-gru) int8 decode weights on a GRU family (round 5,
+    # decode.augment_decode_weights): the s2vt W8 pool vs the batch W8
+    # beam-1 — within-mode, but still two different compiled programs at
+    # bf16, so the contract is the R5-1 shape: all served, majority rows
+    # exact, aggregate agreement (CPU proves eager token identity;
+    # tests/test_weight_quant.py).
+    gspec = mbase.ModelSpec(
+        arch="s2vt", vocab_size=512, embed_size=300, hidden_size=256,
+        vid_feat_size=512, max_len=10, num_frames=8, dropout_p=0.0,
+        sos_id=508, compute_dtype="bfloat16")
+    gparams = jax.device_put(mbase.build_model("s2vt")[0](
+        jax.random.PRNGKey(13), gspec,
+        rng.standard_normal((512, 300)).astype(np.float32)))
+    gfeats = rng.standard_normal((5, 8, 512)).astype(np.float32)
+    gtoks, _ = decode_tokens(gparams, gspec, jnp.asarray(gfeats), 509,
+                             beam_size=1, decode_weights="int8")
+    grows = np.asarray(gtoks)[:, 0]
+    gcc = ContinuousCaptioner(gparams, gspec, slots=2, admit_chunk=2,
+                              step_chunk=2, eos_id=509,
+                              decode_weights="int8")
+    got_g = gcc.caption_all({i: gfeats[i] for i in range(5)})
+    g_ok = set(got_g) == set(range(5))
+    g_exact, g_agree_n, g_agree_d = 0, 0, 0
+    for i2 in range(5):
+        row = grows[i2]
+        hits = np.nonzero(row == 509)[0]
+        want_row = row[: hits[0] + 1] if len(hits) else row
+        got_row = np.asarray(got_g[i2])
+        n = min(len(got_row), len(want_row))
+        eq = got_row[:n] == want_row[:n]
+        g_agree_n += int(eq.sum())
+        g_agree_d += n
+        if np.array_equal(got_row, want_row):
+            g_exact += 1
+        else:
+            print(f"  FORENSICS: key {i2}: W8-pool={got_row.tolist()} vs "
+                  f"W8-batch={np.asarray(want_row).tolist()}")
+    g_agree = g_agree_n / max(g_agree_d, 1)
+    g_ok &= g_exact >= 3 and g_agree >= 0.6
+    print(f"{'PASS' if g_ok else 'FAIL'}  s2vt int8-weight pool vs batch W8 "
+          f"beam-1 (compiled: {g_exact}/5 rows exact, agreement "
+          f"{g_agree:.2f})")
+    ok &= g_ok
+
     # (R5-4) bf16 residual-stream train program (fb3e93c): the default
     # bf16-stream transformer train step vs the VCR_TF_F32_STREAM=1
     # escape hatch, compiled — same envelope as the CPU contract (rel

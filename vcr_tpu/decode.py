@@ -25,6 +25,7 @@ from vcr_tpu.models import s2vt, s2vt_att
 from vcr_tpu.nn.attention import bahdanau_attend, bahdanau_project_keys
 from vcr_tpu.nn.layers import dense, embed, mask_vocab_pad, vdot
 from vcr_tpu.nn.rnn import gru_gates
+from vcr_tpu.ops.wquant import resolve_mode as wquant_resolve
 
 NEG_INF = -1e9
 
@@ -169,20 +170,57 @@ def sample_search(
 
 # ---------------------------------------------------------------- S2VT
 
-def _s2vt_stepper(params, spec: model_base.ModelSpec, rows: int):
+def _s2vt_stepper(params, spec: model_base.ModelSpec, rows: int,
+                  decode_weights: Optional[str] = None):
     """The S2VT decode cell as a (state, words, i) step closure over `rows`
-    batch rows (beam folds B*K rows; sampling uses B)."""
+    batch rows (beam folds B*K rows; sampling uses B).
+
+    ``decode_weights="int8"`` (ops/wquant.py): the per-tick dense weights —
+    rnn1 w_hh (rnn1's decode input is pad frames, so its x-gates are the
+    bias alone and w_ih never streams), rnn2 w_ih/w_hh, and the hidden x
+    vocab projection — stream as per-output-channel int8. Weights DOMINATE
+    a GRU slot tick's bytes (the recurrent state is h alone), so this
+    nearly halves the tick. The dicts are AUGMENTED (codes next to the f32
+    originals — encode paths keep reading the originals; see
+    wquant.augment_gru), and in-trace augmentation hoists out of the token
+    scan like the transformer form. Bounded-error, not token-identical to
+    the bf16-weight cell."""
+    dw = wquant_resolve(decode_weights)
+    if dw == "int8":
+        from vcr_tpu.ops import wquant
+
+        params = dict(params,
+                      rnn1=wquant.augment_gru(params["rnn1"]),
+                      rnn2=wquant.augment_gru(params["rnn2"]),
+                      linear=wquant.augment_dense(params["linear"]))
     xg1 = jnp.broadcast_to(params["rnn1"]["b_ih"], (rows, 3 * spec.hidden_size))
 
     def step_fn(state, words, i):
         del i
-        out1 = gru_gates(xg1, state["s1"], params["rnn1"], spec.cdtype)
-        emb = embed(params["embedding"], words)
-        x2 = jnp.concatenate([out1, emb], axis=-1)
-        xg2 = vdot(x2, params["rnn2"]["w_ih"], spec.cdtype) + params["rnn2"]["b_ih"]
-        out2 = gru_gates(xg2, state["s2"], params["rnn2"], spec.cdtype)
-        logits = mask_vocab_pad(dense(params["linear"], out2, spec.cdtype),
-                                spec.vocab_size)
+        if dw == "int8":
+            from vcr_tpu.ops import wquant
+
+            out1 = gru_gates(xg1, state["s1"], params["rnn1"], spec.cdtype,
+                             h_gates=wquant.gru_h_gates(
+                                 params["rnn1"], state["s1"], spec.cdtype))
+            emb = embed(params["embedding"], words)
+            x2 = jnp.concatenate([out1, emb], axis=-1)
+            xg2 = wquant.gru_x_gates(params["rnn2"], x2, spec.cdtype)
+            out2 = gru_gates(xg2, state["s2"], params["rnn2"], spec.cdtype,
+                             h_gates=wquant.gru_h_gates(
+                                 params["rnn2"], state["s2"], spec.cdtype))
+            logits = mask_vocab_pad(
+                wquant.dense_aug(params["linear"], out2, spec.cdtype),
+                spec.vocab_size)
+        else:
+            out1 = gru_gates(xg1, state["s1"], params["rnn1"], spec.cdtype)
+            emb = embed(params["embedding"], words)
+            x2 = jnp.concatenate([out1, emb], axis=-1)
+            xg2 = vdot(x2, params["rnn2"]["w_ih"], spec.cdtype) \
+                + params["rnn2"]["b_ih"]
+            out2 = gru_gates(xg2, state["s2"], params["rnn2"], spec.cdtype)
+            logits = mask_vocab_pad(dense(params["linear"], out2, spec.cdtype),
+                                    spec.vocab_size)
         return {"s1": out1, "s2": out2}, logits
 
     return step_fn
@@ -190,14 +228,16 @@ def _s2vt_stepper(params, spec: model_base.ModelSpec, rows: int):
 
 def s2vt_beam_from_states(params, spec: model_base.ModelSpec,
                           enc_outs: jax.Array, state1: jax.Array,
-                          beam_size: int, eos_id: int
+                          beam_size: int, eos_id: int,
+                          decode_weights: Optional[str] = None
                           ) -> Tuple[jax.Array, jax.Array]:
     """Beam decode from S2VT encoder states — shared by S2VT proper and
     SpatialNet (whose encoder splices spatial contexts, SpatialNet.py:140)."""
     state2 = s2vt._prime_state2(params, spec, enc_outs)
     b = enc_outs.shape[1]
     init_state = _tile_beam({"s1": state1, "s2": state2}, beam_size)
-    step_fn = _s2vt_stepper(params, spec, b * beam_size)
+    step_fn = _s2vt_stepper(params, spec, b * beam_size,
+                            decode_weights=decode_weights)
     return beam_search(step_fn, init_state, b, beam_size, spec.max_len,
                        spec.sos_id, eos_id)
 
@@ -228,19 +268,34 @@ def s2vt_sample_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
 
 
 def s2vt_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
-                     beam_size: int, eos_id: int) -> Tuple[jax.Array, jax.Array]:
+                     beam_size: int, eos_id: int,
+                     decode_weights: Optional[str] = None
+                     ) -> Tuple[jax.Array, jax.Array]:
     """Beam decode for S2VT (cell math identical to s2vt.decode's eval scan)."""
     enc_outs, state1 = s2vt.encode(params, spec, vid_feats)
-    return s2vt_beam_from_states(params, spec, enc_outs, state1, beam_size, eos_id)
+    return s2vt_beam_from_states(params, spec, enc_outs, state1, beam_size,
+                                 eos_id, decode_weights=decode_weights)
 
 
 # ---------------------------------------------------------------- S2VT-att
 
 def _s2vt_att_stepper(params, spec: model_base.ModelSpec, pk: jax.Array,
-                      eo: jax.Array):
+                      eo: jax.Array, decode_weights: Optional[str] = None):
     """The S2VT-att decode cell closed over (possibly beam-tiled) projected
-    keys pk and encoder outputs eo."""
+    keys pk and encoder outputs eo.
+
+    ``decode_weights="int8"``: rnn w_ih/w_hh + the vocab projection stream
+    as int8 (see _s2vt_stepper). The Bahdanau attention denses stay f32 —
+    query/energy are byte-trivial (H x H and H x 1) and key_layer feeds the
+    admission-time pk, whose f32 contract (serving_continuous) stays
+    untouched."""
     dec = params["decoder"]
+    dw = wquant_resolve(decode_weights)
+    if dw == "int8":
+        from vcr_tpu.ops import wquant
+
+        dec = dict(dec, rnn=wquant.augment_gru(dec["rnn"]),
+                   pred_linear=wquant.augment_dense(dec["pred_linear"]))
 
     def step_fn(state, words, i):
         del i
@@ -248,10 +303,21 @@ def _s2vt_att_stepper(params, spec: model_base.ModelSpec, pk: jax.Array,
                                      spec.cdtype)
         emb = embed(dec["embedding"], words)
         x = jnp.concatenate([context, emb], axis=-1)
-        xg = vdot(x, dec["rnn"]["w_ih"], spec.cdtype) + dec["rnn"]["b_ih"]
-        h = gru_gates(xg, state["h"], dec["rnn"], spec.cdtype)
-        logits = mask_vocab_pad(dense(dec["pred_linear"], h, spec.cdtype),
-                                spec.vocab_size)
+        if dw == "int8":
+            from vcr_tpu.ops import wquant
+
+            xg = wquant.gru_x_gates(dec["rnn"], x, spec.cdtype)
+            h = gru_gates(xg, state["h"], dec["rnn"], spec.cdtype,
+                          h_gates=wquant.gru_h_gates(dec["rnn"], state["h"],
+                                                     spec.cdtype))
+            logits = mask_vocab_pad(
+                wquant.dense_aug(dec["pred_linear"], h, spec.cdtype),
+                spec.vocab_size)
+        else:
+            xg = vdot(x, dec["rnn"]["w_ih"], spec.cdtype) + dec["rnn"]["b_ih"]
+            h = gru_gates(xg, state["h"], dec["rnn"], spec.cdtype)
+            logits = mask_vocab_pad(dense(dec["pred_linear"], h, spec.cdtype),
+                                    spec.vocab_size)
         return {"h": h}, logits
 
     return step_fn
@@ -259,7 +325,8 @@ def _s2vt_att_stepper(params, spec: model_base.ModelSpec, pk: jax.Array,
 
 def s2vt_att_beam_from_states(params, spec: model_base.ModelSpec,
                               encoder_outs: jax.Array, encoder_final: jax.Array,
-                              beam_size: int, eos_id: int
+                              beam_size: int, eos_id: int,
+                              decode_weights: Optional[str] = None
                               ) -> Tuple[jax.Array, jax.Array]:
     dec = params["decoder"]
     proj_key = bahdanau_project_keys(dec["attention"], encoder_outs, spec.cdtype)
@@ -271,7 +338,8 @@ def s2vt_att_beam_from_states(params, spec: model_base.ModelSpec,
     tiled = _tile_beam({"h": encoder_final, "pk": proj_key,
                         "eo": encoder_outs.astype(spec.cdtype)},
                        beam_size)
-    step_fn = _s2vt_att_stepper(params, spec, tiled["pk"], tiled["eo"])
+    step_fn = _s2vt_att_stepper(params, spec, tiled["pk"], tiled["eo"],
+                                decode_weights=decode_weights)
     return beam_search(step_fn, {"h": tiled["h"]}, b, beam_size, spec.max_len,
                        spec.sos_id, eos_id)
 
@@ -291,17 +359,21 @@ def s2vt_att_sample_from_states(params, spec: model_base.ModelSpec,
 
 
 def s2vt_att_beam_decode(params, spec: model_base.ModelSpec, vid_feats: jax.Array,
-                         beam_size: int, eos_id: int) -> Tuple[jax.Array, jax.Array]:
+                         beam_size: int, eos_id: int,
+                         decode_weights: Optional[str] = None
+                         ) -> Tuple[jax.Array, jax.Array]:
     encoder_outs, encoder_final = s2vt_att.encode(params, spec, vid_feats)
     return s2vt_att_beam_from_states(params, spec, encoder_outs, encoder_final,
-                                     beam_size, eos_id)
+                                     beam_size, eos_id,
+                                     decode_weights=decode_weights)
 
 
 # ------------------------------------------------ RationaleNet / SpatialNet
 
 def rationale_beam_decode(params, spec: model_base.ModelSpec,
                           vid_feats: jax.Array, beam_size: int, eos_id: int,
-                          rng=None) -> Tuple[jax.Array, jax.Array]:
+                          rng=None, decode_weights: Optional[str] = None
+                          ) -> Tuple[jax.Array, jax.Array]:
     """Hard Gumbel frame selection (eval mode), then beam on the wrapped
     captioner over the masked features (RationaleNet.py:103-104)."""
     from vcr_tpu.models import rationale
@@ -313,12 +385,15 @@ def rationale_beam_decode(params, spec: model_base.ModelSpec,
                                       train=False)
     cap = params["caption_net"]
     if spec.base_arch == "s2vt":
-        return s2vt_beam_decode(cap, spec, sel, beam_size, eos_id)
-    return s2vt_att_beam_decode(cap, spec, sel, beam_size, eos_id)
+        return s2vt_beam_decode(cap, spec, sel, beam_size, eos_id,
+                                decode_weights=decode_weights)
+    return s2vt_att_beam_decode(cap, spec, sel, beam_size, eos_id,
+                                decode_weights=decode_weights)
 
 
 def spatial_beam_decode(params, spec: model_base.ModelSpec,
-                        vid_feats: jax.Array, beam_size: int, eos_id: int
+                        vid_feats: jax.Array, beam_size: int, eos_id: int,
+                        decode_weights: Optional[str] = None
                         ) -> Tuple[jax.Array, jax.Array]:
     """Spatial-attention encode, then beam on the wrapped captioner's decoder
     (SpatialNet.py:140)."""
@@ -329,10 +404,12 @@ def spatial_beam_decode(params, spec: model_base.ModelSpec,
     cap = params["caption_net"]
     if spec.base_arch == "s2vt":
         return s2vt_beam_from_states(cap, spec, output1, rnn_state,
-                                     beam_size, eos_id)
+                                     beam_size, eos_id,
+                                     decode_weights=decode_weights)
     return s2vt_att_beam_from_states(cap, spec,
                                      jnp.transpose(output1, (1, 0, 2)),
-                                     rnn_state, beam_size, eos_id)
+                                     rnn_state, beam_size, eos_id,
+                                     decode_weights=decode_weights)
 
 
 # ---------------------------------------------------------------- Transformer
@@ -512,21 +589,67 @@ def sample_tokens(params, spec: model_base.ModelSpec, vid_feats, eos_id: int,
     raise NotImplementedError(f"sampling decode for {spec.arch}")
 
 
+def augment_decode_weights(params, spec: model_base.ModelSpec):
+    """Pre-quantize (W8, ops/wquant.py) the per-tick decode weights of ANY
+    family's params tree — the serving pool's one-time init form, so its
+    jitted tick streams int8 weight args instead of re-quantizing f32
+    weights in-trace every call. GRU families get AUGMENTED dicts (codes
+    next to the f32 originals; encode paths keep reading the originals, so
+    ONE tree serves both the encode and step graphs — live pool and frozen
+    artifact alike); the transformer replaces its decoder denses
+    (transformer.quantize_decoder_params). Idempotent."""
+    from vcr_tpu.ops import wquant
+
+    def aug_base(p, arch):
+        if arch == "s2vt":
+            return dict(p, rnn1=wquant.augment_gru(p["rnn1"]),
+                        rnn2=wquant.augment_gru(p["rnn2"]),
+                        linear=wquant.augment_dense(p["linear"]))
+        dec = p["decoder"]
+        return dict(p, decoder=dict(
+            dec, rnn=wquant.augment_gru(dec["rnn"]),
+            pred_linear=wquant.augment_dense(dec["pred_linear"])))
+
+    if spec.arch == "transformer":
+        from vcr_tpu.models import transformer as tr
+
+        return tr.quantize_decoder_params(params)
+    if spec.arch in ("spatial", "rationale"):
+        return dict(params, caption_net=aug_base(params["caption_net"],
+                                                 spec.base_arch))
+    return aug_base(params, spec.arch)
+
+
 def decode_tokens(params, spec: model_base.ModelSpec, vid_feats, eos_id: int,
-                  beam_size: int = 1, rng=None):
+                  beam_size: int = 1, rng=None,
+                  decode_weights: Optional[str] = None):
     """Unified entry for the captioners: beam_size=1's best row equals the
     greedy rollout token-for-token up to the first eos. ``rng`` seeds eval-time stochasticity
     (only RationaleNet's hard-Gumbel frame selection uses it; torch draws
-    fresh noise per eval forward, F.gumbel_softmax in RationaleNet.py:50)."""
+    fresh noise per eval forward, F.gumbel_softmax in RationaleNet.py:50).
+
+    ``decode_weights="int8"`` (GRU families + their spatial/rationale
+    wrappers): W8 decode weights through the family steppers — the batch
+    counterpart of the serving pool's mode. The transformer's parity beam
+    re-runs the full stack and has no stepper to quantize — use
+    transformer_beam_decode_fast(decode_weights=...) for its W8 form."""
     if spec.arch == "s2vt":
-        return s2vt_beam_decode(params, spec, vid_feats, beam_size, eos_id)
+        return s2vt_beam_decode(params, spec, vid_feats, beam_size, eos_id,
+                                decode_weights=decode_weights)
     if spec.arch == "s2vt-att":
-        return s2vt_att_beam_decode(params, spec, vid_feats, beam_size, eos_id)
+        return s2vt_att_beam_decode(params, spec, vid_feats, beam_size,
+                                    eos_id, decode_weights=decode_weights)
     if spec.arch == "transformer":
+        if wquant_resolve(decode_weights) != "bf16":
+            raise NotImplementedError(
+                "decode_tokens runs the transformer's reference-parity beam "
+                "(full-stack re-run, no stepper); use "
+                "transformer_beam_decode_fast(decode_weights=...) for W8")
         return transformer_beam_decode(params, spec, vid_feats, beam_size, eos_id)
     if spec.arch == "rationale":
         return rationale_beam_decode(params, spec, vid_feats, beam_size, eos_id,
-                                     rng=rng)
+                                     rng=rng, decode_weights=decode_weights)
     if spec.arch == "spatial":
-        return spatial_beam_decode(params, spec, vid_feats, beam_size, eos_id)
+        return spatial_beam_decode(params, spec, vid_feats, beam_size, eos_id,
+                                   decode_weights=decode_weights)
     raise NotImplementedError(f"beam decode for {spec.arch}")

@@ -92,7 +92,12 @@ def export_continuous(params, spec, out_dir: str, *,
 
         item_shape = default_input_shape(spec, "none")
 
-    p_leaves, p_tree = jax.tree_util.tree_flatten(cc.params)
+    # The artifact serializes the pool's TICK tree (cc._step_params): under
+    # decode_weights="int8" it carries the W8 codes (GRU families: augmented
+    # next to the f32 originals, so the encode graph below still reads the
+    # original names; transformer: decoder denses replaced, encoder intact).
+    step_params = getattr(cc, "_step_params", cc.params)
+    p_leaves, p_tree = jax.tree_util.tree_flatten(step_params)
     s_leaves, s_tree = jax.tree_util.tree_flatten(cc.state)
     s_paths = _leaf_paths(cc.state)
     book_idx = {}
@@ -110,7 +115,7 @@ def export_continuous(params, spec, out_dir: str, *,
     valid_sds = jax.ShapeDtypeStruct((admit_chunk,), jnp.bool_)
 
     # new-slot-state structure (what encode returns, what admit consumes)
-    nd_struct = jax.eval_shape(cc._encode_chunk, cc.params, feats_sds, key0)
+    nd_struct = jax.eval_shape(cc._encode_chunk, step_params, feats_sds, key0)
     nd_leaves_s, nd_tree = jax.tree_util.tree_flatten(nd_struct)
     nd_sds = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in nd_leaves_s]
 

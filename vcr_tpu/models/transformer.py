@@ -403,9 +403,11 @@ def quantize_decoder_params(params: dict) -> dict:
     layer tree + pred_linear) — ops/wquant.py. The serving pool calls this
     at init so its per-tick jitted step streams int8 weight ARGS; the
     steppers detect the "wq" leaves and skip re-quantizing. Encoder,
-    embedding, PE and norms are untouched."""
+    embedding, PE and norms are untouched. Idempotent."""
     from vcr_tpu.ops import wquant
 
+    if "wq" in params["decoder"]["pred_linear"]:
+        return params
     dec = dict(params["decoder"])
     layers = dict(dec["layers"])
     for attn in ("attn_1", "attn_2"):

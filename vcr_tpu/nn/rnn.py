@@ -13,6 +13,7 @@ i,f,g,o) so that converted reference checkpoints decode token-for-token.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Optional, Tuple
 
@@ -38,8 +39,9 @@ def gru_init(key: jax.Array, input_size: int, hidden_size: int):
 
 
 def _gru_gates_impl(x_gates: jax.Array, h: jax.Array, params,
-                    compute_dtype=jnp.bfloat16):
-    h_gates = vdot(h, params["w_hh"], compute_dtype) + params["b_hh"]
+                    compute_dtype=jnp.bfloat16, h_gates=None):
+    if h_gates is None:
+        h_gates = vdot(h, params["w_hh"], compute_dtype) + params["b_hh"]
     xr, xz, xn = jnp.split(x_gates, 3, axis=-1)
     hr, hz, hn = jnp.split(h_gates, 3, axis=-1)
     r = jax.nn.sigmoid(xr + hr)
@@ -60,14 +62,44 @@ def _gru_gates_impl(x_gates: jax.Array, h: jax.Array, params,
 # win on paper can still measure slower through HBM).
 _gru_gates_remat = jax.checkpoint(_gru_gates_impl, static_argnums=(3,))
 
+# Trace-time default for the gate remat, set by gate_remat_default() below.
+# Round-5 on-chip A/B (onchip_r5/ab_summary.log + bench_train_s2vt_gremat
+# .log — two independent sessions, same signs): gate remat is +10-11% on
+# the S2VT train step (memory-bound; the remat cuts 2.42 -> 0.87 GiB of
+# scan saves) but -4..-11% on s2vt-att — so the S2VT train step runs under
+# gate_remat_default(True) (train/step.py) and every other path keeps the
+# opt-in. VCR_GRU_GATES_REMAT=0/1 overrides BOTH directions explicitly.
+# The step is BITWISE identical either way (tests/test_gru_gates_remat.py).
+_GATE_REMAT_DEFAULT = False
 
-def gru_gates(x_gates: jax.Array, h: jax.Array, params, compute_dtype=jnp.bfloat16):
+
+@contextlib.contextmanager
+def gate_remat_default(enabled: bool):
+    """Scope the gate-remat default for code traced inside (env overrides)."""
+    global _GATE_REMAT_DEFAULT
+    prev = _GATE_REMAT_DEFAULT
+    _GATE_REMAT_DEFAULT = enabled
+    try:
+        yield
+    finally:
+        _GATE_REMAT_DEFAULT = prev
+
+
+def gru_gates(x_gates: jax.Array, h: jax.Array, params,
+              compute_dtype=jnp.bfloat16, h_gates=None):
     """One GRU step given precomputed input gates x_gates = x @ w_ih + b_ih.
 
     torch semantics: r = σ(xr + hr); z = σ(xz + hz); n = tanh(xn + r∘hn);
     h' = (1-z)∘n + z∘h.
+
+    ``h_gates``: optionally precomputed h @ w_hh + b_hh — the W8 decode
+    steppers (ops/wquant.gru_h_gates) pass the int8-weight form here so the
+    gate math itself stays this one shared parity implementation.
     """
-    if os.environ.get("VCR_GRU_GATES_REMAT") == "1":
+    if h_gates is not None:
+        return _gru_gates_impl(x_gates, h, params, compute_dtype, h_gates)
+    env = os.environ.get("VCR_GRU_GATES_REMAT")
+    if (_GATE_REMAT_DEFAULT if env is None else env == "1"):
         return _gru_gates_remat(x_gates, h, params, compute_dtype)
     return _gru_gates_impl(x_gates, h, params, compute_dtype)
 

@@ -88,3 +88,73 @@ def dequantize_dense(p: dict) -> dict:
     if "b" in p:
         out["b"] = p["b"]
     return out
+
+
+def resolve_mode(decode_weights: str | None) -> str:
+    """Resolve a decode_weights option ("bf16"/"int8"; None -> the
+    VCR_DECODE_WEIGHTS env default, else "bf16")."""
+    import os
+
+    dw = decode_weights or os.environ.get("VCR_DECODE_WEIGHTS", "bf16")
+    if dw not in ("bf16", "int8"):
+        raise ValueError(
+            f"decode_weights must be 'bf16' or 'int8', got {dw!r}")
+    return dw
+
+
+# ---- GRU-family decode weights --------------------------------------------
+#
+# The GRU slot/beam steppers (decode.py) stream their dense weights every
+# tick exactly like the transformer's: rnn w_ih/w_hh (3H gate columns) and
+# the hidden x vocab projection. Unlike the transformer, the SAME rnn param
+# dicts also drive the encoder scans, so quantization here AUGMENTS the
+# dict (adds wq_*/ws_* next to the f32 originals) instead of replacing —
+# encode paths keep reading the original names, the W8 steppers read only
+# the codes, and one tree serves both graphs (live pool and frozen
+# artifact). The extra f32 copy is a few MB of weights; the per-tick HBM
+# win is the halved code stream.
+
+
+def augment_gru(p: dict) -> dict:
+    """GRU params {"w_ih","w_hh","b_ih","b_hh"} -> same dict plus
+    wq_ih/ws_ih/wq_hh/ws_hh int8 codes + per-gate-column scales.
+    Idempotent."""
+    if "wq_hh" in p:
+        return p
+    qi = quantize_dense({"w": p["w_ih"]})
+    qh = quantize_dense({"w": p["w_hh"]})
+    return dict(p, wq_ih=qi["wq"], ws_ih=qi["ws"],
+                wq_hh=qh["wq"], ws_hh=qh["ws"])
+
+
+def augment_dense(p: dict) -> dict:
+    """Dense params {"w"[, "b"]} -> same dict plus wq/ws. Idempotent."""
+    if "wq" in p:
+        return p
+    q = quantize_dense(p)
+    return dict(p, wq=q["wq"], ws=q["ws"])
+
+
+def dense_aug(p: dict, x: jax.Array, compute_dtype=jnp.bfloat16) -> jax.Array:
+    """dense through the augmented dict's int8 codes (see dense_q)."""
+    y = jnp.dot(x.astype(compute_dtype), p["wq"].astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+    y = y * p["ws"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def gru_x_gates(p: dict, x: jax.Array, compute_dtype=jnp.bfloat16):
+    """x @ w_ih + b_ih through the int8 codes of an augmented GRU dict."""
+    return (jnp.dot(x.astype(compute_dtype), p["wq_ih"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+            * p["ws_ih"] + p["b_ih"])
+
+
+def gru_h_gates(p: dict, h: jax.Array, compute_dtype=jnp.bfloat16):
+    """h @ w_hh + b_hh through the int8 codes of an augmented GRU dict —
+    passed to nn.rnn.gru_gates as its precomputed ``h_gates``."""
+    return (jnp.dot(h.astype(compute_dtype), p["wq_hh"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+            * p["ws_hh"] + p["b_hh"])

@@ -57,7 +57,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vcr_tpu.decode import NEG_INF, _s2vt_att_stepper, _s2vt_stepper
+from vcr_tpu.decode import (NEG_INF, _s2vt_att_stepper, _s2vt_stepper,
+                            augment_decode_weights)
 from vcr_tpu.models import base as model_base
 from vcr_tpu.models import s2vt, s2vt_att
 from vcr_tpu.models import transformer as tr
@@ -352,34 +353,34 @@ class ContinuousCaptioner:
                 f"attention caches; arch {spec.arch!r} "
                 f"(base {self._base!r}) has none")
 
-        # int8 decode WEIGHTS (transformer only): per-output-channel W8 for
-        # every decoder dense — halves the per-tick weight byte stream, the
-        # largest remaining term once the KV caches are int8/int4. See
-        # transformer.make_slot_stepper and ops/wquant.py; bounded-error,
-        # composes with kv_cache.
+        # int8 decode WEIGHTS (all families): per-output-channel W8 for
+        # every per-tick dense weight — the transformer's decoder stack
+        # (the largest remaining byte term once its KV caches are
+        # int8/int4) and the GRU families' rnn gates + vocab projection
+        # (which DOMINATE a GRU tick's bytes — the recurrent state is just
+        # h). See ops/wquant.py, transformer.quantize_decoder_params and
+        # decode.augment_decode_weights; bounded-error, composes with
+        # kv_cache. Pre-quantization happens ONCE here so the tick jit
+        # receives int8 weight ARGS — in-trace quantization would re-read
+        # the f32 weights inside every compiled tick.
         self.decode_weights = (decode_weights
                                or os.environ.get("VCR_DECODE_WEIGHTS", "bf16"))
         if self.decode_weights not in ("bf16", "int8"):
             raise ValueError(f"decode_weights must be 'bf16' or 'int8', "
                              f"got {self.decode_weights!r}")
-        if self.decode_weights != "bf16" and self._base != "transformer":
-            raise ValueError(
-                f"decode_weights={self.decode_weights!r} quantizes the "
-                f"transformer's decoder dense weights; arch {spec.arch!r} "
-                f"(base {self._base!r}) decodes through a GRU cell")
         if self.decode_weights == "int8":
-            # Pre-quantize ONCE (transformer.quantize_decoder_params): the
-            # tick jit then receives int8 weight ARGS and streams 1 byte per
-            # weight — in-trace quantization would re-read the f32 weights
-            # inside every compiled tick. The steppers detect the "wq"
-            # leaves and skip re-quantizing.
             if mesh is not None and dict(mesh.shape).get("mp", 1) > 1:
                 raise ValueError(
                     "decode_weights='int8' with an mp>1 mesh is unsupported"
                     ": the int8 vocab projection does not column-shard")
-            params = tr.quantize_decoder_params(params)
-            self.params = params
-            self._dec_params = params
+            if self._base == "transformer":
+                # decoder denses REPLACED (encoder untouched) — one tree
+                # serves encode + tick; steppers detect "wq" and skip.
+                params = tr.quantize_decoder_params(params)
+                self.params = params
+                self._dec_params = params
+            # GRU families AUGMENT instead (the same rnn dicts drive the
+            # encoder scans): _step_params is built after the mesh block.
 
         # the pool state (incl. the transformer's KV caches — by far the
         # largest leaves) is DONATED to every state->state device fn: without
@@ -433,6 +434,15 @@ class ContinuousCaptioner:
                                 if spec.arch in ("spatial", "rationale")
                                 else self.params)
             self.state = jax.tree_util.tree_map(_rows, self.state)
+
+        # The tree the TICK jit receives. For the GRU families under
+        # decode_weights="int8" it carries the augmented W8 decode dicts
+        # (decode.augment_decode_weights) next to the f32 originals —
+        # _encode_chunk keeps using self.params, the tick streams the
+        # codes. Transformer/bf16: same object as self.params.
+        self._step_params = self.params
+        if self.decode_weights == "int8" and self._base != "transformer":
+            self._step_params = augment_decode_weights(self.params, spec)
 
     # ---------------------------------------------------------- device fns
 
@@ -653,11 +663,14 @@ class ContinuousCaptioner:
                 dec = new_dec
             else:
                 if self._base == "s2vt":
-                    step_fn = _s2vt_stepper(dparams, spec, r)
+                    step_fn = _s2vt_stepper(
+                        dparams, spec, r,
+                        decode_weights=self.decode_weights)
                     inner = {"s1": dec["s1"], "s2": dec["s2"]}
                 else:
-                    step_fn = _s2vt_att_stepper(dparams, spec, dec["pk"],
-                                                dec["eo"])
+                    step_fn = _s2vt_att_stepper(
+                        dparams, spec, dec["pk"], dec["eo"],
+                        decode_weights=self.decode_weights)
                     inner = {"h": dec["h"]}
                 new_inner, logits = step_fn(inner, st["last"], jnp.int32(0))
                 dec = dict(dec, **new_inner)
@@ -717,13 +730,15 @@ class ContinuousCaptioner:
                 i_vec = jnp.repeat(jnp.minimum(st["gstep"], l - 1), k)
                 dec, logits = step_fn(dec, st["last"], i_vec)
             elif self._base == "s2vt":
-                step_fn = _s2vt_stepper(dparams, spec, rows)
+                step_fn = _s2vt_stepper(dparams, spec, rows,
+                                        decode_weights=self.decode_weights)
                 inner = {"s1": dec["s1"], "s2": dec["s2"]}
                 new_inner, logits = step_fn(inner, st["last"], jnp.int32(0))
                 dec = dict(dec, **new_inner)
             else:
                 step_fn = _s2vt_att_stepper(dparams, spec, dec["pk"],
-                                            dec["eo"])
+                                            dec["eo"],
+                                            decode_weights=self.decode_weights)
                 inner = {"h": dec["h"]}
                 new_inner, logits = step_fn(inner, st["last"], jnp.int32(0))
                 dec = dict(dec, **new_inner)
@@ -840,7 +855,7 @@ class ContinuousCaptioner:
                                          jnp.asarray(ids), jnp.asarray(valid))
 
     def tick(self) -> None:
-        self.state = self._jit_step(self.params, self.state)
+        self.state = self._jit_step(self._step_params, self.state)
 
     def poll_active(self) -> np.ndarray:
         return np.asarray(self.state["active"])

@@ -114,8 +114,16 @@ def build_step_fns(
         def fn(params, vid_feats, sent, sent_len, rng, tf_prob):
             if train and static_tf is not None:
                 tf_prob = static_tf
-            return apply_fn(params, spec, vid_feats, sent, sent_len, rng=rng,
-                            train=train, teacher_force_prob=tf_prob)
+            # S2VT trains with GRU gate remat by DEFAULT (bitwise-identical
+            # step, +10-11% on-chip twice; s2vt-att measured the opposite
+            # sign — nn/rnn.gate_remat_default has the evidence trail).
+            # The scope is trace-time; VCR_GRU_GATES_REMAT overrides.
+            from vcr_tpu.nn.rnn import gate_remat_default
+
+            with gate_remat_default(train and model_name == "s2vt"):
+                return apply_fn(params, spec, vid_feats, sent, sent_len,
+                                rng=rng, train=train,
+                                teacher_force_prob=tf_prob)
         return fn
 
     train_fwd = jax.checkpoint(_bound(True)) if remat else _bound(True)
