@@ -388,3 +388,27 @@ def test_gru_w8_frozen_artifact(tiny_vocab, rng, tmp_path):
     for i in range(5):
         np.testing.assert_array_equal(np.asarray(got[i]),
                                       np.asarray(live[i]))
+
+
+def test_gru_w8_under_dp_mesh(tiny_vocab, rng):
+    """decode_weights='int8' composes with a dp-sharded GRU pool: the
+    augmented step tree rides the mesh (replicated weights, dp-sharded
+    rows) and stays token-identical to the unsharded W8 pool."""
+    import vcr_tpu.models.base as mbase
+    from vcr_tpu.parallel import make_mesh
+    from vcr_tpu.serving_continuous import ContinuousCaptioner
+
+    spec = _gru_spec(tiny_vocab, "s2vt")
+    params = mbase.build_model("s2vt")[0](jax.random.PRNGKey(6), spec,
+                                          tiny_vocab.vectors)
+    feats = rng.standard_normal((5, 4, 12)).astype(np.float32)
+    reqs = {i: feats[i] for i in range(5)}
+    want = ContinuousCaptioner(params, spec, slots=4, admit_chunk=2,
+                               eos_id=tiny_vocab.eos_id,
+                               decode_weights="int8").caption_all(reqs)
+    got = ContinuousCaptioner(params, spec, slots=4, admit_chunk=2,
+                              eos_id=tiny_vocab.eos_id, mesh=make_mesh(2, 1),
+                              decode_weights="int8").caption_all(reqs)
+    for i in range(5):
+        np.testing.assert_array_equal(np.asarray(got[i]),
+                                      np.asarray(want[i]))
