@@ -556,25 +556,33 @@ def main() -> int:
     # identical token feed (bf16 side's argmax), compiled logit envelope
     # < 0.5 (bounded quantization error, same contract as the pool row).
     # Stepper CONSTRUCTION (incl. the quantized cache init) happens inside
-    # the jit: an s4 (int4) state crossing a jit boundary trips an
-    # axon-client relayout bug (onchip_r5/bench_all.log traceback;
-    # scripts/probe_int4_eager.py maps the surface). This also mirrors the
-    # product reality — serving decodes run under one jit
-    # (serving.make_caption_fn).
+    # the jit with params/e_outputs as ARGS — two hard-won on-chip lessons:
+    # (1) an s4 (int4) tensor cannot cross a program boundary on this
+    # backend AT ALL (eager creation, jit outputs, and jit args all die —
+    # scripts/probe_int4_eager.py; the int4 pool is therefore unservable on
+    # axon, see SERVING.md), so int4 must live inside ONE program; (2) a
+    # CLOSED-OVER operand becomes an HLO constant and XLA constant-folds
+    # its projections ON THE HOST with different rounding than the MXU
+    # (measured 2e-4/element on a 4096-dot; bitwise-stable quantization) —
+    # the first args-less form of this check compounded that into a bogus
+    # 3.3 logit "envelope" (onchip_r5/tpu_checks.log rc=1). Args keep every
+    # projection on the MXU; both steppers are built identically in-trace
+    # so the envelope measures quantization alone.
     bfstep, bfinit = transformer.make_cached_stepper(tparams, tspec, te_out)
     for kvm, kv_bound in (("int8", 0.5), ("int4", 2.5)):
 
         @jax.jit
-        def batch_lockstep(_kv=kvm):
+        def batch_lockstep(p, eo, _kv=kvm):
             _qs, _qi = transformer.make_cached_stepper(
-                tparams, tspec, te_out, kv_cache=_kv)
-            sti, stf = _qi, bfinit
-            w = jnp.full((te_out.shape[0],), tspec.sos_id, jnp.int32)
+                p, tspec, eo, kv_cache=_kv)
+            _bs, _bi = transformer.make_cached_stepper(p, tspec, eo)
+            sti, stf = _qi, _bi
+            w = jnp.full((eo.shape[0],), tspec.sos_id, jnp.int32)
 
             def body(carry, i2):
                 sti, stf, w = carry
                 sti, li = _qs(sti, w, i2)
-                stf, lf = bfstep(stf, w, i2)
+                stf, lf = _bs(stf, w, i2)
                 gap = jnp.max(jnp.abs(li.astype(jnp.float32)
                                       - lf.astype(jnp.float32)))
                 w = jnp.argmax(lf, -1).astype(jnp.int32)
@@ -584,10 +592,10 @@ def main() -> int:
                                            jnp.arange(tspec.max_len))
             return jnp.max(gaps)
 
-        bi8_gap = float(batch_lockstep())
+        bi8_gap = float(batch_lockstep(tparams, te_out))
         bi8_tok = np.asarray(jax.jit(
-            lambda _kv=kvm: transformer.decode_greedy_fast(
-                tparams, tspec, te_out, kv_cache=_kv))())
+            lambda p, eo, _kv=kvm: transformer.decode_greedy_fast(
+                p, tspec, eo, kv_cache=_kv))(tparams, te_out))
         bi8_ok = (bi8_gap < kv_bound
                   and bi8_tok.shape == (te_out.shape[0], tspec.max_len)
                   and bool((bi8_tok >= 0).all()))
