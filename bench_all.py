@@ -249,55 +249,74 @@ def main() -> None:
     # remaining term once caches are quantized. Weight variants pre-quantize
     # OUTSIDE the jit (the pool's init-time form) so the tick streams int8
     # weight ARGS. Opt-in serving modes; bounded-error, not token-identical.
-    # State creation (encode + cache init) happens INSIDE the timed jit:
-    # an s4 (int4) state crossing a jit boundary trips an axon-client
-    # relayout bug ("Recursively calling jit" inside device_put — first r5
-    # on-chip bench_all, onchip_r5/bench_all.log traceback; see
-    # scripts/probe_int4_eager.py). One-time creation amortizes to ~0.1%
-    # over iters*max_len chained ticks, so the row still measures the tick.
+    # State creation (encode + cache init) happens INSIDE the jit — an s4
+    # (int4) tensor cannot cross a program boundary on this backend
+    # (scripts/probe_int4_eager.py; onchip_r5/bench_all.log traceback) —
+    # and the tick rate is extracted DIFFERENTIALLY: the same program at
+    # two chain lengths, dt_tick = (t_long - t_short) / extra_ticks, so the
+    # one-time encode/quantize cost and the tunnel dispatch cancel exactly.
+    # (Folding creation into a single timed chain understated the quantized
+    # rows ~2-3x: the R=512 encode costs ~100 ms against a ~130 ms chain —
+    # first bench_all2 numbers, discarded.)
+    import time as _time
+
     for kvmode, wmode in (("int8", "bf16"), ("int4", "bf16"),
                           ("bf16", "int8"), ("int8", "int8"),
                           ("int4", "int8")):
         ccq_params = (jax.device_put(trm.quantize_decoder_params(tr_params))
                       if wmode == "int8" else tr_params)
 
-        @jax.jit
-        def cc8_run_n(params, xi, _kv=kvmode, _w=wmode):
-            src_mask = trm.create_masks_inp(xi)
-            eo = trm.encode(params, tr_spec, xi, src_mask,
-                            jax.random.PRNGKey(0), train=False)
-            step_fn, init_self, cross_state = trm.make_slot_stepper(
-                params, tr_spec, kv_cache=_kv, decode_weights=_w)
-            st0 = {"dec": {**init_self(xi.shape[0]), **cross_state(eo)},
-                   "last": jnp.full((xi.shape[0],), tr_spec.sos_id,
-                                    jnp.int32),
-                   "i": jnp.zeros((xi.shape[0],), jnp.int32)}
+        def make_run(n_ticks, _kv=kvmode, _w=wmode):
+            @jax.jit
+            def run_n(params, xi):
+                src_mask = trm.create_masks_inp(xi)
+                eo = trm.encode(params, tr_spec, xi, src_mask,
+                                jax.random.PRNGKey(0), train=False)
+                step_fn, init_self, cross_state = trm.make_slot_stepper(
+                    params, tr_spec, kv_cache=_kv, decode_weights=_w)
+                st0 = {"dec": {**init_self(xi.shape[0]), **cross_state(eo)},
+                       "last": jnp.full((xi.shape[0],), tr_spec.sos_id,
+                                        jnp.int32),
+                       "i": jnp.zeros((xi.shape[0],), jnp.int32)}
 
-            def body(st, _):
-                dec, logits = step_fn(st["dec"], st["last"], st["i"])
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return {"dec": dec, "last": nxt,
-                        "i": jnp.minimum(st["i"] + 1,
-                                         tr_spec.max_len - 1)}, None
+                def body(st, _):
+                    dec, logits = step_fn(st["dec"], st["last"], st["i"])
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return {"dec": dec, "last": nxt,
+                            "i": jnp.minimum(st["i"] + 1,
+                                             tr_spec.max_len - 1)}, None
 
-            st, _ = jax.lax.scan(body, st0, None,
-                                 length=iters * tr_spec.max_len)
-            return st["last"].astype(jnp.float32).ravel()[0] * 1e-12
+                st, _ = jax.lax.scan(body, st0, None, length=n_ticks)
+                return st["last"].astype(jnp.float32).ravel()[0] * 1e-12
 
-        cc8_dt, _f8, cc8_mfu = benchutil.time_chained(
-            cc8_run_n, (ccq_params, tr_x[:slot_rows]), device)
+            return run_n
+
+        n_short = iters * tr_spec.max_len
+        n_long = n_short * 5
+        args8 = (ccq_params, tr_x[:slot_rows])
+
+        def best_s(fn):
+            np.asarray(fn(*args8))          # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                np.asarray(fn(*args8))
+                best = min(best, _time.perf_counter() - t0)
+            return best
+
+        t_short = best_s(make_run(n_short))
+        t_long = best_s(make_run(n_long))
+        dt_tick = max(t_long - t_short, 1e-9) / (n_long - n_short)
         label = f"{kvmode} KV cache" + (f", {wmode} weights"
                                         if wmode != "bf16" else "")
-        cc8_row = {
+        emit_row({
             "metric": (f"Transformer continuous slot decode tokens/sec/chip "
                        f"(R={slot_rows}, {label})"),
-            "value": round(slot_rows * iters * tr_spec.max_len / cc8_dt, 2),
+            "value": round(slot_rows / dt_tick, 2),
             "unit": "tokens/s",
-            "captions_equiv_per_s": round(slot_rows * iters / cc8_dt, 2),
-        }
-        if cc8_mfu is not None:
-            cc8_row["mfu"] = round(cc8_mfu, 4)
-        emit_row(cc8_row)
+            "captions_equiv_per_s": round(slot_rows / dt_tick
+                                          / tr_spec.max_len, 2),
+        })
 
     # Continuous BEAM tick rate (s2vt-att): prices the per-step within-group
     # beam reorder, which now permutes ONLY the recurrent `h` (pk/eo are
