@@ -249,15 +249,17 @@ def main() -> None:
     # remaining term once caches are quantized. Weight variants pre-quantize
     # OUTSIDE the jit (the pool's init-time form) so the tick streams int8
     # weight ARGS. Opt-in serving modes; bounded-error, not token-identical.
-    # State creation (encode + cache init) happens INSIDE the jit — an s4
-    # (int4) tensor cannot cross a program boundary on this backend
-    # (scripts/probe_int4_eager.py; onchip_r5/bench_all.log traceback) —
-    # and the tick rate is extracted DIFFERENTIALLY: the same program at
-    # two chain lengths, dt_tick = (t_long - t_short) / extra_ticks, so the
-    # one-time encode/quantize cost and the tunnel dispatch cancel exactly.
-    # (Folding creation into a single timed chain understated the quantized
-    # rows ~2-3x: the R=512 encode costs ~100 ms against a ~130 ms chain —
-    # first bench_all2 numbers, discarded.)
+    # int8-capable variants run the PRODUCT form: state created by one jit,
+    # passed to the timed chain as ARGS — exactly how the serving pool
+    # hands its state to every tick. The arg boundary also gives the cache
+    # leaves the executable's preferred (packed) layout; creating the state
+    # INSIDE the program leaves it in the producer's layout and measured
+    # the same tick 2-2.5x slower (onchip_r5/bench_all3.log grid,
+    # discarded) — the relayout machinery that s4 crashes on is a real
+    # performance feature for int8. int4 CANNOT cross a program boundary
+    # on this backend (scripts/probe_int4_eager.py), so its rows keep the
+    # in-jit state + differential timing (the same two-length subtraction
+    # cancels creation + dispatch) and carry that layout caveat.
     import time as _time
 
     for kvmode, wmode in (("int8", "bf16"), ("int4", "bf16"),
@@ -265,6 +267,54 @@ def main() -> None:
                           ("int4", "int8")):
         ccq_params = (jax.device_put(trm.quantize_decoder_params(tr_params))
                       if wmode == "int8" else tr_params)
+        label = f"{kvmode} KV cache" + (f", {wmode} weights"
+                                        if wmode != "bf16" else "")
+
+        if kvmode != "int4":
+            def ccq_state0(params, xi, _kv=kvmode, _w=wmode):
+                src_mask = trm.create_masks_inp(xi)
+                eo = trm.encode(params, tr_spec, xi, src_mask,
+                                jax.random.PRNGKey(0), train=False)
+                _, init_self, cross_state = trm.make_slot_stepper(
+                    params, tr_spec, kv_cache=_kv, decode_weights=_w)
+                return {"dec": {**init_self(xi.shape[0]),
+                                **cross_state(eo)},
+                        "last": jnp.full((xi.shape[0],), tr_spec.sos_id,
+                                         jnp.int32),
+                        "i": jnp.zeros((xi.shape[0],), jnp.int32)}
+
+            ccq_st0 = jax.jit(ccq_state0)(ccq_params, tr_x[:slot_rows])
+
+            @jax.jit
+            def ccq_run_n(params, st0, _kv=kvmode, _w=wmode):
+                step_fn, _, _ = trm.make_slot_stepper(
+                    params, tr_spec, kv_cache=_kv, decode_weights=_w)
+
+                def body(st, _):
+                    dec, logits = step_fn(st["dec"], st["last"], st["i"])
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return {"dec": dec, "last": nxt,
+                            "i": jnp.minimum(st["i"] + 1,
+                                             tr_spec.max_len - 1)}, None
+
+                st, _ = jax.lax.scan(body, st0, None,
+                                     length=iters * tr_spec.max_len)
+                return st["last"].astype(jnp.float32).ravel()[0] * 1e-12
+
+            ccq_dt, _fq, ccq_mfu = benchutil.time_chained(
+                ccq_run_n, (ccq_params, ccq_st0), device)
+            row = {
+                "metric": (f"Transformer continuous slot decode "
+                           f"tokens/sec/chip (R={slot_rows}, {label})"),
+                "value": round(slot_rows * iters * tr_spec.max_len / ccq_dt,
+                               2),
+                "unit": "tokens/s",
+                "captions_equiv_per_s": round(slot_rows * iters / ccq_dt, 2),
+            }
+            if ccq_mfu is not None:
+                row["mfu"] = round(ccq_mfu, 4)
+            emit_row(row)
+            continue
 
         def make_run(n_ticks, _kv=kvmode, _w=wmode):
             @jax.jit
@@ -307,11 +357,9 @@ def main() -> None:
         t_short = best_s(make_run(n_short))
         t_long = best_s(make_run(n_long))
         dt_tick = max(t_long - t_short, 1e-9) / (n_long - n_short)
-        label = f"{kvmode} KV cache" + (f", {wmode} weights"
-                                        if wmode != "bf16" else "")
         emit_row({
             "metric": (f"Transformer continuous slot decode tokens/sec/chip "
-                       f"(R={slot_rows}, {label})"),
+                       f"(R={slot_rows}, {label}, in-program state)"),
             "value": round(slot_rows / dt_tick, 2),
             "unit": "tokens/s",
             "captions_equiv_per_s": round(slot_rows / dt_tick
