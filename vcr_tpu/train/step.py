@@ -114,13 +114,19 @@ def build_step_fns(
         def fn(params, vid_feats, sent, sent_len, rng, tf_prob):
             if train and static_tf is not None:
                 tf_prob = static_tf
-            # S2VT trains with GRU gate remat by DEFAULT (bitwise-identical
-            # step, +10-11% on-chip twice; s2vt-att measured the opposite
-            # sign — nn/rnn.gate_remat_default has the evidence trail).
-            # The scope is trace-time; VCR_GRU_GATES_REMAT overrides.
+            # S2VT and S2VT-att train with GRU gate remat by DEFAULT
+            # (bitwise-identical step; the round-5 INTERLEAVED A/B —
+            # onchip_r5/ab_summary.log, n=3 tight spreads — measured
+            # remat-off at -11.5% for s2vt and remat at +2.8% for s2vt-att,
+            # overturning two weather-noisy single-shot negatives).
+            # rationale/spatial wrap these captioners but carry extra
+            # generator/conv work the A/B never measured, so they keep the
+            # opt-in. The scope is trace-time; VCR_GRU_GATES_REMAT
+            # overrides either way.
             from vcr_tpu.nn.rnn import gate_remat_default
 
-            with gate_remat_default(train and model_name == "s2vt"):
+            with gate_remat_default(train and model_name in ("s2vt",
+                                                             "s2vt-att")):
                 return apply_fn(params, spec, vid_feats, sent, sent_len,
                                 rng=rng, train=train,
                                 teacher_force_prob=tf_prob)
