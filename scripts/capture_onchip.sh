@@ -41,6 +41,10 @@ FAILED=""   # probe noise doesn't count once TPU OK is confirmed
 CHECKS_OK=0
 for attempt in 1 2 3; do
   if run tpu_checks python tpu_checks.py; then CHECKS_OK=1; break; fi
+  # preserve the failed attempt's log — the retry overwrites tpu_checks.log,
+  # and attempt 1 of the first r5 capture carried the only traceback of a
+  # real bug (lost; session 2026-08-20b lesson)
+  cp "$OUT/tpu_checks.log" "$OUT/tpu_checks_attempt$attempt.log"
   echo "tpu_checks attempt $attempt failed — backing off 120s"
   sleep 120
 done
